@@ -1,0 +1,67 @@
+"""Kicked-Ising Hamiltonian H = sum_i h_i Z_i + sum_i phi_i Z_i Z_{i+1} + g*pi*sum_i X_i.
+
+Mirrors the reference's SparsePauliOp builder
+(autocorr-delta-a-single-qiskit-fast-energy.py:83-102) and its component
+selection full / z_only / zz_only / x_only / z_zz
+(autocorr-delta-a-single-qiskit-fast-energy-ham-comparison.py:85-118), but as
+coefficient arrays consumed by analytic expectation kernels: the Z and ZZ
+parts are one diagonal mask reduction, the X part is one pass of per-qubit
+pair reductions — no Pauli-grouping measurement circuits needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+
+COMPONENTS = ("full", "z_only", "zz_only", "x_only", "z_zz")
+
+
+@dataclasses.dataclass(frozen=True)
+class HamiltonianTerms:
+    hs: jnp.ndarray     # (L,)  Z coefficients
+    phis: jnp.ndarray   # (L-1,) ZZ coefficients
+    x_coeff: jnp.ndarray  # scalar: g*pi (uniform X coefficient)
+
+
+def hamiltonian_terms(L: int, g, hs, phis, component: str = "full") -> HamiltonianTerms:
+    if component not in COMPONENTS:
+        raise ValueError(f"unknown component {component!r}; one of {COMPONENTS}")
+    hs = jnp.asarray(hs)[:L]
+    phis = jnp.asarray(phis)[: L - 1]
+    zero_h = component in ("zz_only", "x_only")
+    zero_zz = component in ("z_only", "x_only")
+    zero_x = component in ("z_only", "zz_only", "z_zz")
+    return HamiltonianTerms(
+        hs=jnp.zeros_like(hs) if zero_h else hs,
+        phis=jnp.zeros_like(phis) if zero_zz else phis,
+        x_coeff=jnp.asarray(0.0 if zero_x else g * np.pi),
+    )
+
+
+def dense_hamiltonian(L: int, terms: HamiltonianTerms) -> np.ndarray:
+    """Dense 2^L x 2^L matrix — test oracle only (L <= ~12)."""
+    import numpy as _np
+
+    I = _np.eye(2)
+    X = _np.array([[0, 1], [1, 0]], dtype=complex)
+    Z = _np.array([[1, 0], [0, -1]], dtype=complex)
+
+    def op_at(op, q):
+        m = _np.ones((1, 1), dtype=complex)
+        for i in range(L - 1, -1, -1):
+            m = _np.kron(m, op if i == q else I)
+        return m
+
+    H = _np.zeros((2**L, 2**L), dtype=complex)
+    hs = _np.asarray(terms.hs)
+    phis = _np.asarray(terms.phis)
+    for q in range(L):
+        H += hs[q] * op_at(Z, q)
+        H += float(terms.x_coeff) * op_at(X, q)
+    for q in range(L - 1):
+        H += phis[q] * (op_at(Z, q) @ op_at(Z, q + 1))
+    return H
