@@ -1,0 +1,128 @@
+"""Autocorrelation sweep experiment.
+
+Capability parity with autocorr-delta-a-single-qiskit-fast.py (canonical
+driver, SURVEY.md §3.1) and the polarization variants: forward + echo
+interferometric autocorrelator averaged over disorder instances, CSV schema
+`time, av_autocorr, av_autocorr_echo, sqrt_av_autocorr_echo` (+6 envelope
+columns when requested).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from dtc_tpu.analysis.envelope import find_envelope
+from dtc_tpu.experiments.engine import (
+    apply_shot_noise,
+    build_context,
+    echo_sweep,
+    forward_sweep,
+)
+from dtc_tpu.io import csvio, naming
+from dtc_tpu.io.disorder import get_disorder
+from dtc_tpu.utils.profiling import phase_timer
+
+
+def run_autocorr(cfg, hs=None, phis=None, *, out_dir=None, disorder_dir=None,
+                 with_envelopes: bool = False, write=True) -> dict:
+    """Run the forward + echo sweep; returns result dict and writes CSV."""
+    if hs is None or phis is None:
+        hs, phis = get_disorder(cfg, disorder_dir)
+    sched, diags, psi0, noise = build_context(cfg, hs, phis)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    with phase_timer("forward"):
+        autocorr = forward_sweep(cfg, sched, diags, psi0, noise, key)
+    with phase_timer("echo"):
+        echo = echo_sweep(cfg, sched, diags, psi0, noise, key)
+
+    if cfg.shots:
+        autocorr = apply_shot_noise(autocorr, cfg.shots, cfg.seed)
+        echo = apply_shot_noise(echo, cfg.shots, cfg.seed + 1)
+
+    av = autocorr.mean(axis=0)
+    av_echo = echo.mean(axis=0)
+    ts = np.arange(cfg.tf)
+    data = {
+        "time": ts,
+        "av_autocorr": av,
+        "av_autocorr_echo": av_echo,
+        "sqrt_av_autocorr_echo": np.sqrt(np.maximum(av_echo, 0.0)),
+    }
+    if with_envelopes:
+        fu, fl = find_envelope(av)
+        eu, el = find_envelope(av_echo)
+        su, sl = find_envelope(data["sqrt_av_autocorr_echo"])
+        data.update(
+            forward_upper_env=fu, forward_lower_env=fl,
+            echo_upper_env=eu, echo_lower_env=el,
+            sqrt_echo_upper_env=su, sqrt_echo_lower_env=sl,
+        )
+
+    result = dict(data)
+    result["autocorr_per_instance"] = autocorr
+    result["echo_per_instance"] = echo
+
+    if write:
+        folder = out_dir or naming.autocorr_folder_name(cfg)
+        pol = cfg.polarization if cfg.polarization != "x" else None
+        path = os.path.join(
+            folder, naming.autocorr_csv_name(cfg, pol=pol, with_envelopes=with_envelopes)
+        )
+        csvio.write_columns(path, data)
+        result["csv_path"] = path
+    return result
+
+
+def run_polarization_comparison(cfg, polarizations=("x", "y", "xy", "yx"), *,
+                                out_dir=None, disorder_dir=None, write=True) -> dict:
+    """Per-polarization sweeps + merged comparison CSV with envelopes
+    (autocorr-delta-a-single-qiskit-fast-polarization.py:381-399)."""
+    merged = {"time": np.arange(cfg.tf)}
+    per_pol = {}
+    for pol in polarizations:
+        c = cfg.replace(polarization=pol)
+        r = run_autocorr(c, out_dir=out_dir, disorder_dir=disorder_dir,
+                         with_envelopes=True, write=write)
+        per_pol[pol] = r
+        merged[f"av_autocorr_{pol}"] = r["av_autocorr"]
+        merged[f"av_autocorr_echo_{pol}"] = r["av_autocorr_echo"]
+        merged[f"sqrt_av_autocorr_echo_{pol}"] = r["sqrt_av_autocorr_echo"]
+        merged[f"forward_upper_env_{pol}"] = r["forward_upper_env"]
+        merged[f"forward_lower_env_{pol}"] = r["forward_lower_env"]
+        merged[f"echo_upper_env_{pol}"] = r["echo_upper_env"]
+        merged[f"echo_lower_env_{pol}"] = r["echo_lower_env"]
+        merged[f"sqrt_echo_upper_env_{pol}"] = r["sqrt_echo_upper_env"]
+        merged[f"sqrt_echo_lower_env_{pol}"] = r["sqrt_echo_lower_env"]
+    if write:
+        folder = out_dir or f"autocorr_data_L{cfg.L}_polarization"
+        path = os.path.join(folder, naming.autocorr_comparison_csv_name(cfg))
+        csvio.write_columns(path, merged)
+        merged["csv_path"] = path
+    merged["per_polarization"] = per_pol
+    return merged
+
+
+def run_shots_study(cfg, shots_list=(100, 1000, 10_000, 100_000, 1_000_000), *,
+                    out_dir=None, disorder_dir=None, write=True) -> dict:
+    """Echo vs shot count (autocorr-delta-a-single-qiskit-fast-shots.py:48-49,256-315)."""
+    if cfg.shots:
+        cfg = cfg.replace(shots=0)
+    hs, phis = get_disorder(cfg, disorder_dir)
+    sched, diags, psi0, noise = build_context(cfg, hs, phis)
+    key = jax.random.PRNGKey(cfg.seed)
+    echo = echo_sweep(cfg, sched, diags, psi0, noise, key)
+    data = {"time": np.arange(cfg.tf)}
+    for s in shots_list:
+        sampled = apply_shot_noise(echo, int(s), cfg.seed + int(s))
+        data[f"av_autocorr_echo_shots{int(s)}"] = sampled.mean(axis=0)
+    if write:
+        folder = out_dir or f"autocorr_data_L{cfg.L}_shots"
+        path = os.path.join(folder, naming.autocorr_csv_name(cfg).replace(
+            "autocorr_data_", "autocorr_shots_"))
+        csvio.write_columns(path, data)
+        data["csv_path"] = path
+    return data

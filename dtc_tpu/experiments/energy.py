@@ -1,0 +1,146 @@
+"""Energy sweep experiments.
+
+Capability parity with autocorr-delta-a-single-qiskit-fast-energy.py
+(SURVEY.md §3.2): E(t) = <H(t)> per noise level over nprobs=[0,0.001,0.01,0.1],
+E/L normalization, CSV schema `time, energy_p_{p}`; component Hamiltonians
+(full/z_only/zz_only/x_only/z_zz, ...-energy-ham-comparison.py:85-118); and
+per-qubit <Z_i(t)> trajectories (dtc_qasm.py:109-126 parity).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dtc_tpu.core.evolve import evolve_observables
+from dtc_tpu.experiments.engine import build_context, resolve_dtype, traj_chunks
+from dtc_tpu.io import csvio, naming
+from dtc_tpu.io.disorder import get_disorder
+from dtc_tpu.models.hamiltonian import hamiltonian_terms
+from dtc_tpu.ops.diag import zz_z_diag_energy
+from dtc_tpu.utils.profiling import phase_timer
+
+DEFAULT_NPROBS = (0.0, 0.001, 0.01, 0.1)
+
+
+def _energy_single_noise(cfg, hs, phis, p, component="full"):
+    """(inst, T) energies and (inst, T, L) per-qubit Z, trajectory-averaged."""
+    cfgp = cfg.replace(noise_prob=p, use_noise=1 if p > 0 else 0)
+    sched, diags, psi0, noise = build_context(cfgp, hs, phis)
+    real_dt = jnp.float64 if cfg.dtype == "complex128" else jnp.float32
+
+    terms0 = hamiltonian_terms(cfg.L, cfg.g, hs[0], phis[0], component)
+    with_x = bool(float(terms0.x_coeff) != 0.0)
+
+    def diag_e(h, ph):
+        t = hamiltonian_terms(cfg.L, cfg.g, h, ph, component)
+        return zz_z_diag_energy(t.hs, t.phis, cfg.L, dtype=real_dt)
+
+    diag_es = jax.vmap(diag_e)(jnp.asarray(hs)[:, : cfg.L],
+                               jnp.asarray(phis)[:, : cfg.L - 1])
+    x_coeff = terms0.x_coeff
+
+    kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, p=noise.p, with_x=with_x)
+    if noise.p == 0.0:
+        e, zs = jax.vmap(
+            lambda d, de: evolve_observables(
+                psi0, sched.angles, d, de, x_coeff, jax.random.PRNGKey(0), **kw
+            )
+        )(diags, diag_es)
+        return np.asarray(e), np.asarray(zs)
+
+    n_traj = cfg.n_trajectories
+    chunk = traj_chunks(n_traj, cfg.L, extra_factor=cfg.inst)
+    run = jax.jit(
+        jax.vmap(
+            jax.vmap(
+                lambda d, de, k: evolve_observables(
+                    psi0, sched.angles, d, de, x_coeff, k, **kw
+                ),
+                in_axes=(None, None, 0),
+            ),
+            in_axes=(0, 0, 0),
+        )
+    )
+    ki = jax.random.split(jax.random.PRNGKey(cfg.seed), cfg.inst)
+    acc_e = np.zeros((cfg.inst, cfg.tf))
+    acc_z = np.zeros((cfg.inst, cfg.tf, cfg.L))
+    done = 0
+    while done < n_traj:
+        c = min(chunk, n_traj - done)
+        keys = jnp.stack([jax.random.split(jax.random.fold_in(k, done), c) for k in ki])
+        e, zs = run(diags, diag_es, keys)
+        acc_e += np.asarray(jnp.sum(e, axis=1))
+        acc_z += np.asarray(jnp.sum(zs, axis=1)).transpose(0, 1, 2)
+        done += c
+    return acc_e / n_traj, acc_z / n_traj
+
+
+def run_energy(cfg, hs=None, phis=None, *, nprobs=DEFAULT_NPROBS, component="full",
+               out_dir=None, disorder_dir=None, write=True, per_qubit_norm=True) -> dict:
+    """E(t)/L per noise probability; CSV `time, energy_p_{p}`."""
+    if hs is None or phis is None:
+        hs, phis = get_disorder(cfg, disorder_dir)
+    data = {"time": np.arange(cfg.tf)}
+    z_data = {}
+    for p in nprobs:
+        with phase_timer(f"energy p={p}"):
+            e, zs = _energy_single_noise(cfg, hs, phis, float(p), component)
+        av = e.mean(axis=0)
+        data[f"energy_p_{_fmt(p)}"] = av / cfg.L if per_qubit_norm else av
+        z_data[float(p)] = zs.mean(axis=0)  # (T, L)
+    result = dict(data)
+    result["per_qubit_z"] = z_data
+    if write:
+        folder = out_dir or naming.energy_folder_name(cfg)
+        path = os.path.join(folder, naming.energy_csv_name(cfg))
+        csvio.write_columns(path, data)
+        result["csv_path"] = path
+    return result
+
+
+def run_ham_comparison(cfg, hs=None, phis=None, *, components=("full", "z_only",
+                       "zz_only", "x_only", "z_zz"), nprob=None, out_dir=None,
+                       disorder_dir=None, write=True) -> dict:
+    """Component-Hamiltonian comparison
+    (autocorr-delta-a-single-qiskit-fast-energy-ham-comparison.py:85-118)."""
+    if hs is None or phis is None:
+        hs, phis = get_disorder(cfg, disorder_dir)
+    p = cfg.noise_p if nprob is None else nprob
+    data = {"time": np.arange(cfg.tf)}
+    for comp in components:
+        e, _ = _energy_single_noise(cfg, hs, phis, float(p), comp)
+        data[f"energy_{comp}"] = e.mean(axis=0) / cfg.L
+    if write:
+        folder = out_dir or f"energy-data_L{cfg.L}-ham-comparison"
+        path = os.path.join(folder, naming.energy_csv_name(cfg).replace(
+            "energy_data_", "energy_ham_comparison_"))
+        csvio.write_columns(path, data)
+        data["csv_path"] = path
+    return data
+
+
+def run_per_qubit_z(cfg, hs=None, phis=None, *, out_dir=None, disorder_dir=None,
+                    write=True) -> dict:
+    """Per-qubit <Z_i(t)> sweep (QASM-export path parity, dtc_qasm.py:109-126)."""
+    if hs is None or phis is None:
+        hs, phis = get_disorder(cfg, disorder_dir)
+    e, zs = _energy_single_noise(cfg, hs, phis, cfg.noise_p, "full")
+    av = zs.mean(axis=0)  # (T, L)
+    data = {"time": np.arange(cfg.tf)}
+    for q in range(cfg.L):
+        data[f"z_q{q}"] = av[:, q]
+    if write:
+        folder = out_dir or f"zdata_L{cfg.L}"
+        path = os.path.join(folder, f"per_qubit_z_{cfg.initial_state}_g{cfg.g}_L{cfg.L}"
+                            f"_inst{cfg.inst}_noise{cfg.noise_prob}.csv")
+        csvio.write_columns(path, data)
+        data["csv_path"] = path
+    return data
+
+
+def _fmt(p: float) -> str:
+    return str(int(p)) if p == int(p) else str(p)

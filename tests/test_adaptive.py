@@ -1,0 +1,140 @@
+"""Adaptive-g control: stepper correctness, feedback laws, optimizer, drivers."""
+
+import jax
+import numpy as np
+
+from dtc_tpu.core.evolve import autocorr_forward
+from dtc_tpu.core.density import dm_autocorr_echo
+from dtc_tpu.core.statevector import initial_statevector
+from dtc_tpu.experiments.adaptive import (
+    AdaptiveStepper,
+    adjust_g_schedule,
+    exponential_g_adjustment,
+    golden_section_minimize,
+    linear_g_adjustment,
+    run_adaptive_batch,
+    run_adaptive_realtime,
+)
+from dtc_tpu.io import csvio
+from dtc_tpu.io.disorder import generate_disorder
+from dtc_tpu.models.drives import build_kick_schedule
+from dtc_tpu.ops.diag import zz_z_phase_mask
+from dtc_tpu.utils.config import SimConfig
+
+import jax.numpy as jnp
+
+CFG = SimConfig(L=3, g=0.84, inst=1, tf=5, noise_prob=0.0, use_noise=0,
+                dtype="complex128", target_echo=1.0, feedback_gain=0.05)
+
+
+def test_stepper_matches_core_forward_noiseless():
+    hs, phis = generate_disorder(CFG.L, 1, seed=20)
+    stepper = AdaptiveStepper(CFG, hs[0], phis[0])
+    states = stepper.reset()
+    key = jax.random.PRNGKey(0)
+
+    sched = build_kick_schedule("x", CFG.g, CFG.tf + 1)
+    diag = zz_z_phase_mask(jnp.asarray(hs[0]), jnp.asarray(phis[0]), CFG.L,
+                           dtype=jnp.complex128)
+    psi0 = initial_statevector(CFG.L, "vacuum", dtype=jnp.complex128)
+    ref = autocorr_forward(psi0, sched.angles, diag, key,
+                           L=CFG.L, T=CFG.tf + 1, K=1, p=0.0, q=CFG.L // 2)
+    g_sched = np.full(CFG.tf, CFG.g)
+    for t in range(CFG.tf):
+        k, key = jax.random.split(key)
+        prev = states
+        states = stepper.advance(states, CFG.g, t, k)
+        # forward value after t+1 cycles == core scan emission at index t+1
+        np.testing.assert_allclose(stepper.forward_value(states),
+                                   float(ref[t + 1]), atol=1e-10)
+        # noiseless echo identity
+        np.testing.assert_allclose(
+            stepper.echo_value(prev, g_sched, CFG.g, t + 1, k), 1.0, atol=1e-10)
+
+
+def test_stepper_echo_matches_exact_dm():
+    """Trajectory echo estimate from the carried stepper vs exact DM echo."""
+    cfg = CFG.replace(noise_prob=0.1, use_noise=1, n_trajectories=3000)
+    hs, phis = generate_disorder(cfg.L, 1, seed=21)
+    stepper = AdaptiveStepper(cfg, hs[0], phis[0])
+    states = stepper.reset()
+    key = jax.random.PRNGKey(5)
+    g_sched = np.full(cfg.tf, cfg.g)
+
+    diag = zz_z_phase_mask(jnp.asarray(hs[0]), jnp.asarray(phis[0]), cfg.L,
+                           dtype=jnp.complex128)
+    psi0 = initial_statevector(cfg.L, "vacuum", dtype=jnp.complex128)
+    sched = build_kick_schedule("x", cfg.g, cfg.tf)
+
+    for t in range(3):
+        k_adv, k_echo, key = jax.random.split(key, 3)
+        est = stepper.echo_value(states, g_sched, cfg.g, t + 1, k_echo)
+        exact = float(dm_autocorr_echo(
+            psi0, sched.angles, diag, jnp.asarray(t + 1),
+            L=cfg.L, T=cfg.tf, K=1, p=cfg.noise_prob, q=cfg.L // 2))
+        assert abs(est - exact) < 0.05, (t, est, exact)
+        states = stepper.advance(states, cfg.g, t, k_adv)
+
+
+def test_feedback_laws():
+    # linear: error>0 raises g, clipped at bounds
+    assert linear_g_adjustment(0.8, 1.0, 0.9, 0.5, 0.84, 1.0) == 1.0
+    assert linear_g_adjustment(0.8, 1.0, 0.9, 0.05, 0.84, 1.0) > 0.9
+    assert linear_g_adjustment(1.2, 1.0, 0.85, 0.5, 0.84, 1.0) == 0.84
+    # exponential grows with time_step
+    g1 = exponential_g_adjustment(0.5, 1.0, 0.9, 1, 0.01, 0.1, 0.84, 2.0)
+    g2 = exponential_g_adjustment(0.5, 1.0, 0.9, 10, 0.01, 0.1, 0.84, 2.0)
+    assert g2 > g1 > 0.9
+    # tiny echo triggers the strong-correction branch
+    g3 = exponential_g_adjustment(0.001, 1.0, 0.9, 0, 0.01, 0.1, 0.84, 2.0)
+    assert g3 > 0.9
+
+
+def test_adjust_g_schedule_uses_previous_echo():
+    echo = [0.9, 0.8, 0.7]
+    out = adjust_g_schedule(echo, [0.9] * 3, 1.0, 0.1, 0.0, 2.0)
+    assert out[0] == 0.9
+    np.testing.assert_allclose(out[1], 0.9 + 0.1 * 0.1)
+    np.testing.assert_allclose(out[2], 0.9 + 0.1 * 0.2)
+
+
+def test_golden_section():
+    g = golden_section_minimize(lambda x: (x - 0.91) ** 2, 0.84, 1.0, iters=30)
+    assert abs(g - 0.91) < 1e-4
+
+
+def test_run_adaptive_realtime_noiseless_keeps_g(tmp_path):
+    # noiseless: echo == target == 1 -> linear feedback never moves g
+    cfg = CFG.replace(use_optimization=0, exponential_feedback=0)
+    r = run_adaptive_realtime(cfg, *generate_disorder(cfg.L, 1, seed=22),
+                              out_dir=str(tmp_path))
+    np.testing.assert_allclose(r["av_g_values"], cfg.g, atol=1e-12)
+    np.testing.assert_allclose(r["av_autocorr_echo_adaptive"], 1.0, atol=1e-10)
+    cols = csvio.read_columns(r["csv_path"])
+    for c in ("av_autocorr_adaptive", "av_autocorr_echo_adaptive", "av_g_values",
+              "av_autocorr_standard", "sqrt_av_autocorr_echo_adaptive",
+              "g_history_inst1", "echo_adaptive_inst1", "forward_adaptive_inst1"):
+        assert c in cols, c
+    gh = csvio.read_columns(r["g_history_csv_path"])
+    assert "inst1_g_values" in gh and "inst1_echo_values" in gh
+
+
+def test_run_adaptive_realtime_optimizer_noisy(tmp_path):
+    cfg = CFG.replace(noise_prob=0.08, use_noise=1, n_trajectories=128,
+                      use_optimization=1, tf=4)
+    r = run_adaptive_realtime(cfg, *generate_disorder(cfg.L, 1, seed=23),
+                              out_dir=str(tmp_path), optimizer_method="golden")
+    g = r["g_history"][0]
+    assert np.all(g >= cfg.g_min - 1e-12) and np.all(g <= cfg.g_max + 1e-12)
+    # echo decays under noise but must stay in [0, 1]ish range
+    assert np.all(r["echo"][0] <= 1.01)
+
+
+def test_run_adaptive_batch(tmp_path):
+    cfg = CFG.replace(noise_prob=0.05, use_noise=1, n_trajectories=64,
+                      exponential_feedback=0, use_optimization=0, tf=4)
+    r = run_adaptive_batch(cfg, *generate_disorder(cfg.L, 1, seed=24),
+                           out_dir=str(tmp_path))
+    assert r["g_history"].shape == (1, 4)
+    # noisy echo < 1 -> batch feedback raises g after t=0
+    assert np.all(r["g_history"][0][1:] >= cfg.g)
