@@ -101,13 +101,27 @@ class AdaptiveStepper:
         self.noise = NoiseSpec(p=self.p)
         self.af = self.noise.ancilla_factor if self.p > 0 else 1.0
         self.n_traj = n_traj or (cfg.n_trajectories if self.p > 0 else 1)
-        self.diag = zz_z_phase_mask(jnp.asarray(hs_row[: self.L]),
-                                    jnp.asarray(phis_row[: self.L - 1]),
-                                    self.L, dtype=self.dtype)
+        # complex buffers must be DEVICE-created (this TPU backend lacks
+        # host<->device complex transfers): build via jit from real inputs,
+        # then pass between jitted programs as explicit arguments.
+        L, dtype, n_tr = self.L, self.dtype, self.n_traj
+        init_state, q = cfg.initial_state, self.q
+
+        @jax.jit
+        def _make_diag(h, ph):
+            return zz_z_phase_mask(h, ph, L, dtype=dtype)
+
+        @jax.jit
+        def _make_state0():
+            zq = z_sign_mask(q, L)
+            psi0 = initial_statevector(L, init_state, dtype=dtype)
+            single = _branch_pair(psi0, zq)
+            return jnp.broadcast_to(single, (n_tr,) + single.shape)
+
+        self.diag = _make_diag(jnp.asarray(hs_row[: self.L]),
+                               jnp.asarray(phis_row[: self.L - 1]))
         self.zq = z_sign_mask(self.q, self.L)
-        psi0 = initial_statevector(self.L, cfg.initial_state, dtype=self.dtype)
-        single = _branch_pair(psi0, self.zq)
-        self.state0 = jnp.broadcast_to(single, (self.n_traj,) + single.shape)
+        self.state0 = _make_state0()
         self._build_programs()
 
     def _angles_for(self, g_schedule):
@@ -120,10 +134,10 @@ class AdaptiveStepper:
 
     def _build_programs(self):
         L, K, p, dtype, T = self.L, self.K, self.p, self.dtype, self.T
-        diag, zq, af = self.diag, self.zq, self.af
+        zq, af = self.zq, self.af
 
         @jax.jit
-        def advance(states, angles_t, key):
+        def advance(states, diag, angles_t, key):
             keys = jax.random.split(key, states.shape[0])
             return jax.vmap(
                 lambda s, k: forward_cycle(s, angles_t, diag, L=L, K=K, p=p,
@@ -135,7 +149,7 @@ class AdaptiveStepper:
             vals = jax.vmap(lambda s: _branch_autocorr(s, zq, af))(states)
             return jnp.mean(vals)
 
-        def _echo_one(state, angles, key, t_next):
+        def _echo_one(state, diag, angles, key, t_next):
             # state: branch pair AFTER t_next forward cycles; apply t_next
             # inverse cycles in reverse time order (masked fixed-length scan).
             keys = jax.random.split(key, T)
@@ -159,7 +173,7 @@ class AdaptiveStepper:
             return _branch_autocorr(state, zq, af)
 
         @jax.jit
-        def echo_eval(states, angles_last, angles_full, key, t_next):
+        def echo_eval(states, diag, angles_last, angles_full, key, t_next):
             # advance carried states one cycle with candidate angles, then
             # inverse-evolve; returns trajectory-mean echo at t_next cycles.
             keys = jax.random.split(key, states.shape[0] * 2).reshape(
@@ -168,7 +182,7 @@ class AdaptiveStepper:
             def one(s, ks):
                 s = forward_cycle(s, angles_last, diag, L=L, K=K, p=p,
                                   key=ks[0], dtype=dtype)
-                return _echo_one(s, angles_full, ks[1], t_next)
+                return _echo_one(s, diag, angles_full, ks[1], t_next)
 
             return jnp.mean(jax.vmap(one)(states, keys))
 
@@ -182,7 +196,7 @@ class AdaptiveStepper:
 
     def advance(self, states, g_value, time_step, key):
         angles = self._angles_for(jnp.full((self.T,), g_value))[time_step]
-        return self._advance(states, angles, key)
+        return self._advance(states, self.diag, angles, key)
 
     def forward_value(self, states) -> float:
         return float(self._measure(states))
@@ -194,8 +208,8 @@ class AdaptiveStepper:
         g_full[t_next - 1] = g_last
         angles_full = self._angles_for(jnp.asarray(g_full))
         angles_last = angles_full[t_next - 1]
-        return float(self._echo_eval(states_prev, angles_last, angles_full, key,
-                                     jnp.asarray(t_next)))
+        return float(self._echo_eval(states_prev, self.diag, angles_last,
+                                     angles_full, key, jnp.asarray(t_next)))
 
 
 # ---------------------------------------------------------------------------

@@ -31,13 +31,13 @@ def run_autocorr(cfg, hs=None, phis=None, *, out_dir=None, disorder_dir=None,
     """Run the forward + echo sweep; returns result dict and writes CSV."""
     if hs is None or phis is None:
         hs, phis = get_disorder(cfg, disorder_dir)
-    sched, diags, psi0, noise = build_context(cfg, hs, phis)
+    sched, params, noise = build_context(cfg, hs, phis)
     key = jax.random.PRNGKey(cfg.seed)
 
     with phase_timer("forward"):
-        autocorr = forward_sweep(cfg, sched, diags, psi0, noise, key)
+        autocorr = forward_sweep(cfg, sched, params, noise, key)
     with phase_timer("echo"):
-        echo = echo_sweep(cfg, sched, diags, psi0, noise, key)
+        echo = echo_sweep(cfg, sched, params, noise, key)
 
     if cfg.shots:
         autocorr = apply_shot_noise(autocorr, cfg.shots, cfg.seed)
@@ -112,9 +112,9 @@ def run_shots_study(cfg, shots_list=(100, 1000, 10_000, 100_000, 1_000_000), *,
     if cfg.shots:
         cfg = cfg.replace(shots=0)
     hs, phis = get_disorder(cfg, disorder_dir)
-    sched, diags, psi0, noise = build_context(cfg, hs, phis)
+    sched, params, noise = build_context(cfg, hs, phis)
     key = jax.random.PRNGKey(cfg.seed)
-    echo = echo_sweep(cfg, sched, diags, psi0, noise, key)
+    echo = echo_sweep(cfg, sched, params, noise, key)
     data = {"time": np.arange(cfg.tf)}
     for s in shots_list:
         sampled = apply_shot_noise(echo, int(s), cfg.seed + int(s))

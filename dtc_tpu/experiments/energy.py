@@ -26,45 +26,56 @@ from dtc_tpu.utils.profiling import phase_timer
 DEFAULT_NPROBS = (0.0, 0.001, 0.01, 0.1)
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "K", "p", "with_x", "initial_state", "dtype_name"),
+)
+def _observables_batch(hs, phis, term_hs, term_phis, x_coeff, angles, keys, *,
+                       L, T, K, p, with_x, initial_state, dtype_name):
+    """Real-boundary batch: (inst,L),(inst,L-1),term arrays,(T,K,2),(inst,c,2)
+    -> energies (inst, c, T), per-qubit Z (inst, c, T, L)."""
+    from dtc_tpu.core.statevector import initial_statevector
+    from dtc_tpu.experiments.engine import resolve_dtype
+    from dtc_tpu.ops.diag import zz_z_phase_mask
+
+    dtype = resolve_dtype(dtype_name)
+    real_dt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    psi0 = initial_statevector(L, initial_state, dtype=dtype)
+
+    def per_instance(h, ph, th, tph, ks):
+        diag = zz_z_phase_mask(h, ph, L, dtype=dtype)
+        diag_e = zz_z_diag_energy(th, tph, L, dtype=real_dt)
+        return jax.vmap(
+            lambda k: evolve_observables(
+                psi0, angles, diag, diag_e, x_coeff, k,
+                L=L, T=T, K=K, p=p, with_x=with_x)
+        )(ks)
+
+    return jax.vmap(per_instance)(hs, phis, term_hs, term_phis, keys)
+
+
 def _energy_single_noise(cfg, hs, phis, p, component="full"):
     """(inst, T) energies and (inst, T, L) per-qubit Z, trajectory-averaged."""
     cfgp = cfg.replace(noise_prob=p, use_noise=1 if p > 0 else 0)
-    sched, diags, psi0, noise = build_context(cfgp, hs, phis)
-    real_dt = jnp.float64 if cfg.dtype == "complex128" else jnp.float32
+    sched, (hs_j, phis_j), noise = build_context(cfgp, hs, phis)
 
     terms0 = hamiltonian_terms(cfg.L, cfg.g, hs[0], phis[0], component)
     with_x = bool(float(terms0.x_coeff) != 0.0)
+    term_hs = jnp.stack([
+        hamiltonian_terms(cfg.L, cfg.g, hs[i], phis[i], component).hs
+        for i in range(cfg.inst)])
+    term_phis = jnp.stack([
+        hamiltonian_terms(cfg.L, cfg.g, hs[i], phis[i], component).phis
+        for i in range(cfg.inst)])
+    x_coeff = jnp.asarray(float(terms0.x_coeff))
 
-    def diag_e(h, ph):
-        t = hamiltonian_terms(cfg.L, cfg.g, h, ph, component)
-        return zz_z_diag_energy(t.hs, t.phis, cfg.L, dtype=real_dt)
-
-    diag_es = jax.vmap(diag_e)(jnp.asarray(hs)[:, : cfg.L],
-                               jnp.asarray(phis)[:, : cfg.L - 1])
-    x_coeff = terms0.x_coeff
-
-    kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, p=noise.p, with_x=with_x)
-    if noise.p == 0.0:
-        e, zs = jax.vmap(
-            lambda d, de: evolve_observables(
-                psi0, sched.angles, d, de, x_coeff, jax.random.PRNGKey(0), **kw
-            )
-        )(diags, diag_es)
-        return np.asarray(e), np.asarray(zs)
-
-    n_traj = cfg.n_trajectories
+    kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, p=noise.p, with_x=with_x,
+              initial_state=cfg.initial_state, dtype_name=cfg.dtype)
+    n_traj = cfg.n_trajectories if noise.p > 0 else 1
     chunk = traj_chunks(n_traj, cfg.L, extra_factor=cfg.inst)
-    run = jax.jit(
-        jax.vmap(
-            jax.vmap(
-                lambda d, de, k: evolve_observables(
-                    psi0, sched.angles, d, de, x_coeff, k, **kw
-                ),
-                in_axes=(None, None, 0),
-            ),
-            in_axes=(0, 0, 0),
-        )
-    )
     ki = jax.random.split(jax.random.PRNGKey(cfg.seed), cfg.inst)
     acc_e = np.zeros((cfg.inst, cfg.tf))
     acc_z = np.zeros((cfg.inst, cfg.tf, cfg.L))
@@ -72,9 +83,10 @@ def _energy_single_noise(cfg, hs, phis, p, component="full"):
     while done < n_traj:
         c = min(chunk, n_traj - done)
         keys = jnp.stack([jax.random.split(jax.random.fold_in(k, done), c) for k in ki])
-        e, zs = run(diags, diag_es, keys)
+        e, zs = _observables_batch(hs_j, phis_j, term_hs, term_phis, x_coeff,
+                                   sched.angles, keys, **kw)
         acc_e += np.asarray(jnp.sum(e, axis=1))
-        acc_z += np.asarray(jnp.sum(zs, axis=1)).transpose(0, 1, 2)
+        acc_z += np.asarray(jnp.sum(zs, axis=1))
         done += c
     return acc_e / n_traj, acc_z / n_traj
 

@@ -4,9 +4,17 @@ trajectory chunking.
 Replaces the reference's serial python loops over disorder instances and time
 points (autocorr-delta-a-single-qiskit-fast.py:217-239, O(inst*tf^2) rebuilt
 circuits) with vmap axes over (instance, trajectory) around O(T) scans.
+
+TPU boundary rule: this backend supports complex math on-device but not
+host<->device complex transfers, so every jitted entry point here takes ONLY
+real arrays (hs, phis, kick angles, PRNG keys) and builds the complex
+statevector, phase masks, and observables inside the traced program — which
+also avoids ever materializing 2**L amplitudes on the host.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -34,101 +42,118 @@ def traj_chunks(n_traj: int, L: int, extra_factor: int = 2,
 
 
 def build_context(cfg, hs, phis):
-    """Per-run precomputation: schedule, per-instance diag masks, psi0."""
-    dtype = resolve_dtype(cfg.dtype)
+    """Per-run precomputation: kick schedule + real parameter arrays."""
     sched = build_kick_schedule(
         cfg.polarization, cfg.g, cfg.tf,
         circular_frequency=cfg.circular_frequency,
         xy_cycle_period=cfg.xy_cycle_period,
     )
-    hs = jnp.asarray(hs)
-    phis = jnp.asarray(phis)
-    diags = jax.vmap(
-        lambda h, ph: zz_z_phase_mask(h, ph, cfg.L, dtype=dtype)
-    )(hs[:, : cfg.L], phis[:, : cfg.L - 1])
-    psi0 = initial_statevector(cfg.L, cfg.initial_state, dtype=dtype)
+    hs = jnp.asarray(np.asarray(hs)[:, : cfg.L])
+    phis = jnp.asarray(np.asarray(phis)[:, : cfg.L - 1])
     noise = NoiseSpec(p=cfg.noise_p)
-    return sched, diags, psi0, noise
+    return sched, (hs, phis), noise
 
 
-def forward_sweep(cfg, sched, diags, psi0, noise, key) -> np.ndarray:
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "K", "p", "q", "initial_state", "dtype_name",
+                     "ancilla_factor"),
+)
+def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
+                   dtype_name, ancilla_factor):
+    """(inst, L), (inst, L-1), (T,K,2), (inst, c, 2) -> (inst, c, T)."""
+    dtype = resolve_dtype(dtype_name)
+    psi0 = initial_statevector(L, initial_state, dtype=dtype)
+
+    def per_instance(h, ph, ks):
+        diag = zz_z_phase_mask(h, ph, L, dtype=dtype)
+        return jax.vmap(
+            lambda k: autocorr_forward(
+                psi0, angles, diag, k, L=L, T=T, K=K, p=p, q=q,
+                ancilla_factor=ancilla_factor)
+        )(ks)
+
+    return jax.vmap(per_instance)(hs, phis, keys)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "K", "p", "q", "initial_state", "dtype_name",
+                     "ancilla_factor"),
+)
+def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
+                dtype_name, ancilla_factor):
+    """-> (inst, c, n_ts) echo values."""
+    dtype = resolve_dtype(dtype_name)
+    psi0 = initial_statevector(L, initial_state, dtype=dtype)
+
+    def per_instance(h, ph, ks):
+        diag = zz_z_phase_mask(h, ph, L, dtype=dtype)
+        return jax.vmap(
+            lambda k: jax.vmap(
+                lambda t: autocorr_echo(
+                    psi0, angles, diag, k, t, L=L, T=T, K=K, p=p, q=q,
+                    ancilla_factor=ancilla_factor)
+            )(ts)
+        )(ks)
+
+    return jax.vmap(per_instance)(hs, phis, keys)
+
+
+def _inst_keys(key, inst, salt, count):
+    ki = jax.random.split(key, inst)
+    return jnp.stack([jax.random.split(jax.random.fold_in(k, salt), count)
+                      for k in ki])
+
+
+def forward_sweep(cfg, sched, params, noise, key) -> np.ndarray:
     """A(t) per instance, trajectory-averaged: returns (inst, T)."""
+    hs, phis = params
     p = noise.p
     af = noise.ancilla_factor if p > 0 else 1.0
-    kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, p=p, q=cfg.probe_qubit, ancilla_factor=af)
+    kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, p=p, q=cfg.probe_qubit,
+              initial_state=cfg.initial_state, dtype_name=cfg.dtype,
+              ancilla_factor=af)
 
-    if p == 0.0:
-        one = jax.vmap(
-            lambda d: autocorr_forward(psi0, sched.angles, d, key, **kw)
-        )(diags)
-        return np.asarray(one)
-
-    n_traj = cfg.n_trajectories
+    n_traj = cfg.n_trajectories if p > 0 else 1
     chunk = traj_chunks(n_traj, cfg.L, extra_factor=2 * cfg.inst)
     acc = np.zeros((cfg.inst, cfg.tf))
     done = 0
-    run = jax.jit(
-        jax.vmap(  # instances
-            jax.vmap(  # trajectories
-                lambda d, k: autocorr_forward(psi0, sched.angles, d, k, **kw),
-                in_axes=(None, 0),
-            ),
-            in_axes=(0, 0),
-        )
-    )
-    ki = jax.random.split(key, cfg.inst)
     while done < n_traj:
         c = min(chunk, n_traj - done)
-        keys = jnp.stack(
-            [jax.random.split(jax.random.fold_in(k, done), c) for k in ki]
-        )  # (inst, c, 2)
-        vals = run(diags, keys)  # (inst, c, T)
+        keys = _inst_keys(key, cfg.inst, done, c)
+        vals = _forward_batch(hs, phis, sched.angles, keys, **kw)
         acc += np.asarray(jnp.sum(vals, axis=1))
         done += c
     return acc / n_traj
 
 
-def echo_sweep(cfg, sched, diags, psi0, noise, key, *, t_chunk: int = 8) -> np.ndarray:
+def echo_sweep(cfg, sched, params, noise, key, *, t_chunk: int = 8) -> np.ndarray:
     """Echo A0(t) per instance, trajectory-averaged: (inst, T).
 
     Noiseless echo is exactly 1 (U^dag U = I) — returned analytically, which
     is also the reference's own self-validation invariant (SURVEY.md §4.1).
     """
+    hs, phis = params
     p = noise.p
     if p == 0.0:
         return np.ones((cfg.inst, cfg.tf))
-    af = noise.ancilla_factor
-    kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, p=p, q=cfg.probe_qubit, ancilla_factor=af)
+    kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, p=p, q=cfg.probe_qubit,
+              initial_state=cfg.initial_state, dtype_name=cfg.dtype,
+              ancilla_factor=noise.ancilla_factor)
 
     n_traj = cfg.n_trajectories
     chunk = traj_chunks(n_traj, cfg.L, extra_factor=2 * cfg.inst * t_chunk)
-    run = jax.jit(
-        jax.vmap(  # instances
-            jax.vmap(  # trajectories
-                jax.vmap(  # time points
-                    lambda d, k, t: autocorr_echo(
-                        psi0, sched.angles, d, k, t, **kw
-                    ),
-                    in_axes=(None, None, 0),
-                ),
-                in_axes=(None, 0, None),
-            ),
-            in_axes=(0, 0, None),
-        )
-    )
-    ki = jax.random.split(jax.random.fold_in(key, 1), cfg.inst)
     out = np.zeros((cfg.inst, cfg.tf))
     for t0 in range(0, cfg.tf, t_chunk):
-        ts = jnp.arange(t0, min(t0 + t_chunk, cfg.tf))
-        ts_pad = jnp.pad(ts, (0, t_chunk - len(ts)), mode="edge")
+        ts = np.arange(t0, min(t0 + t_chunk, cfg.tf))
+        ts_pad = jnp.asarray(np.pad(ts, (0, t_chunk - len(ts)), mode="edge"))
         acc = np.zeros((cfg.inst, t_chunk))
         done = 0
         while done < n_traj:
             c = min(chunk, n_traj - done)
-            keys = jnp.stack(
-                [jax.random.split(jax.random.fold_in(k, 7919 + done), c) for k in ki]
-            )
-            vals = run(diags, keys, ts_pad)  # (inst, c, t_chunk)
+            keys = _inst_keys(key, cfg.inst, 7919 + done, c)
+            vals = _echo_batch(hs, phis, sched.angles, keys, ts_pad, **kw)
             acc += np.asarray(jnp.sum(vals, axis=1))
             done += c
         out[:, t0 : t0 + len(ts)] = (acc / n_traj)[:, : len(ts)]

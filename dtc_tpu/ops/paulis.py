@@ -15,19 +15,28 @@ instead of L sequential 1q gate applications.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-# I, X, Y, Z
-PAULIS = jnp.array(
+# I, X, Y, Z — host-side table (tests / channel builders). Kept as numpy:
+# this TPU backend supports complex math on-device but NOT host<->device
+# transfers of complex buffers, so no module-level complex jnp constants.
+PAULIS = np.array(
     [
         [[1, 0], [0, 1]],
         [[0, 1], [1, 0]],
         [[0, -1j], [1j, 0]],
         [[1, 0], [0, -1]],
     ],
-    dtype=jnp.complex64,
+    dtype=np.complex64,
 )
 
-_I_POWERS = jnp.array([1, 1j, -1, -1j], dtype=jnp.complex64)
+
+def _i_power(n_y: jnp.ndarray, dtype) -> jnp.ndarray:
+    """i**n_y as a traced complex scalar (no host complex constants)."""
+    m = n_y % 4
+    re = jnp.where(m == 0, 1.0, jnp.where(m == 2, -1.0, 0.0))
+    im = jnp.where(m == 1, 1.0, jnp.where(m == 3, -1.0, 0.0))
+    return (re + 1j * im).astype(dtype)
 
 
 def pauli_string_masks(codes: jnp.ndarray):
@@ -75,7 +84,7 @@ def apply_pauli_string(
     src = idx ^ jnp.uint32(xmask)
     sign = 1 - 2 * _parity(src & jnp.uint32(zmask))
     amp = jnp.take(state, (src - jnp.uint32(offset)).astype(jnp.int32), axis=-1)
-    phase = _I_POWERS[n_y % 4].astype(state.dtype)
+    phase = _i_power(n_y, state.dtype)
     return amp * (phase * sign.astype(state.real.dtype))
 
 

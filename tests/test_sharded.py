@@ -1,0 +1,105 @@
+"""Multi-device sharding on the virtual 8-CPU mesh: sharded == single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dtc_tpu.core.evolve import autocorr_echo, autocorr_forward
+from dtc_tpu.core.statevector import initial_statevector
+from dtc_tpu.io.disorder import generate_disorder
+from dtc_tpu.models.drives import build_kick_schedule
+from dtc_tpu.ops.diag import zz_z_phase_mask
+from dtc_tpu.parallel.mesh import make_mesh
+from dtc_tpu.parallel.sharded import make_sharded_autocorr_forward, make_sharded_echo
+
+DT = jnp.complex128
+L, T = 6, 5
+
+
+def _setup(seed=30):
+    hs, phis = generate_disorder(L, 1, seed=seed)
+    sched = build_kick_schedule("x", 0.9, T)
+    return jnp.asarray(hs[0]), jnp.asarray(phis[0]), sched
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(n_amp=4)
+    assert mesh.shape == {"traj": 2, "amp": 4}
+    mesh = make_mesh(n_amp=8, n_traj=1)
+    assert mesh.shape == {"traj": 1, "amp": 8}
+
+
+@pytest.mark.parametrize("n_amp,n_traj", [(1, 8), (4, 2), (8, 1)])
+def test_sharded_forward_noiseless_matches_single(n_amp, n_traj):
+    hs, phis, sched = _setup()
+    mesh = make_mesh(n_amp=n_amp, n_traj=n_traj)
+    fn = make_sharded_autocorr_forward(
+        mesh, L=L, T=T, K=1, p=0.0, q=L // 2, dtype=DT)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_traj)  # 1 traj per dev row
+    a = fn(sched.angles, hs, phis, keys)
+
+    diag = zz_z_phase_mask(hs, phis, L, dtype=DT)
+    psi0 = initial_statevector(L, "vacuum", dtype=DT)
+    ref = autocorr_forward(psi0, sched.angles, diag, jax.random.PRNGKey(0),
+                           L=L, T=T, K=1, p=0.0, q=L // 2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(ref), atol=1e-10)
+
+
+def test_sharded_forward_noisy_statistics():
+    """Sharded noisy trajectories must average to the same value as the
+    single-device trajectory engine with the same number of samples."""
+    hs, phis, sched = _setup(31)
+    p = 0.1
+    mesh = make_mesh(n_amp=4, n_traj=2)
+    n_traj = 256
+    fn = make_sharded_autocorr_forward(mesh, L=L, T=T, K=1, p=p, q=L // 2, dtype=DT)
+    keys = jax.random.split(jax.random.PRNGKey(1), n_traj)
+    a_shard = np.asarray(fn(sched.angles, hs, phis, keys))
+
+    diag = zz_z_phase_mask(hs, phis, L, dtype=DT)
+    psi0 = initial_statevector(L, "vacuum", dtype=DT)
+    af = (1 - p) ** 6
+    single = jax.vmap(
+        lambda k: autocorr_forward(psi0, sched.angles, diag, k, L=L, T=T, K=1,
+                                   p=p, q=L // 2, ancilla_factor=af)
+    )(jax.random.split(jax.random.PRNGKey(2), 2048))
+    mean = np.asarray(single).mean(axis=0)
+    sem = np.asarray(single).std(axis=0) / np.sqrt(256)
+    assert np.all(np.abs(a_shard - mean) < np.maximum(5 * sem, 0.02))
+
+
+def test_sharded_pauli_string_exactness():
+    """Deterministic check of the sharded global-bit Pauli machinery: with
+    p=0 vs p>0 seeded identically on 1 vs 8 amp shards, results agree."""
+    hs, phis, sched = _setup(32)
+    p = 0.15
+    keys = jax.random.split(jax.random.PRNGKey(3), 8)
+
+    mesh1 = make_mesh(n_amp=1, n_traj=8)
+    mesh8 = make_mesh(n_amp=8, n_traj=1)
+    f1 = make_sharded_autocorr_forward(mesh1, L=L, T=T, K=1, p=p, q=L // 2, dtype=DT)
+    f8 = make_sharded_autocorr_forward(mesh8, L=L, T=T, K=1, p=p, q=L // 2, dtype=DT)
+    a1 = np.asarray(f1(sched.angles, hs, phis, keys))
+    a8 = np.asarray(f8(sched.angles, hs, phis, keys))
+    # same trajectory keys, same sampled Pauli strings -> identical results
+    np.testing.assert_allclose(a1, a8, atol=1e-10)
+
+
+def test_sharded_echo_matches_single_device():
+    hs, phis, sched = _setup(33)
+    p = 0.1
+    mesh = make_mesh(n_amp=4, n_traj=2)
+    fe = make_sharded_echo(mesh, L=L, T=T, K=1, p=p, q=L // 2, dtype=DT)
+    keys = jax.random.split(jax.random.PRNGKey(4), 2)
+
+    mesh1 = make_mesh(n_amp=1, n_traj=2)
+    fe1 = make_sharded_echo(mesh1, L=L, T=T, K=1, p=p, q=L // 2, dtype=DT)
+    for t in [0, 2, 4]:
+        e = float(fe(sched.angles, hs, phis, keys, jnp.asarray(t)))
+        e1 = float(fe1(sched.angles, hs, phis, keys, jnp.asarray(t)))
+        np.testing.assert_allclose(e, e1, atol=1e-10)
+    # noiseless sharded echo identity
+    fe0 = make_sharded_echo(mesh, L=L, T=T, K=1, p=0.0, q=L // 2, dtype=DT)
+    np.testing.assert_allclose(
+        float(fe0(sched.angles, hs, phis, keys, jnp.asarray(3))), 1.0, atol=1e-10)
