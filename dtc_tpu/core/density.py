@@ -30,6 +30,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from dtc_tpu.ops.precision import gate_precision
 import numpy as np
 
 from dtc_tpu.models.drives import slot_unitary, slot_unitary_inverse
@@ -112,7 +114,7 @@ def apply_uniform_site_layer(vec: jnp.ndarray, m4: jnp.ndarray, n_sites: int,
         high = total >> (2 * (q + k))
         low = 1 << (2 * q)
         s = vec.reshape(*shape[:-1], high, 1 << (2 * k), low)
-        s = jnp.einsum("ab,...hbl->...hal", mk, s)
+        s = jnp.einsum("ab,...hbl->...hal", mk, s, precision=gate_precision())
         vec = s.reshape(shape)
         q += k
     return vec
@@ -125,7 +127,7 @@ def apply_site_op(vec: jnp.ndarray, m4: jnp.ndarray, q: int) -> jnp.ndarray:
     high = total >> (2 * (q + 1))
     low = 1 << (2 * q)
     s = vec.reshape(*shape[:-1], high, 4, low)
-    s = jnp.einsum("ab,...hbl->...hal", m4, s)
+    s = jnp.einsum("ab,...hbl->...hal", m4, s, precision=gate_precision())
     return s.reshape(shape)
 
 
@@ -230,9 +232,9 @@ def apply_two_site_op(vec: jnp.ndarray, m16: jnp.ndarray, s1: int, s2: int) -> j
     s = vec.reshape(*shape[:-1], top, 4, mid, 4, low)
     m = m16.reshape(4, 4, 4, 4)  # [a1, a2, b1, b2], a1 = digit of s1
     if s1 > s2:
-        s = jnp.einsum("acbd,...xbmdz->...xamcz", m, s)
+        s = jnp.einsum("acbd,...xbmdz->...xamcz", m, s, precision=gate_precision())
     else:
-        s = jnp.einsum("acbd,...xdmbz->...xcmaz", m, s)
+        s = jnp.einsum("acbd,...xdmbz->...xcmaz", m, s, precision=gate_precision())
     return s.reshape(shape)
 
 

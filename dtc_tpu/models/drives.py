@@ -107,26 +107,20 @@ def build_kick_schedule(
 
 
 def slot_unitary(theta_x, theta_y, dtype=jnp.complex64) -> jnp.ndarray:
-    """2x2 unitary RY(theta_y) @ RX(theta_x) (one of the two is 0 per slot)."""
+    """2x2 unitary RY(theta_y) @ RX(theta_x) in closed form (one of the two
+    angles is 0 per slot; closed form avoids a bf16-precision 2x2 matmul —
+    TPU matmuls default to bf16, which would corrupt the gate matrix)."""
     cx, sx = jnp.cos(theta_x / 2), jnp.sin(theta_x / 2)
     cy, sy = jnp.cos(theta_y / 2), jnp.sin(theta_y / 2)
-    rx = jnp.array([[1, 0], [0, 1]], dtype=dtype) * cx + jnp.array(
-        [[0, -1j], [-1j, 0]], dtype=dtype
-    ) * sx
-    ry = jnp.array([[1, 0], [0, 1]], dtype=dtype) * cy + jnp.array(
-        [[0, -1], [1, 0]], dtype=dtype
-    ) * sy
-    return ry @ rx
+    # RY = [[cy, -sy],[sy, cy]]; RX = [[cx, -i sx],[-i sx, cx]]
+    m00 = cy * cx + 1j * (sy * sx)
+    m01 = -1j * (cy * sx) - sy * cx
+    m10 = sy * cx - 1j * (cy * sx)
+    m11 = cy * cx - 1j * (sy * sx)
+    return jnp.stack([jnp.stack([m00, m01]), jnp.stack([m10, m11])]).astype(dtype)
 
 
 def slot_unitary_inverse(theta_x, theta_y, dtype=jnp.complex64) -> jnp.ndarray:
-    """(RY RX)^-1 = RX(-tx) RY(-ty)."""
-    cx, sx = jnp.cos(theta_x / 2), jnp.sin(theta_x / 2)
-    cy, sy = jnp.cos(theta_y / 2), jnp.sin(theta_y / 2)
-    rx_inv = jnp.array([[1, 0], [0, 1]], dtype=dtype) * cx + jnp.array(
-        [[0, 1j], [1j, 0]], dtype=dtype
-    ) * sx
-    ry_inv = jnp.array([[1, 0], [0, 1]], dtype=dtype) * cy + jnp.array(
-        [[0, 1], [-1, 0]], dtype=dtype
-    ) * sy
-    return rx_inv @ ry_inv
+    """(RY(ty) RX(tx))^-1 = RX(-tx) RY(-ty), closed form (dagger of slot_unitary)."""
+    u = slot_unitary(theta_x, theta_y, dtype)
+    return jnp.conj(u).T

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from dtc_tpu.ops.precision import gate_precision
+
 
 def _split(state: jnp.ndarray, q: int, n: int):
     """Reshape last axis 2**n -> (high=2**(n-1-q), 2, low=2**q)."""
@@ -33,7 +35,7 @@ def apply_1q(state: jnp.ndarray, u: jnp.ndarray, q: int, n: int) -> jnp.ndarray:
     """Apply a 2x2 unitary ``u`` to qubit ``q`` of an ``n``-qubit state."""
     shape = state.shape
     s = _split(state, q, n)
-    s = jnp.einsum("ab,...xbz->...xaz", u, s)
+    s = jnp.einsum("ab,...xbz->...xaz", u, s, precision=gate_precision())
     return s.reshape(shape)
 
 
@@ -59,10 +61,10 @@ def apply_2q(state: jnp.ndarray, u: jnp.ndarray, q1: int, q2: int, n: int) -> jn
     u4 = u.reshape(2, 2, 2, 2)  # [a1, a2, b1, b2] with a1 = bit of q1
     if q1 > q2:
         # qa bit is u's first index
-        s = jnp.einsum("acbd,...xbmdz->...xamcz", u4, s)
+        s = jnp.einsum("acbd,...xbmdz->...xamcz", u4, s, precision=gate_precision())
     else:
         # q1 is the lower bit position: swap gate-index roles
-        s = jnp.einsum("acbd,...xdmbz->...xcmaz", u4, s)
+        s = jnp.einsum("acbd,...xdmbz->...xcmaz", u4, s, precision=gate_precision())
     return s.reshape(shape)
 
 

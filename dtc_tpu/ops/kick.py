@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from dtc_tpu.ops.precision import gate_precision
+
 # 2**7 = 128 = MXU tile edge.
 _GROUP = 7
 
@@ -43,7 +45,7 @@ def apply_uniform_1q_layer(
         low = 1 << q
         s = state.reshape(*shape[:-1], high, 1 << k, low)
         # Contract the middle (2**k) axis: batched (2**k x 2**k) @ (2**k x low)
-        s = jnp.einsum("ab,...hbl->...hal", uk, s)
+        s = jnp.einsum("ab,...hbl->...hal", uk, s, precision=gate_precision())
         state = s.reshape(shape)
         q += k
     return state
@@ -69,7 +71,7 @@ def apply_per_qubit_1q_layer(
         high = m_total >> (q + k)
         low = 1 << q
         s = state.reshape(*shape[:-1], high, 1 << k, low)
-        s = jnp.einsum("ab,...hbl->...hal", uk, s)
+        s = jnp.einsum("ab,...hbl->...hal", uk, s, precision=gate_precision())
         state = s.reshape(shape)
         q += k
     return state

@@ -1,0 +1,205 @@
+"""CLI: one entry point reproducing the reference's per-script flag vocabulary.
+
+Reference flags (duplicated argparse blocks across 37 scripts,
+autocorr-delta-a-single-qiskit-fast.py:25-39 plus variant extras) become
+subcommands of `python -m dtc_tpu`:
+
+  autocorr | polarization | shots | energy | ham-comparison | per-qubit-z |
+  adaptive | adaptive-batch | disorder | params | bench
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from dtc_tpu.utils.config import SimConfig
+
+
+def add_common_flags(p: argparse.ArgumentParser):
+    p.add_argument("--L", type=int, default=4, help="Number of qubits")
+    p.add_argument("--inst", type=int, default=1, help="Number of disorder instances")
+    p.add_argument("--randomphi", type=int, default=1, help="Prethermal=0 or DTC=1")
+    p.add_argument("--phi_delta", type=float, default=0.0)
+    p.add_argument("--phi_amplitude", type=float, default=1.0)
+    p.add_argument("--tf", type=int, default=50, help="End time (cycles)")
+    p.add_argument("--g", type=float, default=0.97)
+    p.add_argument("--noise_prob", type=float, default=0.05)
+    p.add_argument("--use_noise", type=int, default=1)
+    p.add_argument("--initial_state", type=str, default="vacuum",
+                   choices=["vacuum", "neel"])
+    p.add_argument("--use_fakebackend", type=int, default=0,
+                   help="1 = device-noise model mode")
+    p.add_argument("--polarization", type=str, default="x")
+    p.add_argument("--circular_frequency", type=float, default=0.5)
+    p.add_argument("--n_trajectories", type=int, default=256)
+    p.add_argument("--shots", type=int, default=0,
+                   help="0 = analytic; >0 = Bernoulli-sampled measurement")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", type=str, default="complex64",
+                   choices=["complex64", "complex128"])
+    p.add_argument("--out_dir", type=str, default=None)
+    p.add_argument("--disorder_dir", type=str, default=".",
+                   help="Folder with hs_L{L}.csv / phis_L{L}.csv (generated if absent)")
+
+
+def add_adaptive_flags(p: argparse.ArgumentParser):
+    # g-optimization.py:104-111
+    p.add_argument("--target_echo", type=float, default=1.0)
+    p.add_argument("--feedback_gain", type=float, default=0.01)
+    p.add_argument("--exponential_feedback", type=int, default=1)
+    p.add_argument("--decay_compensation", type=float, default=0.1)
+    p.add_argument("--g_min", type=float, default=0.84)
+    p.add_argument("--g_max", type=float, default=1.0)
+    p.add_argument("--use_optimization", type=int, default=1)
+    p.add_argument("--optimization_iterations", type=int, default=5)
+    p.add_argument("--optimizer_method", type=str, default="golden",
+                   choices=["golden", "bounded", "grid"])
+
+
+def config_from_args(args) -> SimConfig:
+    fields = {f for f in SimConfig.__dataclass_fields__}
+    kw = {k: v for k, v in vars(args).items() if k in fields and v is not None}
+    return SimConfig(**kw)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m dtc_tpu",
+        description="TPU-native kicked-Ising DTC simulation framework",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    for name, hlp in [
+        ("autocorr", "forward+echo interferometric autocorrelator sweep"),
+        ("polarization", "x/y/xy/yx comparison with envelopes"),
+        ("shots", "echo vs shot-count convergence study"),
+        ("energy", "energy sweep over noise probabilities"),
+        ("ham-comparison", "component-Hamiltonian energy comparison"),
+        ("per-qubit-z", "per-qubit <Z_i(t)> sweep"),
+        ("adaptive", "real-time adaptive-g control loop"),
+        ("adaptive-batch", "batch (non-causal) adaptive-g control"),
+    ]:
+        p = sub.add_parser(name, help=hlp)
+        add_common_flags(p)
+        if name.startswith("adaptive"):
+            add_adaptive_flags(p)
+        if name == "autocorr":
+            p.add_argument("--with_envelopes", action="store_true")
+        if name == "polarization":
+            p.add_argument("--polarizations", type=str, default="x,y,xy,yx")
+        if name == "shots":
+            p.add_argument("--shots_list", type=str,
+                           default="100,1000,10000,100000,1000000")
+        if name == "energy":
+            p.add_argument("--nprobs", type=str, default="0,0.001,0.01,0.1")
+
+    p = sub.add_parser("disorder", help="generate disorder instance CSVs")
+    p.add_argument("--L", type=int, default=None,
+                   help="single L (default: batch L=4..130 like the reference)")
+    p.add_argument("--L_max", type=int, default=130)
+    p.add_argument("--inst", type=int, default=3)
+    p.add_argument("--phi_amplitude", type=float, default=1.0)
+    p.add_argument("--phi_delta", type=float, default=0.0)
+    p.add_argument("--randomphi", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out_dir", type=str, default="disorder_data")
+
+    p = sub.add_parser("params", help="write the (g, amplitude, delta) sweep grid")
+    p.add_argument("--out", type=str, default="params.csv")
+
+    sub.add_parser("bench", help="run the headline benchmark")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cmd = args.command
+
+    if cmd == "disorder":
+        from dtc_tpu.io.disorder import disorder_filenames, generate_disorder, save_disorder
+
+        ls = [args.L] if args.L else range(4, args.L_max + 1)
+        for L in ls:
+            hs, phis = generate_disorder(
+                L, args.inst, phi_amplitude=args.phi_amplitude,
+                phi_delta=args.phi_delta, randomphi=args.randomphi,
+                seed=args.seed + L)
+            hp, pp = disorder_filenames(L, args.inst, args.phi_amplitude,
+                                        args.phi_delta, args.randomphi,
+                                        args.out_dir)
+            save_disorder(hs, phis, hp, pp)
+            print(f"wrote {hp}")
+        return 0
+
+    if cmd == "params":
+        # parameter grid generator (generate_params.py:4-10): 11 x 8 x 9 grid
+        from itertools import product
+
+        deltas = [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 1.0, 1.5, 2.0]
+        amps = [0.1, 0.2, 0.3, 0.4, 0.5, 1.0, 1.5, 2.0]
+        gs = [0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95, 1.0]
+        with open(args.out, "w") as f:
+            for g, amp, d in product(gs, amps, deltas):
+                f.write(f"{g},{amp},{d}\n")
+        print(f"wrote {args.out} ({len(gs)*len(amps)*len(deltas)} configs)")
+        return 0
+
+    if cmd == "bench":
+        import bench
+
+        bench.main()
+        return 0
+
+    cfg = config_from_args(args)
+    ddir = args.disorder_dir
+
+    if cmd == "autocorr":
+        from dtc_tpu.experiments.autocorr import run_autocorr
+
+        r = run_autocorr(cfg, out_dir=args.out_dir, disorder_dir=ddir,
+                         with_envelopes=args.with_envelopes)
+        print(f"wrote {r['csv_path']}")
+    elif cmd == "polarization":
+        from dtc_tpu.experiments.autocorr import run_polarization_comparison
+
+        r = run_polarization_comparison(
+            cfg, polarizations=tuple(args.polarizations.split(",")),
+            out_dir=args.out_dir, disorder_dir=ddir)
+        print(f"wrote {r['csv_path']}")
+    elif cmd == "shots":
+        from dtc_tpu.experiments.autocorr import run_shots_study
+
+        r = run_shots_study(cfg, shots_list=[int(s) for s in
+                                             args.shots_list.split(",")],
+                            out_dir=args.out_dir, disorder_dir=ddir)
+        print(f"wrote {r['csv_path']}")
+    elif cmd == "energy":
+        from dtc_tpu.experiments.energy import run_energy
+
+        r = run_energy(cfg, nprobs=[float(s) for s in args.nprobs.split(",")],
+                       out_dir=args.out_dir, disorder_dir=ddir)
+        print(f"wrote {r['csv_path']}")
+    elif cmd == "ham-comparison":
+        from dtc_tpu.experiments.energy import run_ham_comparison
+
+        r = run_ham_comparison(cfg, out_dir=args.out_dir, disorder_dir=ddir)
+        print(f"wrote {r['csv_path']}")
+    elif cmd == "per-qubit-z":
+        from dtc_tpu.experiments.energy import run_per_qubit_z
+
+        r = run_per_qubit_z(cfg, out_dir=args.out_dir, disorder_dir=ddir)
+        print(f"wrote {r['csv_path']}")
+    elif cmd == "adaptive":
+        from dtc_tpu.experiments.adaptive import run_adaptive_realtime
+
+        r = run_adaptive_realtime(cfg, out_dir=args.out_dir, disorder_dir=ddir,
+                                  optimizer_method=args.optimizer_method)
+        print(f"wrote {r['csv_path']}")
+    elif cmd == "adaptive-batch":
+        from dtc_tpu.experiments.adaptive import run_adaptive_batch
+
+        r = run_adaptive_batch(cfg, out_dir=args.out_dir, disorder_dir=ddir)
+        print(f"wrote {r['csv_path']}")
+    else:
+        raise SystemExit(f"unknown command {cmd}")
+    return 0
