@@ -34,10 +34,21 @@ def run_autocorr(cfg, hs=None, phis=None, *, out_dir=None, disorder_dir=None,
     sched, params, noise = build_context(cfg, hs, phis)
     key = jax.random.PRNGKey(cfg.seed)
 
-    with phase_timer("forward"):
-        autocorr = forward_sweep(cfg, sched, params, noise, key)
-    with phase_timer("echo"):
-        echo = echo_sweep(cfg, sched, params, noise, key)
+    if cfg.use_fakebackend:
+        from dtc_tpu.experiments.device_sweeps import (
+            device_echo_sweep,
+            device_forward_sweep,
+        )
+
+        with phase_timer("forward(device)"):
+            autocorr = device_forward_sweep(cfg, sched, params, key)
+        with phase_timer("echo(device)"):
+            echo = device_echo_sweep(cfg, sched, params, key)
+    else:
+        with phase_timer("forward"):
+            autocorr = forward_sweep(cfg, sched, params, noise, key)
+        with phase_timer("echo"):
+            echo = echo_sweep(cfg, sched, params, noise, key)
 
     if cfg.shots:
         autocorr = apply_shot_noise(autocorr, cfg.shots, cfg.seed)

@@ -1,0 +1,75 @@
+"""Device-noise sweep wrappers (use_fakebackend=1 mode, BASELINE config 4)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dtc_tpu.core.device_evolve import device_autocorr_echo, device_autocorr_forward
+from dtc_tpu.experiments.engine import traj_chunks
+from dtc_tpu.models.device_noise import brisbane_like_model
+
+
+def _model(cfg):
+    return brisbane_like_model(cfg.L, seed=cfg.seed + 7)
+
+
+def device_forward_sweep(cfg, sched, params, key) -> np.ndarray:
+    hs, phis = params
+    model = _model(cfg)
+    af = model.ancilla_interferometric_factor() * model.readout_z_factor(cfg.probe_qubit)
+    p1 = jnp.asarray(model.p_1q)
+    p2 = jnp.asarray(model.p_2q)
+    kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, q=cfg.probe_qubit,
+              initial_state=cfg.initial_state, dtype_name=cfg.dtype,
+              ancilla_factor=af)
+    n_traj = cfg.n_trajectories
+    chunk = traj_chunks(n_traj, cfg.L, extra_factor=2)
+    out = np.zeros((cfg.inst, cfg.tf))
+    for i in range(cfg.inst):
+        acc = np.zeros(cfg.tf)
+        done = 0
+        while done < n_traj:
+            c = min(chunk, n_traj - done)
+            keys = jax.random.split(jax.random.fold_in(key, 31 * i + done), c)
+            vals = device_autocorr_forward(hs[i], phis[i], p1, p2,
+                                           sched.angles, keys, **kw)
+            acc += np.asarray(jnp.sum(vals, axis=0))
+            done += c
+        out[i] = acc / n_traj
+    return out
+
+
+def device_echo_sweep(cfg, sched, params, key, *, t_chunk: int = 4) -> np.ndarray:
+    hs, phis = params
+    model = _model(cfg)
+    af = model.ancilla_interferometric_factor() * model.readout_z_factor(cfg.probe_qubit)
+    p1 = jnp.asarray(model.p_1q)
+    p2 = jnp.asarray(model.p_2q)
+    kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, q=cfg.probe_qubit,
+              initial_state=cfg.initial_state, dtype_name=cfg.dtype,
+              ancilla_factor=af)
+    n_traj = cfg.n_trajectories
+    chunk = traj_chunks(n_traj, cfg.L, extra_factor=4)
+    out = np.zeros((cfg.inst, cfg.tf))
+    run = jax.jit(jax.vmap(
+        lambda h, ph, keys, t: device_autocorr_echo(h, ph, p1, p2,
+                                                    sched.angles, keys, t, **kw),
+        in_axes=(None, None, None, 0),
+    ), static_argnames=())
+    for i in range(cfg.inst):
+        for t0 in range(0, cfg.tf, t_chunk):
+            ts = np.arange(t0, min(t0 + t_chunk, cfg.tf))
+            ts_pad = jnp.asarray(np.pad(ts, (0, t_chunk - len(ts)), mode="edge"))
+            acc = np.zeros(t_chunk)
+            done = 0
+            while done < n_traj:
+                c = min(chunk, n_traj - done)
+                keys = jax.random.split(
+                    jax.random.fold_in(key, 7919 + 31 * i + done), c)
+                vals = run(hs[i], phis[i], keys, ts_pad)  # (t_chunk, c)
+                acc += np.asarray(jnp.sum(vals, axis=1))
+                done += c
+            out[i, t0 : t0 + len(ts)] = (acc / n_traj)[: len(ts)]
+    return out

@@ -1,0 +1,108 @@
+"""Device-noise models: the FakeBrisbane / IQMFakeGarnet analogue (C9).
+
+The reference switches between a flat custom depolarizing model and
+`NoiseModel.from_backend(FakeBrisbane())` (fast.py:77-79). The TPU-native
+equivalent imports a CALIBRATION (per-qubit 1q error, per-edge 2q error,
+readout error) and maps it onto the chain through a snake layout
+(dtc_tpu.device.layouts), producing:
+
+- p_1q (L,): depolarizing prob per kick gate per site
+- p_2q_even / p_2q_odd (bonds,): two-qubit depolarizing per RZZ layer
+- readout (L,) (+ ancilla): assignment-error bit-flip probs
+
+Trajectory execution: 1q layers are per-site-probability Pauli strings; a 2q
+bond layer is sampled as 15-way non-identity pairs and folded into ONE Pauli
+string per layer (same single-gather application); readout errors are exact
+analytic (1-2*eps) contractions on measured Z factors. Exact placement: 2q
+events fire between the even- and odd-bond RZZ sublayers, so device-noise
+cycles use split diagonal masks rather than the fused one.
+
+A synthetic Eagle-class calibration (typical magnitudes, deterministic
+seed) stands in for FakeBrisbane's snapshot — we cannot ship IBM's data,
+but any real calibration JSON in this schema can be loaded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceNoiseModel:
+    p_1q: np.ndarray          # (L,)
+    p_2q: np.ndarray          # (L-1,) per chain bond
+    readout: np.ndarray       # (L,)
+    readout_ancilla: float = 0.0
+
+    @property
+    def L(self) -> int:
+        return len(self.p_1q)
+
+    def readout_z_factor(self, q: int) -> float:
+        """<Z_q> contraction from symmetric assignment error."""
+        return 1.0 - 2.0 * float(self.readout[q])
+
+    def ancilla_interferometric_factor(self, n_u2: int = 6) -> float:
+        """Ancilla u2 depol events + ancilla readout, as one contraction."""
+        p = float(np.mean(self.p_1q))  # ancilla ~ typical 1q error
+        return ((1.0 - p) ** n_u2) * (1.0 - 2.0 * self.readout_ancilla)
+
+
+def synthetic_eagle_calibration(n_qubits: int = 127, seed: int = 7) -> dict:
+    """Deterministic Eagle-class calibration with typical magnitudes
+    (1q ~2.5e-4, 2q ~8e-3, readout ~1.3e-2; log-normal spread)."""
+    rng = np.random.default_rng(seed)
+    from dtc_tpu.device.layouts import heavy_hex_coupling
+
+    n, edges, _ = heavy_hex_coupling(7, 15 if n_qubits <= 127 else 16)
+    return {
+        "n_qubits": n,
+        "single_qubit_error": {
+            str(i): float(np.exp(rng.normal(np.log(2.5e-4), 0.5)))
+            for i in range(n)
+        },
+        "two_qubit_error": {
+            f"{a}-{b}": float(np.exp(rng.normal(np.log(8e-3), 0.5)))
+            for a, b in edges
+        },
+        "readout_error": {
+            str(i): float(np.exp(rng.normal(np.log(1.3e-2), 0.4)))
+            for i in range(n)
+        },
+    }
+
+
+def load_calibration(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def model_from_calibration(cal: dict, chain_path: list[int],
+                           ancilla: int | None = None) -> DeviceNoiseModel:
+    """Map a device calibration onto an L-site chain via its snake path."""
+    L = len(chain_path)
+    se = cal["single_qubit_error"]
+    te = cal["two_qubit_error"]
+    ro = cal["readout_error"]
+
+    def edge_err(a, b):
+        return te.get(f"{a}-{b}", te.get(f"{b}-{a}", float(np.median(list(te.values())))))
+
+    p1 = np.array([se[str(q)] for q in chain_path])
+    p2 = np.array([edge_err(chain_path[i], chain_path[i + 1]) for i in range(L - 1)])
+    rd = np.array([ro[str(q)] for q in chain_path])
+    ra = float(ro[str(ancilla)]) if ancilla is not None else float(np.mean(rd))
+    return DeviceNoiseModel(p_1q=p1, p_2q=p2, readout=rd, readout_ancilla=ra)
+
+
+def brisbane_like_model(L: int, seed: int = 7) -> DeviceNoiseModel:
+    """Synthetic-calibration Brisbane analogue for an L-chain
+    (use_fakebackend=1 parity mode)."""
+    from dtc_tpu.device.layouts import snake_layout
+
+    cal = synthetic_eagle_calibration(127, seed)
+    lay = snake_layout(L, "brisbane")
+    return model_from_calibration(cal, lay["path"], lay["ancilla"])

@@ -97,9 +97,41 @@ def sample_depolarizing_codes(key, p, shape):
     import jax
 
     u = jax.random.uniform(key, shape)
-    # thresholds: [0, 1-3p/4) -> I; then thirds of the remaining 3p/4
-    q = p * 0.25
+    # thresholds: [0, 1-3p/4) -> I; then thirds of the remaining 3p/4.
+    # p may be a scalar or a per-qubit vector broadcastable to `shape`
+    # (device-noise calibrations); guard the divide for p=0 entries.
+    q = jnp.asarray(p) * 0.25
     c = (u >= (1.0 - 3.0 * q)).astype(jnp.int32) * (
-        1 + jnp.floor((u - (1.0 - 3.0 * q)) / q).astype(jnp.int32)
+        1 + jnp.floor((u - (1.0 - 3.0 * q)) / jnp.maximum(q, 1e-30)).astype(jnp.int32)
     )
     return jnp.clip(c, 0, 3)
+
+
+def sample_bond_depolarizing_codes(key, p_bonds, start: int, L: int):
+    """Two-qubit depolarizing layer on bonds (start, start+2, ...) -> per-site
+    Pauli codes (L,).
+
+    Each bond (i, i+1) draws from the 2q depolarizing mixture: identity with
+    prob 1 - 15p/16, else one of the 15 non-identity Pauli pairs uniformly
+    (qiskit depolarizing_error(p, 2) mixed-unitary decomposition). Bonds in
+    one even/odd sublayer are disjoint, so the layer is one Pauli string.
+    """
+    import jax
+
+    bonds = [(i, i + 1) for i in range(start, L - 1, 2)]
+    nb = len(bonds)
+    p = jnp.broadcast_to(jnp.asarray(p_bonds), (nb,))
+    u = jax.random.uniform(key, (nb,))
+    q16 = p / 16.0
+    idx = (u >= (1.0 - 15.0 * q16)).astype(jnp.int32) * (
+        1 + jnp.floor((u - (1.0 - 15.0 * q16)) / jnp.maximum(q16, 1e-30)).astype(jnp.int32)
+    )
+    idx = jnp.clip(idx, 0, 15)
+    c_hi = idx >> 2   # code on bond site i
+    c_lo = idx & 3    # code on bond site i+1
+    codes = jnp.zeros((L,), dtype=jnp.int32)
+    sites_hi = jnp.asarray([b[0] for b in bonds], dtype=jnp.int32)
+    sites_lo = jnp.asarray([b[1] for b in bonds], dtype=jnp.int32)
+    codes = codes.at[sites_hi].set(c_hi)
+    codes = codes.at[sites_lo].set(c_lo)
+    return codes

@@ -1,0 +1,220 @@
+"""Device layer: gate counts, QASM export, layouts, jobs, device noise."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dtc_tpu.device.jobs import (
+    counts_to_z_expectation,
+    decode_jobs_to_expectations,
+    measurement_bits_to_counts,
+    merge_job_records,
+)
+from dtc_tpu.device.layouts import (
+    find_snake_path,
+    garnet_coupling,
+    heavy_hex_coupling,
+    linear_with_ancilla_coupling,
+    render_layout,
+    snake_layout,
+)
+from dtc_tpu.device.qasm import circuit_to_qasm, parse_qasm_gates
+from dtc_tpu.device.transpile import (
+    circuit_depth,
+    gate_counts,
+    noisy_1q_gate_events,
+    write_gate_count_csv,
+)
+from dtc_tpu.models.device_noise import (
+    brisbane_like_model,
+    model_from_calibration,
+    synthetic_eagle_calibration,
+)
+
+import exact_oracle as oracle
+
+
+def test_gate_counts_match_reference_artifacts():
+    # autocorr_data_L4/gate_counts_t1_forward_*.csv: u3=4 rz=7 cx=8 u2=6
+    c = gate_counts(4, 1)
+    assert c == {"u3": 4, "rz": 7, "cx": 8, "u2": 6, "measure": 1}
+    # echo t=1: u3=8 rz=14 cx=14 u2=6
+    c = gate_counts(4, 1, echo=True)
+    assert c == {"u3": 8, "rz": 14, "cx": 14, "u2": 6, "measure": 1}
+    # t=0 forward: u2=6 cx=2 measure=1 (no cycles)
+    c = gate_counts(4, 0)
+    assert c == {"cx": 2, "u2": 6, "measure": 1}
+    # L=20 t=29, 2-slot kick (circular): u3=1160 rz=1131 cx=1104
+    c = gate_counts(20, 29, polarization="circular_left")
+    assert c["u3"] == 1160 and c["rz"] == 1131 and c["cx"] == 1104
+
+
+def test_noisy_event_count():
+    assert noisy_1q_gate_events(4, 1) == 10  # 4 kicks + 6 ancilla u2
+    assert noisy_1q_gate_events(4, 2, echo=True) == 22
+    assert circuit_depth(4, 2) > circuit_depth(4, 1)
+
+
+def test_gate_count_csv(tmp_path):
+    from dtc_tpu.io import csvio
+
+    p = write_gate_count_csv(str(tmp_path / "gc.csv"), 4, 1)
+    cols = csvio.read_columns(p)
+    assert "u3" in list(cols["gate"])
+
+
+def test_qasm_roundtrip_gate_stream():
+    L, t = 4, 2
+    hs = np.linspace(-1, 1, L)
+    phis = np.linspace(-2, -1, L - 1)
+    from dtc_tpu.models.drives import build_kick_schedule
+
+    sched = build_kick_schedule("x", 0.9, t)
+    text = circuit_to_qasm(L, hs, phis, t, sched)
+    gates = parse_qasm_gates(text)
+    names = [g[0] for g in gates]
+    counts = {n: names.count(n) for n in set(names)}
+    # logical stream: h=2, cz=2, rx=L*t, rzz=(L-1)*t, rz=L*t, measure=1
+    assert counts["h"] == 2 and counts["cz"] == 2
+    assert counts["rx"] == L * t and counts["rzz"] == (L - 1) * t
+    assert counts["rz"] == L * t and counts["measure"] == 1
+    # echo doubles the cycle gates with negated angles
+    text_e = circuit_to_qasm(L, hs, phis, t, sched, echo=True)
+    gates_e = parse_qasm_gates(text_e)
+    rx = [g for g in gates_e if g[0] == "rx"]
+    assert len(rx) == 2 * L * t
+    assert any(p[0] < 0 for _, p, _ in rx)
+
+
+def test_heavy_hex_graphs():
+    n, edges, coords = heavy_hex_coupling(7, 15)
+    assert n == 127  # Eagle / Brisbane scale
+    assert len(coords) == n
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert max(deg.values()) <= 3  # heavy-hex property
+    n2, _, _ = heavy_hex_coupling(7, 16)
+    assert n2 > 127
+    ng, ge, gc = garnet_coupling()
+    assert ng == 20
+
+
+def test_snake_layout_and_render(tmp_path):
+    lay = snake_layout(27, "brisbane")
+    path = lay["path"]
+    assert len(path) == 27 and len(set(path)) == 27
+    edge_set = {frozenset(e) for e in lay["edges"]}
+    for a, b in zip(path, path[1:]):
+        assert frozenset((a, b)) in edge_set  # contiguous physical chain
+    png = render_layout(lay, str(tmp_path / "layout.png"), "L=27 on Brisbane")
+    import os
+
+    assert os.path.getsize(png) > 5000
+
+    lay_g = snake_layout(19, "garnet")
+    assert len(lay_g["path"]) == 19
+
+    n, edges = linear_with_ancilla_coupling(6)
+    assert (0, 4) in edges and n == 7
+
+
+def test_find_snake_path_impossible():
+    # a star graph has no length-4 path
+    edges = [(0, 1), (0, 2), (0, 3)]
+    assert find_snake_path(4, edges, 4) is None
+
+
+def test_job_decode_pipeline(tmp_path):
+    # synthetic raw jobs: 2 instances x 3 time points, 1 incomplete record
+    rng = np.random.default_rng(0)
+    recs = []
+    truth = []
+    for i in range(6):
+        p1 = 0.1 + 0.1 * i
+        bits = [[1 if rng.random() < p1 else 0] for _ in range(400)]
+        truth.append(1 - 2 * np.mean([b[0] for b in bits]))
+        recs.append({"id": f"j{i}", "created": f"2025-01-0{i+1}",
+                     "status": "completed",
+                     "measurements": {"c_1_0_0": bits}})
+    recs.insert(3, {"id": "bad", "created": "2025-01-09", "status": "failed",
+                    "measurements": {}})
+    rng.shuffle(recs)
+    merged = merge_job_records(recs)
+    assert len(merged) == 6 and [r["id"] for r in merged] == [f"j{i}" for i in range(6)]
+    series = decode_jobs_to_expectations(merged, jobs_per_instance=3)
+    assert len(series) == 2 and len(series[0]) == 3
+    np.testing.assert_allclose(np.concatenate(series), truth, atol=1e-12)
+
+
+def test_counts_expectation_little_endian():
+    counts = {"01": 300, "10": 100}  # qubit0 = rightmost char
+    z = counts_to_z_expectation(counts, 2)
+    np.testing.assert_allclose(z[0], (100 - 300) / 400)
+    np.testing.assert_allclose(z[1], (300 - 100) / 400)
+    c = measurement_bits_to_counts([[1, 0], [1, 0], [0, 1]])
+    assert c == {"01": 2, "10": 1}
+
+
+def test_device_noise_model_mapping():
+    cal = synthetic_eagle_calibration(127, seed=3)
+    lay = snake_layout(12, "brisbane")
+    m = model_from_calibration(cal, lay["path"], lay["ancilla"])
+    assert m.p_1q.shape == (12,) and m.p_2q.shape == (11,)
+    assert 0 < m.p_1q.mean() < 0.01 and 0 < m.p_2q.mean() < 0.1
+    assert 0 < m.ancilla_interferometric_factor() < 1
+
+
+def test_device_autocorr_vs_oracle_per_qubit_noise():
+    """Device path with uniform p, 1 event/kick, zero 2q/readout noise must
+    reproduce the flat-model oracle."""
+    from dtc_tpu.core.device_evolve import device_autocorr_forward
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.models.drives import build_kick_schedule
+
+    L, T, p = 3, 4, 0.1
+    hs, phis = generate_disorder(L, 1, seed=40)
+    sched = build_kick_schedule("x", 0.9, T)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4000)
+    vals = device_autocorr_forward(
+        jnp.asarray(hs[0]), jnp.asarray(phis[0]),
+        jnp.full((L,), p), jnp.zeros((L - 1,)),
+        sched.angles, keys, L=L, T=T, K=1, q=L // 2,
+        dtype_name="complex128", ancilla_factor=(1 - p) ** 6,
+        events_per_kick=1)
+    mean = np.asarray(vals).mean(axis=0)
+    for t in range(T):
+        want = oracle.autocorr_dm(L, 0.9, hs[0], phis[0], t, p)
+        assert abs(mean[t] - want) < 0.04, (t, mean[t], want)
+
+
+def test_device_echo_noiseless_identity():
+    from dtc_tpu.core.device_evolve import device_autocorr_echo
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.models.drives import build_kick_schedule
+
+    L, T = 4, 4
+    hs, phis = generate_disorder(L, 1, seed=41)
+    sched = build_kick_schedule("x", 0.9, T)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    e = device_autocorr_echo(
+        jnp.asarray(hs[0]), jnp.asarray(phis[0]),
+        jnp.zeros((L,)), jnp.zeros((L - 1,)),
+        sched.angles, keys, jnp.asarray(3),
+        L=L, T=T, K=1, q=L // 2, dtype_name="complex128")
+    np.testing.assert_allclose(np.asarray(e), 1.0, atol=1e-10)
+
+
+def test_run_autocorr_fakebackend_mode(tmp_path):
+    from dtc_tpu.experiments.autocorr import run_autocorr
+    from dtc_tpu.utils.config import SimConfig
+
+    cfg = SimConfig(L=6, tf=4, use_fakebackend=1, n_trajectories=64,
+                    dtype="complex128", inst=1)
+    r = run_autocorr(cfg, out_dir=str(tmp_path))
+    # device noise is weak (1q ~ 2.5e-4): A(0) ~ ancilla+readout factor < 1
+    assert 0.9 < r["av_autocorr"][0] < 1.0
+    assert 0.9 < r["av_autocorr_echo"][1] <= 1.0
