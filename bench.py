@@ -1,11 +1,16 @@
 """Headline benchmark: noisy Floquet cycles/sec at L=20 (BASELINE.json).
 
 One cycle = RX kick layer (kron-grouped MXU matmuls) + sampled depolarizing
-Pauli-string layer + fused RZZ+RZ diagonal, applied to a branch-pair
-trajectory state (the unit that yields one interferometric autocorrelation
-sample). Baseline target: >= 1000 cycles/sec "density-matrix-equivalent" on
-one chip — our trajectory ensemble is the DM-equivalent path at L=20 (exact
-DM is 16 TB dense; the trajectory mean equals the DM expectation).
+noise (sigma-frame: fused elementwise phase, no gather) + fused RZZ+RZ
+diagonal, applied to a branch-pair trajectory state (the unit that yields one
+interferometric autocorrelation sample). The trajectory ensemble is the
+density-matrix-equivalent path at L=20 (exact DM is 16 TB dense; the
+trajectory mean equals the DM expectation). Baseline target: >= 1000
+cycles/sec on one chip.
+
+Results are MATERIALIZED and validated every repetition (A(0) must equal
+(1-p)^6 and all values must be finite/bounded) — this backend can fault
+asynchronously, and an unchecked block_until_ready can time a failed run.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -15,40 +20,44 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dtc_tpu.experiments.engine import _forward_batch
 from dtc_tpu.io.disorder import generate_disorder
 from dtc_tpu.models.drives import build_kick_schedule
 
 
-def main():
-    L, T, p, g = 20, 50, 0.05, 0.97
-    n_traj = 64
-
+def run_case(L, T, p, n_traj, n_rep=3, g=0.97):
     hs, phis = generate_disorder(L, 1, seed=0)
     sched = build_kick_schedule("x", g, T)
     hs_j = jnp.asarray(hs[:, :L])
     phis_j = jnp.asarray(phis[:, : L - 1])
+    af = (1 - p) ** 6
     kw = dict(L=L, T=T, K=1, p=p, q=L // 2, initial_state="vacuum",
-              dtype_name="complex64", ancilla_factor=(1 - p) ** 6)
+              dtype_name="complex64", ancilla_factor=af)
 
     def run(seed):
         keys = jax.random.split(jax.random.PRNGKey(seed), n_traj)[None]
-        return _forward_batch(hs_j, phis_j, sched.angles, keys, **kw)
+        return np.asarray(_forward_batch(hs_j, phis_j, sched.angles, keys, **kw))
 
-    out = run(0)
-    out.block_until_ready()  # compile + warmup
+    def check(a):
+        assert np.isfinite(a).all(), "non-finite autocorrelations"
+        assert np.all(np.abs(a) <= 1.0 + 1e-3), "unphysical |A|>1"
+        assert abs(a[0, :, 0].mean() - af) < 1e-3, f"A(0) != (1-p)^6: {a[0,:,0].mean()}"
 
-    n_rep = 5
+    check(run(0))  # compile + warmup + validate
     t0 = time.perf_counter()
     for i in range(n_rep):
-        out = run(i + 1)
-    out.block_until_ready()
+        a = run(i + 1)
     dt = (time.perf_counter() - t0) / n_rep
+    check(a)
+    return (T * n_traj) / dt
 
-    cycles_per_sec = (T * n_traj) / dt
+
+def main():
+    cycles_per_sec = run_case(L=20, T=50, p=0.05, n_traj=32)
     print(json.dumps({
-        "metric": "noisy Floquet cycles/sec (L=20 trajectory ensemble, p=0.05)",
+        "metric": "noisy Floquet cycles/sec (L=20 trajectory ensemble, p=0.05, validated)",
         "value": round(cycles_per_sec, 1),
         "unit": "cycles/s",
         "vs_baseline": round(cycles_per_sec / 1000.0, 2),

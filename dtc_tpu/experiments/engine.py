@@ -54,50 +54,30 @@ def build_context(cfg, hs, phis):
     return sched, (hs, phis), noise
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("L", "T", "K", "p", "q", "initial_state", "dtype_name",
-                     "ancilla_factor"),
-)
 def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
-                   dtype_name, ancilla_factor):
-    """(inst, L), (inst, L-1), (T,K,2), (inst, c, 2) -> (inst, c, T)."""
-    dtype = resolve_dtype(dtype_name)
-    psi0 = initial_statevector(L, initial_state, dtype=dtype)
+                   dtype_name, ancilla_factor, has_y=False):
+    """(inst, L), (inst, L-1), (T,K,2), (inst, c, 2) -> (inst, c, T).
 
-    def per_instance(h, ph, ks):
-        diag = zz_z_phase_mask(h, ph, L, dtype=dtype)
-        return jax.vmap(
-            lambda k: autocorr_forward(
-                psi0, angles, diag, k, L=L, T=T, K=K, p=p, q=q,
-                ancilla_factor=ancilla_factor)
-        )(ks)
+    Sigma-frame implementation (dtc_tpu.core.sigma_evolve): gather-free
+    trajectory noise, measured ~80x faster than the XOR-gather layer on TPU.
+    """
+    from dtc_tpu.core.sigma_evolve import sigma_forward_batch
 
-    return jax.vmap(per_instance)(hs, phis, keys)
+    return sigma_forward_batch(
+        hs, phis, angles, keys, L=L, T=T, K=K, p=p, q=q,
+        initial_state=initial_state, dtype_name=dtype_name,
+        ancilla_factor=ancilla_factor, has_y=has_y)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("L", "T", "K", "p", "q", "initial_state", "dtype_name",
-                     "ancilla_factor"),
-)
 def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
-                dtype_name, ancilla_factor):
-    """-> (inst, c, n_ts) echo values."""
-    dtype = resolve_dtype(dtype_name)
-    psi0 = initial_statevector(L, initial_state, dtype=dtype)
+                dtype_name, ancilla_factor, has_y=False):
+    """-> (inst, c, n_ts) echo values (sigma-frame)."""
+    from dtc_tpu.core.sigma_evolve import sigma_echo_batch
 
-    def per_instance(h, ph, ks):
-        diag = zz_z_phase_mask(h, ph, L, dtype=dtype)
-        return jax.vmap(
-            lambda k: jax.vmap(
-                lambda t: autocorr_echo(
-                    psi0, angles, diag, k, t, L=L, T=T, K=K, p=p, q=q,
-                    ancilla_factor=ancilla_factor)
-            )(ts)
-        )(ks)
-
-    return jax.vmap(per_instance)(hs, phis, keys)
+    return sigma_echo_batch(
+        hs, phis, angles, keys, ts, L=L, T=T, K=K, p=p, q=q,
+        initial_state=initial_state, dtype_name=dtype_name,
+        ancilla_factor=ancilla_factor, has_y=has_y)
 
 
 def _inst_keys(key, inst, salt, count):
@@ -113,7 +93,7 @@ def forward_sweep(cfg, sched, params, noise, key) -> np.ndarray:
     af = noise.ancilla_factor if p > 0 else 1.0
     kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, p=p, q=cfg.probe_qubit,
               initial_state=cfg.initial_state, dtype_name=cfg.dtype,
-              ancilla_factor=af)
+              ancilla_factor=af, has_y=cfg.polarization != "x")
 
     n_traj = cfg.n_trajectories if p > 0 else 1
     chunk = traj_chunks(n_traj, cfg.L, extra_factor=2 * cfg.inst)
@@ -140,7 +120,8 @@ def echo_sweep(cfg, sched, params, noise, key, *, t_chunk: int = 8) -> np.ndarra
         return np.ones((cfg.inst, cfg.tf))
     kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, p=p, q=cfg.probe_qubit,
               initial_state=cfg.initial_state, dtype_name=cfg.dtype,
-              ancilla_factor=noise.ancilla_factor)
+              ancilla_factor=noise.ancilla_factor,
+              has_y=cfg.polarization != "x")
 
     n_traj = cfg.n_trajectories
     chunk = traj_chunks(n_traj, cfg.L, extra_factor=2 * cfg.inst * t_chunk)
