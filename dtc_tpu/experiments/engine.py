@@ -58,9 +58,27 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
                    dtype_name, ancilla_factor, has_y=False):
     """(inst, L), (inst, L-1), (T,K,2), (inst, c, 2) -> (inst, c, T).
 
-    Sigma-frame implementation (dtc_tpu.core.sigma_evolve): gather-free
-    trajectory noise, measured ~80x faster than the XOR-gather layer on TPU.
+    Dispatch: time-independent x-polarized drives take the planar-real
+    Pallas fast path (core.planar_evolve); everything else the factored
+    sigma-frame complex engine (core.sigma_evolve).
     """
+    import os
+
+    if (os.environ.get("DTC_TPU_ENGINE", "sigma") == "planar"
+            and (not has_y) and K == 1
+            and bool(np.all(np.asarray(angles) == np.asarray(angles)[0]))):
+        # Experimental planar-real + Pallas noise-factor path. Currently
+        # ~1.8k cycles/s at L=20 vs the factored sigma engine's ~2.0k (both
+        # far above the noiseless fast path's 38k; see sigma_evolve notes on
+        # the loop-invariance deopt this backend imposes on noisy bodies).
+        from dtc_tpu.core.planar_evolve import planar_forward_batch
+
+        return planar_forward_batch(
+            hs, phis, angles, keys, L=L, T=T, p=p, q=q,
+            initial_state=initial_state, dtype_name=dtype_name,
+            ancilla_factor=ancilla_factor,
+            interpret=jax.default_backend() == "cpu")
+
     from dtc_tpu.core.sigma_evolve import sigma_forward_batch
 
     return sigma_forward_batch(
