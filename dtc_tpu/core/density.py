@@ -410,3 +410,48 @@ def dm_autocorr_interferometric(psi0, angles, diag_sv, t: int, *, L, K, p,
     vec = hd(vec)
     wz = pauli_weight_vector([3 if i == anc else 0 for i in range(n)], n, dtype=dtype)
     return float(jnp.real(jnp.sum(wz * vec)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "K", "p", "q", "initial_state", "dtype_name",
+                     "ancilla_factor"),
+)
+def dm_autocorr_forward_run(hs, phis, angles, *, L, T, K, p, q,
+                            initial_state="vacuum", dtype_name="complex64",
+                            ancilla_factor=None):
+    """Real-boundary wrapper: exact noisy A(t) from (hs, phis) directly.
+
+    The EXACT density-matrix mode of the autocorr experiment (BASELINE
+    config 1: L=4 DTC, depol 0.05, density-matrix). Complex state built
+    inside jit (TPU backend cannot transfer complex host<->device).
+    """
+    from dtc_tpu.core.statevector import initial_statevector
+    from dtc_tpu.experiments.engine import resolve_dtype
+
+    dtype = resolve_dtype(dtype_name)
+    psi0 = initial_statevector(L, initial_state, dtype=dtype)
+    diag_sv = zz_z_phase_mask(hs, phis, L, dtype=dtype)
+    return dm_autocorr_forward(psi0, angles, diag_sv, L=L, T=T, K=K, p=p, q=q,
+                               ancilla_factor=ancilla_factor)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "K", "p", "q", "initial_state", "dtype_name",
+                     "ancilla_factor"),
+)
+def dm_autocorr_echo_run(hs, phis, angles, ts, *, L, T, K, p, q,
+                         initial_state="vacuum", dtype_name="complex64",
+                         ancilla_factor=None):
+    """Real-boundary exact echo for a vector of time points."""
+    from dtc_tpu.core.statevector import initial_statevector
+    from dtc_tpu.experiments.engine import resolve_dtype
+
+    dtype = resolve_dtype(dtype_name)
+    psi0 = initial_statevector(L, initial_state, dtype=dtype)
+    diag_sv = zz_z_phase_mask(hs, phis, L, dtype=dtype)
+    return jax.vmap(
+        lambda t: dm_autocorr_echo(psi0, angles, diag_sv, t, L=L, T=T, K=K,
+                                   p=p, q=q, ancilla_factor=ancilla_factor)
+    )(ts)

@@ -268,17 +268,30 @@ def optimize_g_for_target_echo(stepper, states_prev, g_schedule, t, target_echo,
 
 def run_adaptive_realtime(cfg, hs=None, phis=None, *, out_dir=None,
                           disorder_dir=None, write=True,
-                          optimizer_method="golden") -> dict:
+                          optimizer_method="golden",
+                          realtime_csv: bool = False) -> dict:
     """Real-time causal adaptive-g loop + fixed-g standard comparison.
 
     Per reference convention the row at time index t corresponds to t+1
-    applied cycles (g-optimization.py:541-545).
+    applied cycles (g-optimization.py:541-545). With realtime_csv, each
+    completed timestep is appended+flushed to a per-instance CSV (the
+    reference's hardware checkpointing pattern,
+    autocorr-delta-a-single-ibm-energy.py:239-255).
     """
     if hs is None or phis is None:
         hs, phis = get_disorder(cfg, disorder_dir)
     T = cfg.tf
     all_fwd, all_echo, all_g = [], [], []
     for i in range(cfg.inst):
+        rt_writer = None
+        if realtime_csv and write:
+            from dtc_tpu.io.csvio import RealtimeCSVWriter
+
+            folder = out_dir or f"controlled-autocorr_data_L{cfg.L}"
+            rt_writer = RealtimeCSVWriter(
+                os.path.join(folder, f"adaptive_realtime_inst{i+1}_"
+                             + naming.adaptive_csv_name(cfg)),
+                ["time", "g", "forward", "echo"])
         stepper = AdaptiveStepper(cfg, hs[i], phis[i])
         states_prev = stepper.reset()
         key = jax.random.PRNGKey(cfg.seed + 101 * i)
@@ -293,6 +306,9 @@ def run_adaptive_realtime(cfg, hs=None, phis=None, *, out_dir=None,
             fwd.append(stepper.forward_value(states))
             ech.append(stepper.echo_value(states_prev, g_schedule, current_g,
                                           t + 1, k_echo))
+            if rt_writer is not None:
+                rt_writer.write_row({"time": t, "g": float(current_g),
+                                     "forward": fwd[-1], "echo": ech[-1]})
             if t < T - 1:
                 if cfg.use_optimization:
                     current_g = optimize_g_for_target_echo(
@@ -310,6 +326,8 @@ def run_adaptive_realtime(cfg, hs=None, phis=None, *, out_dir=None,
                         ech[-1], cfg.target_echo, current_g,
                         cfg.feedback_gain, cfg.g_min, cfg.g_max)
             states_prev = states
+        if rt_writer is not None:
+            rt_writer.close()
         all_fwd.append(fwd)
         all_echo.append(ech)
         all_g.append(ghist)

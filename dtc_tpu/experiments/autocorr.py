@@ -27,14 +27,40 @@ from dtc_tpu.utils.profiling import phase_timer
 
 
 def run_autocorr(cfg, hs=None, phis=None, *, out_dir=None, disorder_dir=None,
-                 with_envelopes: bool = False, write=True) -> dict:
-    """Run the forward + echo sweep; returns result dict and writes CSV."""
+                 with_envelopes: bool = False, write=True,
+                 method: str = "trajectories", emit_gate_counts=False) -> dict:
+    """Run the forward + echo sweep; returns result dict and writes CSV.
+
+    method: "trajectories" (Pauli-twirl ensemble, any L) or "exact" (exact
+    density-matrix superoperator evolution, L <= ~13 — BASELINE config 1's
+    density-matrix mode).
+    """
     if hs is None or phis is None:
         hs, phis = get_disorder(cfg, disorder_dir)
     sched, params, noise = build_context(cfg, hs, phis)
     key = jax.random.PRNGKey(cfg.seed)
 
-    if cfg.use_fakebackend:
+    if method == "exact":
+        from dtc_tpu.core.density import dm_autocorr_echo_run, dm_autocorr_forward_run
+        import jax.numpy as jnp
+
+        hs_j, phis_j = params
+        kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, p=noise.p, q=cfg.probe_qubit,
+                  initial_state=cfg.initial_state, dtype_name=cfg.dtype,
+                  ancilla_factor=noise.ancilla_factor if noise.p > 0 else 1.0)
+        autocorr = np.stack([
+            np.asarray(dm_autocorr_forward_run(hs_j[i], phis_j[i],
+                                               sched.angles, **kw))
+            for i in range(cfg.inst)])
+        if noise.p > 0:
+            ts = jnp.arange(cfg.tf)
+            echo = np.stack([
+                np.asarray(dm_autocorr_echo_run(hs_j[i], phis_j[i],
+                                                sched.angles, ts, **kw))
+                for i in range(cfg.inst)])
+        else:
+            echo = np.ones((cfg.inst, cfg.tf))
+    elif cfg.use_fakebackend:
         from dtc_tpu.experiments.device_sweeps import (
             device_echo_sweep,
             device_forward_sweep,
@@ -85,6 +111,17 @@ def run_autocorr(cfg, hs=None, phis=None, *, out_dir=None, disorder_dir=None,
         )
         csvio.write_columns(path, data)
         result["csv_path"] = path
+        if emit_gate_counts:
+            # per-timepoint transpiled gate-count artifacts
+            # (autocorr-delta-a-single-qiskit-fast.py:193-197)
+            from dtc_tpu.device.transpile import write_gate_count_csv
+
+            for t in range(cfg.tf):
+                for echo_flag in (False, True):
+                    write_gate_count_csv(
+                        os.path.join(folder, naming.gate_count_csv_name(
+                            t, echo_flag)), cfg.L, t, echo=echo_flag,
+                        polarization=cfg.polarization)
     return result
 
 

@@ -92,15 +92,33 @@ def _energy_single_noise(cfg, hs, phis, p, component="full"):
 
 
 def run_energy(cfg, hs=None, phis=None, *, nprobs=DEFAULT_NPROBS, component="full",
-               out_dir=None, disorder_dir=None, write=True, per_qubit_norm=True) -> dict:
-    """E(t)/L per noise probability; CSV `time, energy_p_{p}`."""
+               out_dir=None, disorder_dir=None, write=True, per_qubit_norm=True,
+               checkpoint_path=None) -> dict:
+    """E(t)/L per noise probability; CSV `time, energy_p_{p}`.
+
+    checkpoint_path: crash-safe journal — each completed noise level is
+    persisted and skipped on resume (the TPU analogue of the reference's
+    append-per-timestep hardware checkpointing, SURVEY.md §5)."""
     if hs is None or phis is None:
         hs, phis = get_disorder(cfg, disorder_dir)
+    journal = None
+    if checkpoint_path:
+        from dtc_tpu.utils.checkpoints import SweepJournal
+
+        journal = SweepJournal(checkpoint_path)
     data = {"time": np.arange(cfg.tf)}
     z_data = {}
     for p in nprobs:
-        with phase_timer(f"energy p={p}"):
-            e, zs = _energy_single_noise(cfg, hs, phis, float(p), component)
+        jkey = f"energy_{component}_p{p}_L{cfg.L}_inst{cfg.inst}"
+        if journal is not None and jkey in journal:
+            e = journal.get(jkey)
+            zs = journal.get(jkey + "_z")
+        else:
+            with phase_timer(f"energy p={p}"):
+                e, zs = _energy_single_noise(cfg, hs, phis, float(p), component)
+            if journal is not None:
+                journal.put(jkey, e)
+                journal.put(jkey + "_z", zs)
         av = e.mean(axis=0)
         data[f"energy_p_{_fmt(p)}"] = av / cfg.L if per_qubit_norm else av
         z_data[float(p)] = zs.mean(axis=0)  # (T, L)

@@ -1,0 +1,90 @@
+"""Multi-chip (amplitude-sharded) experiment driver — BASELINE config 5:
+beyond-single-chip statevector trajectory ensembles (e.g. L=32 over a
+v5e-16), the capability the reference entirely lacks (its ceiling is
+single-GPU Aer; SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dtc_tpu.io import csvio, naming
+from dtc_tpu.io.disorder import get_disorder
+from dtc_tpu.models.drives import build_kick_schedule
+from dtc_tpu.models.noise import NoiseSpec
+from dtc_tpu.parallel.mesh import make_mesh
+from dtc_tpu.parallel.sharded import make_sharded_autocorr_forward, make_sharded_echo
+from dtc_tpu.utils.profiling import phase_timer
+
+
+def run_autocorr_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
+                         out_dir=None, disorder_dir=None, write=True,
+                         with_echo=True, echo_ts=None) -> dict:
+    """Forward (+echo) autocorrelator on an amplitude-sharded mesh.
+
+    n_amp: amplitude shards (power of two; remaining devices become the
+    trajectory axis). The 2**L statevector never exists on one device.
+    """
+    if hs is None or phis is None:
+        hs, phis = get_disorder(cfg, disorder_dir)
+    if mesh is None:
+        n_dev = len(jax.devices())
+        if n_amp is None:
+            n_amp = 1
+            while (n_amp * 2 <= n_dev and n_dev % (n_amp * 2) == 0
+                   and (1 << cfg.L) // (n_amp * 2) >= 2):
+                n_amp *= 2
+        mesh = make_mesh(n_amp=n_amp, n_traj=n_dev // n_amp)
+    noise = NoiseSpec(p=cfg.noise_p)
+    sched = build_kick_schedule(
+        cfg.polarization, cfg.g, cfg.tf,
+        circular_frequency=cfg.circular_frequency,
+        xy_cycle_period=cfg.xy_cycle_period)
+    kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, p=noise.p, q=cfg.probe_qubit,
+              initial_state=cfg.initial_state)
+    fwd = make_sharded_autocorr_forward(mesh, **kw)
+
+    n_traj = max(cfg.n_trajectories if noise.p > 0 else 1,
+                 mesh.shape["traj"])
+    n_traj -= n_traj % mesh.shape["traj"]
+
+    autocorr = np.zeros((cfg.inst, cfg.tf))
+    echo = np.ones((cfg.inst, cfg.tf))
+    key = jax.random.PRNGKey(cfg.seed)
+    for i in range(cfg.inst):
+        keys = jax.random.split(jax.random.fold_in(key, i), n_traj)
+        with phase_timer(f"sharded forward inst {i}"):
+            autocorr[i] = np.asarray(
+                fwd(sched.angles, jnp.asarray(hs[i][: cfg.L]),
+                    jnp.asarray(phis[i][: cfg.L - 1]), keys))
+    if with_echo and noise.p > 0:
+        ech = make_sharded_echo(mesh, **kw)
+        ts = list(range(cfg.tf)) if echo_ts is None else list(echo_ts)
+        for i in range(cfg.inst):
+            keys = jax.random.split(jax.random.fold_in(key, 7919 + i), n_traj)
+            for t in ts:
+                echo[i, t] = float(
+                    ech(sched.angles, jnp.asarray(hs[i][: cfg.L]),
+                        jnp.asarray(phis[i][: cfg.L - 1]), keys,
+                        jnp.asarray(t)))
+
+    av = autocorr.mean(axis=0)
+    av_echo = echo.mean(axis=0)
+    data = {
+        "time": np.arange(cfg.tf),
+        "av_autocorr": av,
+        "av_autocorr_echo": av_echo,
+        "sqrt_av_autocorr_echo": np.sqrt(np.maximum(av_echo, 0.0)),
+    }
+    result = dict(data)
+    result["mesh_shape"] = dict(mesh.shape)
+    if write:
+        folder = out_dir or f"autocorr_data_L{cfg.L}_sharded"
+        path = os.path.join(folder, naming.autocorr_csv_name(cfg))
+        csvio.write_columns(path, data)
+        result["csv_path"] = path
+    return result

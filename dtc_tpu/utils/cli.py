@@ -83,8 +83,17 @@ def build_parser() -> argparse.ArgumentParser:
         add_common_flags(p)
         if name.startswith("adaptive"):
             add_adaptive_flags(p)
+            p.add_argument("--realtime_csv", action="store_true",
+                           help="append+flush per completed timestep")
         if name == "autocorr":
             p.add_argument("--with_envelopes", action="store_true")
+            p.add_argument("--method", type=str, default="trajectories",
+                           choices=["trajectories", "exact"],
+                           help="exact = density-matrix superoperator (L<=13)")
+            p.add_argument("--emit_gate_counts", action="store_true")
+            p.add_argument("--sharded", action="store_true",
+                           help="amplitude-shard over all devices")
+            p.add_argument("--n_amp", type=int, default=None)
         if name == "polarization":
             p.add_argument("--polarizations", type=str, default="x,y,xy,yx")
         if name == "shots":
@@ -92,6 +101,8 @@ def build_parser() -> argparse.ArgumentParser:
                            default="100,1000,10000,100000,1000000")
         if name == "energy":
             p.add_argument("--nprobs", type=str, default="0,0.001,0.01,0.1")
+            p.add_argument("--checkpoint", type=str, default=None,
+                           help="journal path for crash-safe resume")
 
     p = sub.add_parser("disorder", help="generate disorder instance CSVs")
     p.add_argument("--L", type=int, default=None,
@@ -106,6 +117,26 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("params", help="write the (g, amplitude, delta) sweep grid")
     p.add_argument("--out", type=str, default="params.csv")
+
+    p = sub.add_parser("draw", help="render plots from experiment CSVs")
+    p.add_argument("csv", type=str, help="input experiment CSV")
+    p.add_argument("--kind", type=str, default="autocorr",
+                   choices=["autocorr", "sincos-fit", "fft", "envelope",
+                            "quicklook"])
+    p.add_argument("--key", type=str, default="av_autocorr")
+    p.add_argument("--out", type=str, default=None)
+
+    p = sub.add_parser("layout", help="design + render a QPU snake layout")
+    p.add_argument("--device", type=str, default="brisbane",
+                   choices=["brisbane", "torino", "garnet", "linear"])
+    p.add_argument("--L", type=int, default=27)
+    p.add_argument("--out", type=str, default=None)
+
+    p = sub.add_parser("qasm", help="export the circuit as OpenQASM 2.0")
+    add_common_flags(p)
+    p.add_argument("--t", type=int, default=None, help="cycles (default tf)")
+    p.add_argument("--echo", action="store_true")
+    p.add_argument("--out", type=str, default=None)
 
     sub.add_parser("bench", help="run the headline benchmark")
     return ap
@@ -150,14 +181,78 @@ def main(argv=None) -> int:
         bench.main()
         return 0
 
+    if cmd == "draw":
+        from dtc_tpu.analysis import plots
+        from dtc_tpu.io import csvio
+
+        out = args.out or (args.csv.rsplit(".", 1)[0] + f"_{args.kind}.png")
+        if args.kind == "quicklook":
+            plots.plot_csv_quicklook(args.csv, out)
+        else:
+            cols = csvio.read_columns(args.csv)
+            if args.kind == "autocorr":
+                plots.plot_autocorr(cols, out)
+            elif args.kind == "sincos-fit":
+                _, res = plots.plot_sincos_fit(cols, out, key=args.key)
+                if res.success:
+                    print(f"fit: f={res.params['frequency']:.4f} "
+                          f"gamma={res.params['gamma']:.4f} R2={res.r_squared:.4f}")
+            elif args.kind == "fft":
+                plots.plot_fft_subharmonics(cols, out, key=args.key)
+            elif args.kind == "envelope":
+                plots.plot_with_envelopes(cols, out, key=args.key)
+        print(f"wrote {out}")
+        return 0
+
+    if cmd == "layout":
+        from dtc_tpu.device.layouts import render_layout, snake_layout
+
+        lay = snake_layout(args.L, args.device)
+        out = args.out or f"layout_{args.device}_L{args.L}.png"
+        render_layout(lay, out, f"L={args.L} snake on {args.device}")
+        print(f"path: {lay['path']}")
+        print(f"ancilla: {lay['ancilla']}")
+        print(f"wrote {out}")
+        return 0
+
+    if cmd == "qasm":
+        from dtc_tpu.device.qasm import circuit_to_qasm
+        from dtc_tpu.io.disorder import get_disorder
+        from dtc_tpu.models.drives import build_kick_schedule
+
+        cfg = config_from_args(args)
+        hs, phis = get_disorder(cfg, args.disorder_dir)
+        t = args.t if args.t is not None else cfg.tf
+        sched = build_kick_schedule(
+            cfg.polarization, cfg.g, max(t, 1),
+            circular_frequency=cfg.circular_frequency,
+            xy_cycle_period=cfg.xy_cycle_period)
+        text = circuit_to_qasm(cfg.L, hs[0], phis[0], t, sched, echo=args.echo,
+                               initial_state=cfg.initial_state)
+        out = args.out or (f"dtc_L{cfg.L}_t{t}"
+                           f"{'_echo' if args.echo else ''}.qasm")
+        with open(out, "w") as f:
+            f.write(text)
+        print(f"wrote {out}")
+        return 0
+
     cfg = config_from_args(args)
     ddir = args.disorder_dir
 
     if cmd == "autocorr":
-        from dtc_tpu.experiments.autocorr import run_autocorr
+        if args.sharded or args.n_amp:
+            from dtc_tpu.experiments.sharded_run import run_autocorr_sharded
 
-        r = run_autocorr(cfg, out_dir=args.out_dir, disorder_dir=ddir,
-                         with_envelopes=args.with_envelopes)
+            r = run_autocorr_sharded(cfg, n_amp=args.n_amp,
+                                     out_dir=args.out_dir, disorder_dir=ddir)
+            print(f"mesh={r['mesh_shape']}")
+        else:
+            from dtc_tpu.experiments.autocorr import run_autocorr
+
+            r = run_autocorr(cfg, out_dir=args.out_dir, disorder_dir=ddir,
+                             with_envelopes=args.with_envelopes,
+                             method=args.method,
+                             emit_gate_counts=args.emit_gate_counts)
         print(f"wrote {r['csv_path']}")
     elif cmd == "polarization":
         from dtc_tpu.experiments.autocorr import run_polarization_comparison
@@ -177,7 +272,8 @@ def main(argv=None) -> int:
         from dtc_tpu.experiments.energy import run_energy
 
         r = run_energy(cfg, nprobs=[float(s) for s in args.nprobs.split(",")],
-                       out_dir=args.out_dir, disorder_dir=ddir)
+                       out_dir=args.out_dir, disorder_dir=ddir,
+                       checkpoint_path=args.checkpoint)
         print(f"wrote {r['csv_path']}")
     elif cmd == "ham-comparison":
         from dtc_tpu.experiments.energy import run_ham_comparison
@@ -193,7 +289,8 @@ def main(argv=None) -> int:
         from dtc_tpu.experiments.adaptive import run_adaptive_realtime
 
         r = run_adaptive_realtime(cfg, out_dir=args.out_dir, disorder_dir=ddir,
-                                  optimizer_method=args.optimizer_method)
+                                  optimizer_method=args.optimizer_method,
+                                  realtime_csv=args.realtime_csv)
         print(f"wrote {r['csv_path']}")
     elif cmd == "adaptive-batch":
         from dtc_tpu.experiments.adaptive import run_adaptive_batch
