@@ -174,3 +174,40 @@ def run_shots_study(cfg, shots_list=(100, 1000, 10_000, 100_000, 1_000_000), *,
         csvio.write_columns(path, data)
         data["csv_path"] = path
     return data
+
+
+def run_xy_cycle_comparison(cfg, *, out_dir=None, disorder_dir=None,
+                            write=True, period=None) -> dict:
+    """XY-alternating drive vs pure-X comparison
+    (autocorr-delta-a-single-qiskit-fast-polarization-xy-cycle.py:141-155 +
+    draw-xy-cycle-noise-comparison.py): same disorder, both schedules,
+    merged CSV + plot with period gridlines."""
+    period = period or cfg.xy_cycle_period
+    hs, phis = get_disorder(cfg.replace(polarization="x"), disorder_dir)
+    r_x = run_autocorr(cfg.replace(polarization="x"), hs, phis, write=False)
+    r_xy = run_autocorr(cfg.replace(polarization="xy_cycle",
+                                    xy_cycle_period=period),
+                        hs, phis, write=False)
+    data = {
+        "time": np.arange(cfg.tf),
+        "av_autocorr_x": r_x["av_autocorr"],
+        "av_autocorr_echo_x": r_x["av_autocorr_echo"],
+        "av_autocorr_xy_cycle": r_xy["av_autocorr"],
+        "av_autocorr_echo_xy_cycle": r_xy["av_autocorr_echo"],
+    }
+    result = dict(data)
+    if write:
+        folder = out_dir or f"autocorr_data_L{cfg.L}_xy_cycle"
+        path = os.path.join(folder, naming.autocorr_csv_name(cfg).replace(
+            "autocorr_data_", "autocorr_xy_cycle_"))
+        csvio.write_columns(path, data)
+        result["csv_path"] = path
+        from dtc_tpu.analysis.plots import plot_xy_cycle_comparison
+
+        png = plot_xy_cycle_comparison(
+            {"x": (data["time"], data["av_autocorr_x"]),
+             "xy_cycle": (data["time"], data["av_autocorr_xy_cycle"])},
+            path.replace(".csv", ".png"), period=period,
+            title=f"XY-alternating (period {period}) vs pure-X, L={cfg.L}")
+        result["png_path"] = png
+    return result

@@ -64,9 +64,23 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
     """
     import os
 
-    if (os.environ.get("DTC_TPU_ENGINE", "sigma") == "planar"
-            and (not has_y) and K == 1
-            and bool(np.all(np.asarray(angles) == np.asarray(angles)[0]))):
+    engine = os.environ.get("DTC_TPU_ENGINE", "auto")
+    time_independent = (not has_y) and K == 1 and bool(
+        np.all(np.asarray(angles) == np.asarray(angles)[0]))
+
+    if (engine in ("auto", "resident") and time_independent
+            and 14 <= L <= 20 and q < 14 and dtype_name == "complex64"
+            and jax.default_backend() != "cpu"):
+        # VMEM-resident whole-trajectory kernel: state never leaves VMEM
+        # across all T cycles (measured 3.3k cycles/s at L=20 vs 2.0k for
+        # the factored engine; values match it to ~1e-6).
+        from dtc_tpu.ops.pallas_resident import resident_forward_batch
+
+        return resident_forward_batch(
+            hs, phis, angles, keys, L=L, T=T, p=p, q=q,
+            initial_state=initial_state, ancilla_factor=ancilla_factor)
+
+    if (engine == "planar" and time_independent):
         # Experimental planar-real + Pallas noise-factor path. Currently
         # ~1.8k cycles/s at L=20 vs the factored sigma engine's ~2.0k (both
         # far above the noiseless fast path's 38k; see sigma_evolve notes on

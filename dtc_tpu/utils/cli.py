@@ -76,6 +76,7 @@ def build_parser() -> argparse.ArgumentParser:
         ("energy", "energy sweep over noise probabilities"),
         ("ham-comparison", "component-Hamiltonian energy comparison"),
         ("per-qubit-z", "per-qubit <Z_i(t)> sweep"),
+        ("xy-cycle", "XY-alternating vs pure-X comparison"),
         ("adaptive", "real-time adaptive-g control loop"),
         ("adaptive-batch", "batch (non-causal) adaptive-g control"),
     ]:
@@ -279,6 +280,12 @@ def main(argv=None) -> int:
         from dtc_tpu.experiments.energy import run_ham_comparison
 
         r = run_ham_comparison(cfg, out_dir=args.out_dir, disorder_dir=ddir)
+        print(f"wrote {r['csv_path']}")
+    elif cmd == "xy-cycle":
+        from dtc_tpu.experiments.autocorr import run_xy_cycle_comparison
+
+        r = run_xy_cycle_comparison(cfg, out_dir=args.out_dir,
+                                    disorder_dir=ddir)
         print(f"wrote {r['csv_path']}")
     elif cmd == "per-qubit-z":
         from dtc_tpu.experiments.energy import run_per_qubit_z

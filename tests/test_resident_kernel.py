@@ -1,0 +1,58 @@
+"""VMEM-resident kernel: CPU-side unit checks (fast pieces only).
+
+Full-kernel numerical validation runs on the TPU (interpret mode is too slow
+at the kernel's minimum L=14): values match the sigma engine to ~7e-7 both
+noiseless and noisy with identical presampled streams (see
+docs/PERFORMANCE.md). Here we verify the host-side wrappers: parameter
+packing semantics, dispatch guards, and the L-range errors.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dtc_tpu.ops.pallas_noise import pack_cycle_params
+from dtc_tpu.ops.pallas_resident import resident_forward_batch
+
+
+def test_resident_rejects_bad_L():
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)[None]
+    with pytest.raises(ValueError, match="14 <= L <= 20"):
+        resident_forward_batch(
+            jnp.ones((1, 8)), jnp.ones((1, 7)), jnp.zeros((2, 1, 2)), keys,
+            L=8, T=2, p=0.0, q=4)
+
+
+def test_pack_cycle_params_rows():
+    L = 5
+    hs = jnp.arange(1.0, 6.0)
+    phis = jnp.arange(10.0, 14.0)
+    par = np.asarray(pack_cycle_params(jnp.uint32(0b10110), jnp.uint32(0b01010),
+                                       hs, phis, L))
+    assert par.shape == (8, 128)
+    np.testing.assert_array_equal(par[0, :L], [0, 1, 1, 0, 1])  # zm bits
+    np.testing.assert_array_equal(par[1, :L], [0, 1, 0, 1, 0])  # sigma bits
+    # bond flips = sigma_b XOR sigma_{b+1}
+    np.testing.assert_array_equal(par[2, : L - 1], [1, 1, 1, 1])
+    np.testing.assert_allclose(par[3, :L], np.arange(1.0, 6.0))
+    np.testing.assert_allclose(par[4, : L - 1], np.arange(10.0, 14.0))
+    assert np.all(par[0, L:] == 0)
+
+
+def test_dispatch_uses_sigma_on_cpu():
+    """On CPU backends the dispatcher must NOT pick the resident kernel."""
+    from dtc_tpu.experiments.engine import _forward_batch
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.models.drives import build_kick_schedule
+
+    L, T = 14, 3
+    hs, phis = generate_disorder(L, 1, seed=95)
+    sched = build_kick_schedule("x", 0.9, T)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)[None]
+    out = _forward_batch(jnp.asarray(hs[:, :L]), jnp.asarray(phis[:, :L - 1]),
+                         sched.angles, keys, L=L, T=T, K=1, p=0.0, q=L // 2,
+                         initial_state="vacuum", dtype_name="complex64",
+                         ancilla_factor=1.0)
+    assert np.asarray(out).shape == (1, 2, T)
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0], 1.0, atol=1e-6)
