@@ -94,15 +94,21 @@ def device_autocorr_forward(hs, phis, p_1q, p_2q, angles, keys, *, L, T, K, q,
     masks = _masks_split(hs, phis, L, dtype)
     zq = z_sign_mask(q, L)
     psi0 = initial_statevector(L, initial_state, dtype=dtype)
-    state0 = jnp.stack([psi0, psi0 * zq.astype(dtype)])
+    # vacuum/neel are Z eigenstates: single-state A(t) = s0 * <Z_q(t)>
+    from dtc_tpu.core.statevector import neel_index
+
+    b0 = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
+    state0 = psi0
 
     def one_traj(key):
         keys_t = jax.random.split(key, T)
 
         def body(carry, inp):
             ang, k_t = inp
-            a_t = ancilla_factor * jnp.real(
-                jnp.sum(jnp.conj(carry[0]) * zq.astype(dtype) * carry[1]))
+            a_t = ancilla_factor * s0 * jnp.sum(
+                (jnp.real(carry) ** 2 + jnp.imag(carry) ** 2)
+                * zq.astype(jnp.float32))
             carry = device_forward_cycle(
                 carry, ang, masks, p_1q, p_2q, k_t, L=L, K=K, dtype=dtype,
                 events_per_kick=events_per_kick)
@@ -161,7 +167,11 @@ def device_autocorr_echo(hs, phis, p_1q, p_2q, angles, keys, t_value, *, L, T,
     masks = _masks_split(hs, phis, L, dtype)
     zq = z_sign_mask(q, L)
     psi0 = initial_statevector(L, initial_state, dtype=dtype)
-    state0 = jnp.stack([psi0, psi0 * zq.astype(dtype)])
+    from dtc_tpu.core.statevector import neel_index
+
+    b0 = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
+    state0 = psi0
 
     def one_traj(key):
         keys_t = jax.random.split(key, 2 * T)
@@ -188,7 +198,181 @@ def device_autocorr_echo(hs, phis, p_1q, p_2q, angles, keys, t_value, *, L, T,
             return carry, None
 
         state, _ = jax.lax.scan(body, state0, (jnp.arange(2 * T), keys_t))
-        return ancilla_factor * jnp.real(
-            jnp.sum(jnp.conj(state[0]) * zq.astype(dtype) * state[1]))
+        return ancilla_factor * s0 * jnp.sum(
+            (jnp.real(state) ** 2 + jnp.imag(state) ** 2)
+            * zq.astype(jnp.float32))
 
     return jax.vmap(one_traj)(keys)
+
+
+# ---------------------------------------------------------------------------
+# sigma-frame (gather-free) device-noise forward engine — survives large L
+# (the gather path crashes the TPU worker above ~L=24; the factored engine
+# has no gathers and was validated alive at L=27).
+
+
+def _device_presample(key, model_p1, model_p2, epk, T, L):
+    """Presample all device-noise events for one trajectory.
+
+    Per cycle, in order: epk per-site 1q events (after the kick), one 2q
+    event after the even-bond RZZ sublayer, one after the odd sublayer.
+    Returns per-cycle combined z-mask, the three sigma checkpoints
+    (sig_a: before D_even, sig_b: before D_odd, sig_c: cycle end), all
+    (T,) uint32.
+    """
+    from dtc_tpu.core.sigma_evolve import _masks_from_codes
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    u1 = jax.random.uniform(k1, (T, epk, L))
+    q1 = 0.25 * jnp.broadcast_to(model_p1, (L,))
+    c1 = (u1 >= (1.0 - 3.0 * q1)).astype(jnp.int32) * (
+        1 + jnp.floor((u1 - (1.0 - 3.0 * q1))
+                      / jnp.maximum(q1, 1e-30)).astype(jnp.int32))
+    c1 = jnp.clip(c1, 0, 3)
+    xm1, zm1 = _masks_from_codes(c1, L)          # (T, epk)
+
+    def bond_codes(u, p_bonds, start):
+        bonds = [(i, i + 1) for i in range(start, L - 1, 2)]
+        nb = len(bonds)
+        p = jnp.broadcast_to(jnp.asarray(p_bonds), (nb,))
+        q16 = p / 16.0
+        idx = (u >= (1.0 - 15.0 * q16)).astype(jnp.int32) * (
+            1 + jnp.floor((u - (1.0 - 15.0 * q16))
+                          / jnp.maximum(q16, 1e-30)).astype(jnp.int32))
+        idx = jnp.clip(idx, 0, 15)
+        codes = jnp.zeros(u.shape[:-1] + (L,), dtype=jnp.int32)
+        hi = jnp.asarray([b[0] for b in bonds], dtype=jnp.int32)
+        lo = jnp.asarray([b[1] for b in bonds], dtype=jnp.int32)
+        codes = codes.at[..., hi].set(idx >> 2)
+        codes = codes.at[..., lo].set(idx & 3)
+        return codes
+
+    p2 = jnp.broadcast_to(model_p2, (L - 1,))
+    ue = jax.random.uniform(k2, (T, (L - 1 + 1) // 2))
+    uo = jax.random.uniform(k3, (T, (L - 1) // 2))
+    ce = bond_codes(ue, p2[0::2], 0)
+    co = bond_codes(uo, p2[1::2], 1)
+    xme, zme = _masks_from_codes(ce, L)          # (T,)
+    xmo, zmo = _masks_from_codes(co, L)
+
+    xm_kick = xm1[:, 0]
+    zm_all = zm1[:, 0]
+    for e in range(1, epk):
+        xm_kick = xm_kick ^ xm1[:, e]
+        zm_all = zm_all ^ zm1[:, e]
+    zm_all = zm_all ^ zme ^ zmo
+
+    # prefix sigmas: sig_a after kick events, sig_b after even bond event,
+    # sig_c after odd bond event (cycle end)
+    def scan_sig(carry, inp):
+        xk, xe, xo = inp
+        sa = carry ^ xk
+        sb = sa ^ xe
+        sc = sb ^ xo
+        return sc, (sa, sb, sc)
+
+    _, (sig_a, sig_b, sig_c) = jax.lax.scan(
+        scan_sig, jnp.uint32(0), (xm_kick, xme, xmo))
+    return zm_all, sig_a, sig_b, sig_c
+
+
+def _device_column_factors(q0, k, pend_zm, sa, sb, sc, exp_h, exp_p, L, dtype):
+    """Column factors with per-coefficient-class sigmas: field h from sc,
+    even bonds from sa, odd bonds from sb (exact event placement)."""
+    from dtc_tpu.core.sigma_evolve import _bits
+
+    j = jnp.arange(1 << k, dtype=jnp.uint32)
+    out = jnp.ones((1 << k,), dtype=dtype)
+    bits_c = _bits(sc, L)
+    bits_a = _bits(sa, L)
+    bits_b = _bits(sb, L)
+    zm_bits = _bits(pend_zm, L)
+    for q in range(q0, q0 + k):
+        bit = ((j >> (q - q0)) & 1).astype(jnp.int32)
+        nsign = jnp.where(zm_bits[q] * bit == 1, -1.0, 1.0)
+        fq = jnp.where(bit == 0, exp_h[q], jnp.conj(exp_h[q]))
+        fq = jnp.where(bits_c[q] == 1, fq, jnp.ones((), dtype))
+        out = out * (nsign * fq)
+    for b in range(q0, min(q0 + k - 1, L - 1)):
+        sig = bits_a if b % 2 == 0 else bits_b
+        flip = sig[b] ^ sig[b + 1]
+        zz_pos = (((j >> (b - q0)) & 1) == ((j >> (b + 1 - q0)) & 1))
+        gb = jnp.where(zz_pos, exp_p[b], jnp.conj(exp_p[b]))
+        out = out * jnp.where(flip == 1, gb, jnp.ones((), dtype))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "q", "initial_state", "dtype_name",
+                     "events_per_kick"),
+)
+def device_sigma_forward_batch(hs, phis, p_1q, p_2q, angles, keys, *, L, T, q,
+                               initial_state="vacuum", dtype_name="complex64",
+                               ancilla_factor=1.0, events_per_kick=2):
+    """Gather-free device-noise forward A(t): (n_traj, 2) keys -> (n_traj, T).
+
+    x-polarized drives; single-state Z-eigenstate measurement; sigma-frame
+    with the noise/diag-correction factors folded into kick columns (see
+    core.sigma_evolve) generalized to the device event structure.
+    """
+    from dtc_tpu.core.sigma_evolve import _straddle_factor, _group_starts
+    from dtc_tpu.experiments.engine import resolve_dtype
+    from dtc_tpu.models.drives import slot_unitary
+    from dtc_tpu.ops.kick import kron_power
+    from dtc_tpu.ops.precision import gate_precision
+
+    dtype = resolve_dtype(dtype_name)
+    b0 = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
+    zq = z_sign_mask(q, L)
+    psi0 = initial_statevector(L, initial_state, dtype=dtype)
+    d0 = zz_z_phase_mask(hs, phis, L, dtype=dtype)
+    exp_h = jnp.exp(1j * hs.astype(jnp.float32)).astype(dtype)
+    exp_p = jnp.exp(1j * phis.astype(jnp.float32)).astype(dtype)
+    starts = _group_starts(L)
+    u = slot_unitary(angles[0, 0, 0], angles[0, 0, 1], dtype)
+    theta = angles[0, 0, 0]
+
+    def per_traj(key):
+        zm_all, sig_a, sig_b, sig_c = _device_presample(
+            key, p_1q, p_2q, events_per_kick, T, L)
+        sig_start = jnp.concatenate([jnp.zeros((1,), jnp.uint32), sig_c[:-1]])
+
+        def body(carry, inp):
+            st, pend = carry
+            zm_t, sa, sb, sc, sig0 = inp
+            pzm, pa, pb, pc = pend
+            a_t = s0 * (1 - 2 * ((sig0 >> q) & jnp.uint32(1)).astype(
+                jnp.int32)).astype(jnp.float32) * jnp.sum(
+                (jnp.real(st) ** 2 + jnp.imag(st) ** 2)
+                * zq.astype(jnp.float32))
+            # straddle bonds for pending corrections
+            for q0, kk in starts[:-1]:
+                bb = q0 + kk - 1
+                if bb < L - 1:
+                    sig_for_bond = pa if bb % 2 == 0 else pb
+                    st = _straddle_factor(st, bb, sig_for_bond, exp_p, L, dtype)
+            # kick with pending factors folded into columns
+            total = st.shape[-1]
+            for q0, kk in starts:
+                uk = kron_power(u, kk) if kk > 1 else u
+                cols = _device_column_factors(q0, kk, pzm, pa, pb, pc,
+                                              exp_h, exp_p, L, dtype)
+                uk = uk * cols[None, :]
+                high = total >> (q0 + kk)
+                low = 1 << q0
+                s2 = st.reshape(high, 1 << kk, low)
+                s2 = jnp.einsum("ab,hbl->hal", uk, s2,
+                                precision=gate_precision())
+                st = s2.reshape(total)
+            st = st * d0
+            return (st, (zm_t, sa, sb, sc)), a_t * ancilla_factor
+
+        zero = jnp.uint32(0)
+        (_, _), a = jax.lax.scan(
+            body, (psi0, (zero, zero, zero, zero)),
+            (zm_all, sig_a, sig_b, sig_c, sig_start))
+        return a
+
+    return jax.vmap(per_traj)(keys)

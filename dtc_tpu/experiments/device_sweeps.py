@@ -21,9 +21,22 @@ def device_forward_sweep(cfg, sched, params, key) -> np.ndarray:
     af = model.ancilla_interferometric_factor() * model.readout_z_factor(cfg.probe_qubit)
     p1 = jnp.asarray(model.p_1q)
     p2 = jnp.asarray(model.p_2q)
-    kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, q=cfg.probe_qubit,
-              initial_state=cfg.initial_state, dtype_name=cfg.dtype,
-              ancilla_factor=af)
+    use_sigma = cfg.polarization == "x" and sched.K == 1
+    if use_sigma:
+        # gather-free sigma-frame device engine (survives large L)
+        from dtc_tpu.core.device_evolve import device_sigma_forward_batch
+
+        kw = dict(L=cfg.L, T=cfg.tf, q=cfg.probe_qubit,
+                  initial_state=cfg.initial_state, dtype_name=cfg.dtype,
+                  ancilla_factor=af)
+        run = lambda h, ph, keys: device_sigma_forward_batch(
+            h, ph, p1, p2, sched.angles, keys, **kw)
+    else:
+        kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, q=cfg.probe_qubit,
+                  initial_state=cfg.initial_state, dtype_name=cfg.dtype,
+                  ancilla_factor=af)
+        run = lambda h, ph, keys: device_autocorr_forward(
+            h, ph, p1, p2, sched.angles, keys, **kw)
     n_traj = cfg.n_trajectories
     chunk = traj_chunks(n_traj, cfg.L, extra_factor=2)
     out = np.zeros((cfg.inst, cfg.tf))
@@ -33,8 +46,7 @@ def device_forward_sweep(cfg, sched, params, key) -> np.ndarray:
         while done < n_traj:
             c = min(chunk, n_traj - done)
             keys = jax.random.split(jax.random.fold_in(key, 31 * i + done), c)
-            vals = device_autocorr_forward(hs[i], phis[i], p1, p2,
-                                           sched.angles, keys, **kw)
+            vals = run(hs[i], phis[i], keys)
             acc += np.asarray(jnp.sum(vals, axis=0))
             done += c
         out[i] = acc / n_traj

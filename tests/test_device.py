@@ -218,3 +218,31 @@ def test_run_autocorr_fakebackend_mode(tmp_path):
     # device noise is weak (1q ~ 2.5e-4): A(0) ~ ancilla+readout factor < 1
     assert 0.9 < r["av_autocorr"][0] < 1.0
     assert 0.9 < r["av_autocorr_echo"][1] <= 1.0
+
+
+def test_device_sigma_engine_matches_gather_engine():
+    """Gather-free device engine vs the reference gather implementation
+    (same noise model, statistical agreement)."""
+    from dtc_tpu.core.device_evolve import (
+        device_autocorr_forward,
+        device_sigma_forward_batch,
+    )
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.models.drives import build_kick_schedule
+
+    L, T = 4, 5
+    hs, phis = generate_disorder(L, 1, seed=45)
+    sched = build_kick_schedule("x", 0.9, T)
+    p1 = jnp.full((L,), 0.05)
+    p2 = jnp.full((L - 1,), 0.1)
+    kw = dict(L=L, T=T, q=L // 2, initial_state="vacuum",
+              dtype_name="complex128", ancilla_factor=0.9,
+              events_per_kick=2)
+    keys = jax.random.split(jax.random.PRNGKey(1), 3000)
+    a_sigma = np.asarray(device_sigma_forward_batch(
+        jnp.asarray(hs[0]), jnp.asarray(phis[0]), p1, p2, sched.angles,
+        keys, **kw)).mean(axis=0)
+    a_gather = np.asarray(device_autocorr_forward(
+        jnp.asarray(hs[0]), jnp.asarray(phis[0]), p1, p2, sched.angles,
+        jax.random.split(jax.random.PRNGKey(2), 3000), K=1, **kw)).mean(axis=0)
+    assert np.all(np.abs(a_sigma - a_gather) < 0.03), (a_sigma, a_gather)

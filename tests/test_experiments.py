@@ -139,3 +139,20 @@ def test_disorder_distributions():
     assert phis.min() >= -1.5 * np.pi and phis.max() <= -0.5 * np.pi
     hs2, phis2 = generate_disorder(6, 2, randomphi=0, seed=2)
     np.testing.assert_allclose(phis2, -0.4)
+
+
+def test_xy_cycle_comparison(tmp_path):
+    from dtc_tpu.experiments.autocorr import run_xy_cycle_comparison
+
+    cfg = SimConfig(L=4, tf=12, use_noise=0, inst=1, dtype="complex128",
+                    xy_cycle_period=5)
+    r = run_xy_cycle_comparison(cfg, out_dir=str(tmp_path))
+    import os
+    assert os.path.exists(r["csv_path"]) and os.path.exists(r["png_path"])
+    # pure-x and xy-cycle agree for t <= 5 (identical schedule up to period)
+    hs, phis = generate_disorder(cfg.L, 1, seed=cfg.seed)
+    np.testing.assert_allclose(r["av_autocorr_x"][:5],
+                               r["av_autocorr_xy_cycle"][:5], atol=1e-9)
+    # and differ afterwards (Y cycles kick in)
+    assert np.abs(np.asarray(r["av_autocorr_x"][6:])
+                  - np.asarray(r["av_autocorr_xy_cycle"][6:])).max() > 1e-3
