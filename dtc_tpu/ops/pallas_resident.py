@@ -40,6 +40,14 @@ from dtc_tpu.core.statevector import neel_index
 from dtc_tpu.ops.diag import z_sign_mask, zz_z_diag_energy
 from dtc_tpu.ops.pallas_noise import pack_cycle_params
 
+# Kernel dot precision: HIGH = bf16x3 (~f32 accuracy, ~2x faster than
+# HIGHEST full-f32; validated |A| bounded and ~1e-5 agreement vs HIGHEST).
+import os as _os
+_DOT_PRECISION = {
+    "high": __import__("jax").lax.Precision.HIGH,
+    "highest": __import__("jax").lax.Precision.HIGHEST,
+}[_os.environ.get("DTC_TPU_KERNEL_PRECISION", "highest")]
+
 _C = 16384  # 2**14 column axis (bits 0..13)
 _W = 1024   # elementwise / top-matmul column chunk
 
@@ -68,25 +76,44 @@ def _make_kernel(L: int, T: int, q: int, b0: int, has_top: bool):  # noqa: C901
         st_ref[1] = jnp.zeros((TOP, _C), jnp.float32)
 
         def cycle(cyc, _):
-            # ---------------- kick: per-top-row U7 @ M @ U7^T -------------
-            def row_kick(t, __):
-                mr = st_ref[0, t].reshape(128, 128)
-                mi = st_ref[1, t].reshape(128, 128)
-                t1r = (jnp.dot(u7r_ref[...], mr, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
-                       - jnp.dot(u7i_ref[...], mi, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST))
-                t1i = (jnp.dot(u7r_ref[...], mi, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
-                       + jnp.dot(u7i_ref[...], mr, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST))
-                u7rt = u7r_ref[...].T
-                u7it = u7i_ref[...].T
-                m2r = (jnp.dot(t1r, u7rt, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
-                       - jnp.dot(t1i, u7it, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST))
-                m2i = (jnp.dot(t1r, u7it, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
-                       + jnp.dot(t1i, u7rt, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST))
-                st_ref[0, t] = m2r.reshape(_C)
-                st_ref[1, t] = m2i.reshape(_C)
+            # ------- kick bits 0..6 and 7..13: chunked batched matmuls -----
+            # Per chunk of R top-rows: G_lo contracts the low-7 axis as one
+            # (R*128, 128) @ U7^T; a VMEM axis swap exposes the mid-7 axis
+            # for a second right-multiply; swap back. Chunking keeps live
+            # values inside the 16 MB scoped-VMEM budget (full-plane values
+            # measured 57 MB — OOM).
+            u7rt = u7r_ref[...].T
+            u7it = u7i_ref[...].T
+            R = min(8, TOP)
+
+            def big_right(mr, mi):
+                r = (jnp.dot(mr, u7rt, preferred_element_type=jnp.float32,
+                             precision=_DOT_PRECISION)
+                     - jnp.dot(mi, u7it, preferred_element_type=jnp.float32,
+                               precision=_DOT_PRECISION))
+                i = (jnp.dot(mr, u7it, preferred_element_type=jnp.float32,
+                             precision=_DOT_PRECISION)
+                     + jnp.dot(mi, u7rt, preferred_element_type=jnp.float32,
+                               precision=_DOT_PRECISION))
+                return r, i
+
+            def kick_chunk(t, __):
+                sl = pl.ds(t * R, R)
+                mr = st_ref[0, sl].reshape(R * 128, 128)
+                mi = st_ref[1, sl].reshape(R * 128, 128)
+                mr, mi = big_right(mr, mi)  # G_lo
+                mr = jnp.swapaxes(mr.reshape(R, 128, 128), 1, 2).reshape(
+                    R * 128, 128)
+                mi = jnp.swapaxes(mi.reshape(R, 128, 128), 1, 2).reshape(
+                    R * 128, 128)
+                mr, mi = big_right(mr, mi)  # G_mid
+                st_ref[0, sl] = jnp.swapaxes(
+                    mr.reshape(R, 128, 128), 1, 2).reshape(R, _C)
+                st_ref[1, sl] = jnp.swapaxes(
+                    mi.reshape(R, 128, 128), 1, 2).reshape(R, _C)
                 return __
 
-            jax.lax.fori_loop(0, TOP, row_kick, None)
+            jax.lax.fori_loop(0, TOP // R, kick_chunk, None)
 
             # ---------------- top kick (bits 14..L-1) ---------------------
             if has_top:
@@ -94,10 +121,10 @@ def _make_kernel(L: int, T: int, q: int, b0: int, has_top: bool):  # noqa: C901
                     sl = pl.ds(c * _W, _W)
                     mr = st_ref[0, :, sl]
                     mi = st_ref[1, :, sl]
-                    r2 = (jnp.dot(utr_ref[...], mr, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
-                          - jnp.dot(uti_ref[...], mi, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST))
-                    i2 = (jnp.dot(utr_ref[...], mi, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
-                          + jnp.dot(uti_ref[...], mr, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST))
+                    r2 = (jnp.dot(utr_ref[...], mr, preferred_element_type=jnp.float32, precision=_DOT_PRECISION)
+                          - jnp.dot(uti_ref[...], mi, preferred_element_type=jnp.float32, precision=_DOT_PRECISION))
+                    i2 = (jnp.dot(utr_ref[...], mi, preferred_element_type=jnp.float32, precision=_DOT_PRECISION)
+                          + jnp.dot(uti_ref[...], mr, preferred_element_type=jnp.float32, precision=_DOT_PRECISION))
                     st_ref[0, :, sl] = r2
                     st_ref[1, :, sl] = i2
                     return __
