@@ -65,8 +65,14 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
     import os
 
     engine = os.environ.get("DTC_TPU_ENGINE", "auto")
-    time_independent = (not has_y) and K == 1 and bool(
-        np.all(np.asarray(angles) == np.asarray(angles)[0]))
+    # schedule-constancy is a host-side dispatch decision: when angles are a
+    # tracer (caller jitted around us), fall back to the general engine
+    if isinstance(angles, jax.core.Tracer):
+        time_independent = False
+    else:
+        ang_np = np.asarray(angles)
+        time_independent = (not has_y) and K == 1 and bool(
+            np.all(ang_np == ang_np[0]))
 
     if (engine in ("auto", "resident") and time_independent
             and 14 <= L <= 20 and q < 14 and dtype_name == "complex64"
