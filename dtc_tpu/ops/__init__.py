@@ -16,3 +16,4 @@ from dtc_tpu.ops.paulis import (  # noqa: F401
     pauli_string_masks,
 )
 from dtc_tpu.ops.diag import zz_z_diag_energy, zz_z_phase_mask  # noqa: F401
+from dtc_tpu.ops.precision import gate_precision, set_gate_precision  # noqa: F401

@@ -1,0 +1,73 @@
+"""End-to-end parity vs the reference's own shipped artifacts.
+
+Uses the reference's hs_L4/phis_L4 disorder files as INPUT DATA and compares
+our exact density-matrix results against its Aer 1024-shot measurements
+(autocorr_data_L4/autocorr_data_*_realtime_adaptive_g0.84_*.csv, fixed-g
+'standard' columns, rows = t+1 applied cycles). Each reference point carries
+shot noise sigma ~ 1/sqrt(1024) ~ 0.031; exact values must sit inside that
+band. Skipped when the reference tree isn't mounted.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not mounted")
+
+
+def test_exact_dm_matches_reference_shot_data():
+    from dtc_tpu.experiments.autocorr import run_autocorr
+    from dtc_tpu.io import csvio
+    from dtc_tpu.utils.config import SimConfig
+
+    ref = csvio.read_columns(os.path.join(
+        REF, "autocorr_data_L4",
+        "autocorr_data_vacuum_realtime_adaptive_g0.84_L4_inst1_randomphi1_"
+        "delta0.0_amplitude1.0_noise0.05_usenoise1_target1.0_gain0.01.csv"))
+    n_pts = 10
+    cfg = SimConfig(L=4, g=0.84, inst=1, tf=n_pts + 1, noise_prob=0.05,
+                    use_noise=1, dtype="complex128")
+    r = run_autocorr(cfg, disorder_dir=REF, write=False, method="exact")
+
+    sigma = 1.0 / np.sqrt(1024)
+    devs_f = []
+    devs_e = []
+    for t in range(n_pts):
+        devs_f.append(r["av_autocorr"][t + 1] - ref["av_autocorr_standard"][t])
+        devs_e.append(r["av_autocorr_echo"][t + 1]
+                      - ref["av_autocorr_echo_standard"][t])
+    devs_f = np.asarray(devs_f)
+    devs_e = np.asarray(devs_e)
+    # each point within ~3.5 sigma of the 1024-shot measurement, and no
+    # systematic bias beyond the ensemble's standard error
+    assert np.abs(devs_f).max() < 3.5 * sigma, devs_f
+    assert np.abs(devs_e).max() < 3.5 * sigma, devs_e
+    assert abs(devs_f.mean()) < 3 * sigma / np.sqrt(n_pts) + 0.01, devs_f.mean()
+
+
+def test_gate_counts_match_reference_artifacts_on_disk():
+    from dtc_tpu.device.transpile import gate_counts
+    from dtc_tpu.io import csvio
+
+    ref = csvio.read_columns(os.path.join(
+        REF, "autocorr_data_L4",
+        "gate_counts_t1_forward_opt0_aer_simulator_coupling_routelookahead_"
+        "layoutdense_iqm.csv"))
+    want = dict(zip(ref["gate"], [int(c) for c in ref["count"]]))
+    got = gate_counts(4, 1)
+    assert got == want, (got, want)
+
+
+def test_disorder_loader_reads_reference_files():
+    from dtc_tpu.io.disorder import load_disorder
+
+    hs, phis = load_disorder(os.path.join(REF, "hs_L4.csv"),
+                             os.path.join(REF, "phis_L4.csv"), 4, 1)
+    assert hs.shape == (1, 4) and phis.shape == (1, 3)
+    # values from the shipped file (first row)
+    np.testing.assert_allclose(hs[0, 0], 2.6380584912243643)
+    np.testing.assert_allclose(phis[0, 0], -2.6283238608399797)
