@@ -17,8 +17,22 @@ from dtc_tpu.io.disorder import get_disorder
 from dtc_tpu.models.drives import build_kick_schedule
 from dtc_tpu.models.noise import NoiseSpec
 from dtc_tpu.parallel.mesh import make_mesh
-from dtc_tpu.parallel.sharded import make_sharded_autocorr_forward, make_sharded_echo
+from dtc_tpu.parallel.sharded import (
+    make_sharded_autocorr_forward,
+    make_sharded_echo,
+    make_sharded_observables,
+)
 from dtc_tpu.utils.profiling import phase_timer
+
+
+def _auto_mesh(L: int, n_amp=None):
+    n_dev = len(jax.devices())
+    if n_amp is None:
+        n_amp = 1
+        while (n_amp * 2 <= n_dev and n_dev % (n_amp * 2) == 0
+               and (1 << L) // (n_amp * 2) >= 2):
+            n_amp *= 2
+    return make_mesh(n_amp=n_amp, n_traj=n_dev // n_amp)
 
 
 def run_autocorr_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
@@ -32,13 +46,7 @@ def run_autocorr_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
     if hs is None or phis is None:
         hs, phis = get_disorder(cfg, disorder_dir)
     if mesh is None:
-        n_dev = len(jax.devices())
-        if n_amp is None:
-            n_amp = 1
-            while (n_amp * 2 <= n_dev and n_dev % (n_amp * 2) == 0
-                   and (1 << cfg.L) // (n_amp * 2) >= 2):
-                n_amp *= 2
-        mesh = make_mesh(n_amp=n_amp, n_traj=n_dev // n_amp)
+        mesh = _auto_mesh(cfg.L, n_amp)
     noise = NoiseSpec(p=cfg.noise_p)
     sched = build_kick_schedule(
         cfg.polarization, cfg.g, cfg.tf,
@@ -85,6 +93,61 @@ def run_autocorr_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
     if write:
         folder = out_dir or f"autocorr_data_L{cfg.L}_sharded"
         path = os.path.join(folder, naming.autocorr_csv_name(cfg))
+        csvio.write_columns(path, data)
+        result["csv_path"] = path
+    return result
+
+
+def run_energy_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
+                       nprobs=(0.0, 0.001, 0.01, 0.1), component="full",
+                       out_dir=None, disorder_dir=None, write=True,
+                       per_qubit_norm=True) -> dict:
+    """Energy sweep E(t)/L on an amplitude-sharded mesh — the multi-chip
+    counterpart of experiments.energy.run_energy (reference energy path at
+    autocorr-delta-a-single-qiskit-fast-energy.py:210-231 is single-GPU;
+    this scales past one chip's HBM). Same CSV schema `time, energy_p_{p}`.
+    """
+    from dtc_tpu.models.hamiltonian import hamiltonian_terms
+
+    if hs is None or phis is None:
+        hs, phis = get_disorder(cfg, disorder_dir)
+    if mesh is None:
+        mesh = _auto_mesh(cfg.L, n_amp)
+    sched = build_kick_schedule(
+        cfg.polarization, cfg.g, cfg.tf,
+        circular_frequency=cfg.circular_frequency,
+        xy_cycle_period=cfg.xy_cycle_period)
+    key = jax.random.PRNGKey(cfg.seed)
+    data = {"time": np.arange(cfg.tf)}
+    z_data = {}
+    for p in nprobs:
+        fn = make_sharded_observables(
+            mesh, L=cfg.L, T=cfg.tf, K=sched.K, p=float(p),
+            initial_state=cfg.initial_state)
+        n_traj = max(cfg.n_trajectories if p > 0 else 1, mesh.shape["traj"])
+        n_traj -= n_traj % mesh.shape["traj"]
+        acc_e = np.zeros(cfg.tf)
+        acc_z = np.zeros((cfg.tf, cfg.L))
+        with phase_timer(f"sharded energy p={p}"):
+            for i in range(cfg.inst):
+                terms = hamiltonian_terms(cfg.L, cfg.g, hs[i], phis[i], component)
+                keys = jax.random.split(jax.random.fold_in(key, i), n_traj)
+                e, zs = fn(sched.angles, jnp.asarray(hs[i][: cfg.L]),
+                           jnp.asarray(phis[i][: cfg.L - 1]),
+                           terms.hs, terms.phis,
+                           jnp.asarray(float(terms.x_coeff)), keys)
+                acc_e += np.asarray(e)
+                acc_z += np.asarray(zs)
+        av = acc_e / cfg.inst
+        pkey = str(int(p)) if p == int(p) else str(p)
+        data[f"energy_p_{pkey}"] = av / cfg.L if per_qubit_norm else av
+        z_data[float(p)] = acc_z / cfg.inst
+    result = dict(data)
+    result["per_qubit_z"] = z_data
+    result["mesh_shape"] = dict(mesh.shape)
+    if write:
+        folder = out_dir or f"energy-data_L{cfg.L}-sharded"
+        path = os.path.join(folder, naming.energy_csv_name(cfg))
         csvio.write_columns(path, data)
         result["csv_path"] = path
     return result

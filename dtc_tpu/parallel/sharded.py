@@ -32,7 +32,7 @@ from jax.sharding import PartitionSpec as P
 
 from dtc_tpu.core.statevector import neel_index
 from dtc_tpu.models.drives import slot_unitary, slot_unitary_inverse
-from dtc_tpu.ops.diag import z_sign_mask, zz_z_phase_mask
+from dtc_tpu.ops.diag import z_sign_mask, zz_z_diag_energy, zz_z_phase_mask
 from dtc_tpu.ops.kick import apply_uniform_1q_layer
 from dtc_tpu.ops.paulis import (
     _i_power,
@@ -214,6 +214,113 @@ def make_sharded_echo(
         mesh=mesh,
         in_specs=(P(), P(), P(), P("traj", None), P()),
         out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_sharded_observables(
+    mesh, *, L, T, K, p, initial_state="vacuum", dtype=jnp.complex64,
+    with_x=True, estimator_noise_factor=1.0,
+):
+    """Sharded single-state evolution emitting energy and per-qubit <Z_i>.
+
+    The amplitude-sharded counterpart of core.evolve.evolve_observables
+    (energy-sweep capability beyond one chip; reference energy path at
+    autocorr-delta-a-single-qiskit-fast-energy.py:136-183 is single-GPU).
+
+    Returns fn(angles, hs, phis, term_hs, term_phis, x_coeff, keys (n_traj,2))
+    -> (energy (T,), zs (T, L)) trajectory-averaged, replicated.
+
+    Diagonal (Z/ZZ) energy terms are shard-local masked reductions + psum;
+    <X_q> for local qubits is a shard-local pair reduction, for global
+    qubits one ppermute pair exchange (the same halo pattern as gates).
+    """
+    n_amp = mesh.shape["amp"]
+    n_traj_dev = mesh.shape["traj"]
+    k_bits = int(np.log2(n_amp))
+    local_bits = L - k_bits
+    M = 1 << local_bits
+    real_dt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+
+    def local_fn(angles, hs, phis, term_hs, term_phis, x_coeff, keys):
+        offset = (jax.lax.axis_index("amp") * M).astype(jnp.uint32)
+        diag = zz_z_phase_mask(hs, phis, L, offset=offset, size=M, dtype=dtype)
+        diag_e = zz_z_diag_energy(term_hs, term_phis, L, offset=offset, size=M,
+                                  dtype=real_dt)
+        gidx = jnp.arange(M, dtype=jnp.uint32) + offset
+        init_idx = 0 if initial_state == "vacuum" else neel_index(L)
+        psi0 = (gidx == jnp.uint32(init_idx)).astype(dtype)
+
+        def fwd_cycle(state, ang, key):
+            for kk in range(K):
+                u = slot_unitary(ang[kk, 0], ang[kk, 1], dtype)
+                state = apply_uniform_1q_layer(state, u, local_bits)
+                for gb in range(k_bits):
+                    state = _global_1q(state, u, gb, n_amp)
+                if p > 0.0:
+                    codes = sample_depolarizing_codes(
+                        jax.random.fold_in(key, kk), p, (L,))
+                    xm, zm, ny = pauli_string_masks(codes)
+                    state = _sharded_pauli_string(
+                        state, xm, zm, ny, offset=offset, local_size=M,
+                        local_bits=local_bits, n_shards=n_amp)
+            return state * diag
+
+        def measure(state):
+            probs = jnp.real(state) ** 2 + jnp.imag(state) ** 2
+            e_diag = jax.lax.psum(jnp.sum(probs * diag_e), "amp")
+            zs = []
+            for qq in range(L):
+                sgn = z_sign_mask(qq, L, offset=offset, size=M)
+                zs.append(jax.lax.psum(jnp.sum(probs * sgn), "amp"))
+            zs = jnp.stack(zs)
+            if with_x:
+                xs = []
+                for qq in range(L):
+                    if qq < local_bits:
+                        s = state.reshape(M >> (qq + 1), 2, 1 << qq)
+                        part = 2.0 * jnp.real(jnp.sum(
+                            jnp.conj(s[:, 0, :]) * s[:, 1, :]))
+                        xs.append(jax.lax.psum(part, "amp"))
+                    else:
+                        # global qubit: each shard of the XOR pair computes
+                        # Re<conj(mine), partner>; the two partners contribute
+                        # equal values, so the psum supplies the factor of 2
+                        # in <X> = 2 Re sum(conj(a0) a1) with no extra scaling.
+                        gb = qq - local_bits
+                        partner = jax.lax.ppermute(
+                            state, "amp", _xor_perm(n_amp, gb))
+                        part = jnp.real(jnp.sum(jnp.conj(state) * partner))
+                        xs.append(jax.lax.psum(part, "amp"))
+                e = e_diag + x_coeff * estimator_noise_factor * jnp.sum(jnp.stack(xs))
+            else:
+                e = e_diag
+            return e, zs
+
+        def one_traj(key):
+            keys_t = jax.random.split(key, T)
+
+            def body(carry, inp):
+                ang, k_t = inp
+                out = measure(carry)
+                carry = fwd_cycle(carry, ang, k_t)
+                return carry, out
+
+            _, (e, zs) = jax.lax.scan(body, psi0, (angles, keys_t))
+            return e, zs
+
+        e_l, zs_l = jax.vmap(one_traj)(keys)
+        e_tot = jax.lax.psum(jnp.sum(e_l, axis=0), "traj")
+        zs_tot = jax.lax.psum(jnp.sum(zs_l, axis=0), "traj")
+        n_total = keys.shape[0] * n_traj_dev
+        return e_tot / n_total, zs_tot / n_total
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P("traj", None)),
+        out_specs=(P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)

@@ -104,6 +104,9 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--nprobs", type=str, default="0,0.001,0.01,0.1")
             p.add_argument("--checkpoint", type=str, default=None,
                            help="journal path for crash-safe resume")
+            p.add_argument("--sharded", action="store_true",
+                           help="amplitude-shard over all devices")
+            p.add_argument("--n_amp", type=int, default=None)
 
     p = sub.add_parser("disorder", help="generate disorder instance CSVs")
     p.add_argument("--L", type=int, default=None,
@@ -270,11 +273,19 @@ def main(argv=None) -> int:
                             out_dir=args.out_dir, disorder_dir=ddir)
         print(f"wrote {r['csv_path']}")
     elif cmd == "energy":
-        from dtc_tpu.experiments.energy import run_energy
+        nprobs = [float(s) for s in args.nprobs.split(",")]
+        if args.sharded or args.n_amp:
+            from dtc_tpu.experiments.sharded_run import run_energy_sharded
 
-        r = run_energy(cfg, nprobs=[float(s) for s in args.nprobs.split(",")],
-                       out_dir=args.out_dir, disorder_dir=ddir,
-                       checkpoint_path=args.checkpoint)
+            r = run_energy_sharded(cfg, n_amp=args.n_amp, nprobs=nprobs,
+                                   out_dir=args.out_dir, disorder_dir=ddir)
+            print(f"mesh={r['mesh_shape']}")
+        else:
+            from dtc_tpu.experiments.energy import run_energy
+
+            r = run_energy(cfg, nprobs=nprobs,
+                           out_dir=args.out_dir, disorder_dir=ddir,
+                           checkpoint_path=args.checkpoint)
         print(f"wrote {r['csv_path']}")
     elif cmd == "ham-comparison":
         from dtc_tpu.experiments.energy import run_ham_comparison

@@ -11,7 +11,11 @@ from dtc_tpu.io.disorder import generate_disorder
 from dtc_tpu.models.drives import build_kick_schedule
 from dtc_tpu.ops.diag import zz_z_phase_mask
 from dtc_tpu.parallel.mesh import make_mesh
-from dtc_tpu.parallel.sharded import make_sharded_autocorr_forward, make_sharded_echo
+from dtc_tpu.parallel.sharded import (
+    make_sharded_autocorr_forward,
+    make_sharded_echo,
+    make_sharded_observables,
+)
 
 DT = jnp.complex128
 L, T = 6, 5
@@ -103,3 +107,66 @@ def test_sharded_echo_matches_single_device():
     fe0 = make_sharded_echo(mesh, L=L, T=T, K=1, p=0.0, q=L // 2, dtype=DT)
     np.testing.assert_allclose(
         float(fe0(sched.angles, hs, phis, keys, jnp.asarray(3))), 1.0, atol=1e-10)
+
+
+def _ham_terms(hs, phis, g=0.9):
+    from dtc_tpu.models.hamiltonian import hamiltonian_terms
+
+    return hamiltonian_terms(L, g, np.asarray(hs), np.asarray(phis), "full")
+
+
+@pytest.mark.parametrize("n_amp,n_traj", [(4, 2), (8, 1)])
+def test_sharded_observables_noiseless_matches_single(n_amp, n_traj):
+    """Energy + per-qubit <Z_i> on the sharded path == single-device engine,
+    including the global-qubit <X_q> ppermute pair reduction."""
+    from dtc_tpu.core.evolve import evolve_observables
+    from dtc_tpu.ops.diag import zz_z_diag_energy
+
+    hs, phis, sched = _setup(34)
+    terms = _ham_terms(hs, phis)
+    mesh = make_mesh(n_amp=n_amp, n_traj=n_traj)
+    fn = make_sharded_observables(mesh, L=L, T=T, K=1, p=0.0, dtype=DT)
+    keys = jax.random.split(jax.random.PRNGKey(5), n_traj)
+    e, zs = fn(sched.angles, hs, phis, terms.hs, terms.phis,
+               jnp.asarray(float(terms.x_coeff)), keys)
+
+    psi0 = initial_statevector(L, "vacuum", dtype=DT)
+    diag = zz_z_phase_mask(hs, phis, L, dtype=DT)
+    diag_e = zz_z_diag_energy(terms.hs, terms.phis, L, dtype=jnp.float64)
+    e_ref, zs_ref = evolve_observables(
+        psi0, sched.angles, diag, diag_e, float(terms.x_coeff),
+        jax.random.PRNGKey(5), L=L, T=T, K=1, p=0.0)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(zs), np.asarray(zs_ref), atol=1e-9)
+
+
+def test_sharded_observables_noisy_shard_invariance():
+    """Same trajectory keys on 1 vs 8 amp shards -> identical noisy results."""
+    hs, phis, sched = _setup(35)
+    terms = _ham_terms(hs, phis)
+    keys = jax.random.split(jax.random.PRNGKey(6), 8)
+    kw = dict(L=L, T=T, K=1, p=0.12, dtype=DT)
+    f1 = make_sharded_observables(make_mesh(n_amp=1, n_traj=8), **kw)
+    f8 = make_sharded_observables(make_mesh(n_amp=8, n_traj=1), **kw)
+    args = (sched.angles, hs, phis, terms.hs, terms.phis,
+            jnp.asarray(float(terms.x_coeff)), keys)
+    e1, z1 = f1(*args)
+    e8, z8 = f8(*args)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e8), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z8), atol=1e-9)
+
+
+def test_run_energy_sharded_driver(tmp_path):
+    from dtc_tpu.experiments.sharded_run import run_energy_sharded
+    from dtc_tpu.utils.config import SimConfig
+
+    cfg = SimConfig(L=5, inst=2, tf=4, g=0.9, n_trajectories=8, seed=7)
+    res = run_energy_sharded(cfg, nprobs=(0.0, 0.05),
+                             out_dir=str(tmp_path), write=True)
+    assert res["energy_p_0"].shape == (4,)
+    assert res["energy_p_0.05"].shape == (4,)
+    assert res["per_qubit_z"][0.0].shape == (4, 5)
+    assert np.all(np.abs(res["per_qubit_z"][0.0]) <= 1 + 1e-9)
+    import os
+
+    assert os.path.exists(res["csv_path"])
