@@ -181,6 +181,41 @@ def plot_energy_comparison(sources, out_png, *, per_qubit=False, L=None,
     return _save(fig, out_png)
 
 
+def plot_energy_with_echo_inset(energy_sources, echo_sources, out_png, *,
+                                per_qubit=False, L=None, title=""):
+    """Energy overlay with an echo inset in the lower-right corner
+    (draw-energy-all-sub-echo.py:274-347: main axes = E(t) per source,
+    inset = hardware av_autocorr_echo traces).
+
+    energy_sources / echo_sources: {label: (t, values)} dicts.
+    """
+    from mpl_toolkits.axes_grid1.inset_locator import inset_axes
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for label, (t, e) in energy_sources.items():
+        e = np.asarray(e, dtype=float)
+        if per_qubit and L:
+            e = e / L
+        ax.plot(np.asarray(t, dtype=float), e, "o-", ms=3, label=label)
+    ax.set_xlabel("Floquet cycle t")
+    ax.set_ylabel("E/L" if per_qubit else "E")
+    ax.grid(alpha=0.3)
+    ax.legend(fontsize=8, loc="upper left")
+    ax.set_title(title)
+
+    if echo_sources:
+        ax_in = inset_axes(ax, width="45%", height="40%", loc="lower right")
+        markers = ["o-", "s-", "^-", "d-"]
+        for k, (label, (t, e)) in enumerate(echo_sources.items()):
+            ax_in.plot(np.asarray(t, dtype=float), np.asarray(e, dtype=float),
+                       markers[k % len(markers)], ms=2.5, lw=0.9, label=label)
+        ax_in.set_ylabel(r"$A_0(t)$", fontsize=7)
+        ax_in.tick_params(labelsize=6)
+        ax_in.grid(alpha=0.25)
+        ax_in.legend(fontsize=6)
+    return _save(fig, out_png)
+
+
 def plot_polarization_comparison(merged_cols, out_png, polarizations,
                                  title=""):
     """Per-polarization forward+echo panels (draw-polarization-comparison.py)."""

@@ -42,6 +42,47 @@ def hamiltonian_terms(L: int, g, hs, phis, component: str = "full") -> Hamiltoni
     )
 
 
+def pauli_string_terms(L: int, terms: HamiltonianTerms, *,
+                       num_qubits: int | None = None,
+                       layout: list[int] | None = None) -> list[tuple[str, float]]:
+    """Export H as (pauli_string, coeff) pairs — the SparsePauliOp.from_list
+    surface of the reference (autocorr-delta-a-single-qiskit-fast-energy.py:83-102),
+    including the device-register padded variant that embeds an L-site chain
+    on a wider QPU register (127-qubit Brisbane embedding at
+    autocorr-delta-a-single-qiskit-fast-energy-fakebrisbane.py:80-96).
+
+    Strings are little-endian (rightmost character = qubit 0, the Qiskit
+    convention). ``layout`` maps logical site i -> device qubit layout[i]
+    (e.g. a snake layout from dtc_tpu.device.layouts); default identity.
+    Zero-coefficient terms are dropped, matching component selection.
+    """
+    n = num_qubits if num_qubits is not None else L
+    lay = list(range(L)) if layout is None else list(layout[:L])
+    if len(lay) < L or max(lay) >= n:
+        raise ValueError(f"layout must map {L} sites into [0, {n})")
+
+    def string_with(ops: dict[int, str]) -> str:
+        chars = ["I"] * n
+        for q, c in ops.items():
+            chars[n - 1 - q] = c
+        return "".join(chars)
+
+    out: list[tuple[str, float]] = []
+    hs = np.asarray(terms.hs)
+    phis = np.asarray(terms.phis)
+    xc = float(terms.x_coeff)
+    for i in range(L):
+        if hs[i] != 0.0:
+            out.append((string_with({lay[i]: "Z"}), float(hs[i])))
+    for i in range(L - 1):
+        if phis[i] != 0.0:
+            out.append((string_with({lay[i]: "Z", lay[i + 1]: "Z"}), float(phis[i])))
+    if xc != 0.0:
+        for i in range(L):
+            out.append((string_with({lay[i]: "X"}), xc))
+    return out
+
+
 def dense_hamiltonian(L: int, terms: HamiltonianTerms) -> np.ndarray:
     """Dense 2^L x 2^L matrix — test oracle only (L <= ~12)."""
     import numpy as _np

@@ -80,8 +80,12 @@ def test_plots_render(tmp_path):
     p6 = plots.plot_xy_cycle_comparison(
         {"xy_cycle": (t, np.cos(np.pi * t)), "x": (t, 0.9 * np.cos(np.pi * t))},
         str(tmp_path / "f.png"))
+    p7 = plots.plot_energy_with_echo_inset(
+        {"sim p=0.05": (t, -2 + 0.5 * np.log(t + 1))},
+        {"torino": (t, np.exp(-0.1 * t)), "iqm": (t, np.exp(-0.15 * t))},
+        str(tmp_path / "g.png"))
     import os
-    for p in (p1, p2, p3, p4, p5, p6):
+    for p in (p1, p2, p3, p4, p5, p6, p7):
         assert os.path.exists(p) and os.path.getsize(p) > 1000
     assert res.success
 

@@ -165,3 +165,49 @@ def test_dm_vec_roundtrip():
     np.testing.assert_allclose(
         np.asarray(rho), np.outer(np.asarray(psi), np.conj(np.asarray(psi))), atol=1e-12
     )
+
+
+def test_pauli_string_terms_match_dense():
+    """Exported (pauli, coeff) list rebuilds exactly dense_hamiltonian, and
+    the device-register padded/layout variant places operators correctly."""
+    from dtc_tpu.models.hamiltonian import (
+        dense_hamiltonian,
+        hamiltonian_terms,
+        pauli_string_terms,
+    )
+
+    L, g = 3, 0.9
+    hs = np.array([0.3, -0.7, 1.1])
+    phis = np.array([-0.4, 0.9])
+    terms = hamiltonian_terms(L, g, hs, phis, "full")
+
+    I = np.eye(2)
+    X = np.array([[0, 1], [1, 0]], dtype=complex)
+    Z = np.array([[1, 0], [0, -1]], dtype=complex)
+    OPS = {"I": I, "X": X, "Z": Z}
+
+    def dense_from_strings(pairs, n):
+        H = np.zeros((2**n, 2**n), dtype=complex)
+        for s, c in pairs:
+            m = np.ones((1, 1), dtype=complex)
+            for ch in s:  # little-endian: leftmost char = qubit n-1
+                m = np.kron(m, OPS[ch])
+            H += c * m
+        return H
+
+    pairs = pauli_string_terms(L, terms)
+    np.testing.assert_allclose(
+        dense_from_strings(pairs, L), dense_hamiltonian(L, terms), atol=1e-12)
+
+    # padded register: identity on unused qubits, same spectrum block count
+    padded = pauli_string_terms(L, terms, num_qubits=5)
+    assert all(len(s) == 5 for s, _ in padded)
+    assert len(padded) == len(pairs)
+    # with layout [2,3,4] every operator lands on the top three qubits
+    laid = pauli_string_terms(L, terms, num_qubits=5, layout=[2, 3, 4])
+    for s, _ in laid:
+        assert set(s[-2:]) == {"I"}  # qubits 0,1 untouched
+
+    # component selection drops zero terms (x_only -> only X strings)
+    xo = pauli_string_terms(L, hamiltonian_terms(L, g, hs, phis, "x_only"))
+    assert len(xo) == L and all("Z" not in s for s, _ in xo)
