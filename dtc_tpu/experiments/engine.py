@@ -109,7 +109,30 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
 
 def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
                 dtype_name, ancilla_factor, has_y=False):
-    """-> (inst, c, n_ts) echo values (sigma-frame)."""
+    """-> (inst, c, n_ts) echo values (sigma-frame).
+
+    Dispatch mirrors _forward_batch: time-independent x drives at
+    14 <= L <= 20 take the VMEM-resident Pallas echo kernel (measured 9x
+    the sigma engine at L=20; identical presampled trajectories)."""
+    import os
+
+    engine = os.environ.get("DTC_TPU_ENGINE", "auto")
+    if isinstance(angles, jax.core.Tracer):
+        time_independent = False
+    else:
+        ang_np = np.asarray(angles)
+        time_independent = (not has_y) and K == 1 and bool(
+            np.all(ang_np == ang_np[0]))
+
+    if (engine in ("auto", "resident") and time_independent
+            and 14 <= L <= 20 and q < 14 and dtype_name == "complex64"
+            and jax.default_backend() != "cpu"):
+        from dtc_tpu.ops.pallas_resident import resident_echo_batch
+
+        return resident_echo_batch(
+            hs, phis, angles, keys, ts, L=L, T=T, p=p, q=q,
+            initial_state=initial_state, ancilla_factor=ancilla_factor)
+
     from dtc_tpu.core.sigma_evolve import sigma_echo_batch
 
     return sigma_echo_batch(

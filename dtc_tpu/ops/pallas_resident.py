@@ -204,6 +204,277 @@ def _make_kernel(L: int, T: int, q: int, b0: int, has_top: bool):  # noqa: C901
     return kernel
 
 
+def _make_echo_kernel(L: int, T2: int, q: int, b0: int, has_top: bool):  # noqa: C901
+    """Echo kernel: T2 = 2T masked steps, one grid step = one (traj, t) pair.
+
+    Each step applies prediag * kick(+-) * postdiag where both diagonals are
+    evaluated from (8, 128) pack_cycle_params tiles (params row layout:
+    [zm, sigma, flip, h, phi, flags, 0, 0]); the pre tile carries NEGATED
+    h/phi rows so the one shared phase formula yields the inverse diagonal
+    D0* x conj-correction (see sigma_evolve.inverse_cycle_fac). Flags live
+    in row 5 of the PRE tile: lane 0 = kick imag sign (+1 fwd / -1 inv),
+    lane 1 = step active (0 skips the kick via a select).
+    """
+    TOP = 1 << (L - 14)
+
+    def kernel(u7r_ref, u7i_ref, utr_ref, uti_ref, par_ref,
+               a_out_ref, st_ref):
+        col = jax.lax.broadcasted_iota(jnp.uint32, (TOP, _C), 1)
+        topi = jax.lax.broadcasted_iota(jnp.uint32, (TOP, _C), 0)
+        gidx = (topi << 14) | col
+        st_ref[0] = jnp.where(gidx == jnp.uint32(b0), 1.0, 0.0)
+        st_ref[1] = jnp.zeros((TOP, _C), jnp.float32)
+        lci = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
+        if has_top:
+            hti = jax.lax.broadcasted_iota(jnp.int32, (TOP, 1), 0)
+
+        def tile_phase(ti):
+            """Factorized exp(i theta) of the tile at flat index ti:
+            returns (flr, fli, fhr, fhi, f3 parts) per the forward kernel."""
+            def cz(qq):
+                return (par_ref[0, ti, 3, qq] * (par_ref[0, ti, 1, qq] - 0.5)
+                        - _HALF_PI * par_ref[0, ti, 0, qq])
+
+            def cb(jj):
+                return par_ref[0, ti, 4, jj] * (par_ref[0, ti, 2, jj] - 0.5)
+
+            c0 = _HALF_PI * sum(par_ref[0, ti, 0, qq] for qq in range(L))
+            low = jnp.full((1, _C), c0, jnp.float32)
+            prev_z = None
+            for qq in range(14):
+                z = (1 - 2 * ((lci >> qq) & 1)).astype(jnp.float32)
+                low = low + cz(qq) * z
+                if qq > 0:
+                    low = low + cb(qq - 1) * (prev_z * z)
+                prev_z = z
+            zl13 = prev_z
+            flr = jnp.cos(low)
+            fli = jnp.sin(low)
+            if not has_top:
+                return flr, fli, None, None, None
+            high = jnp.zeros((TOP, 1), jnp.float32)
+            prev_zh = None
+            for qq in range(14, L):
+                zh = (1 - 2 * ((hti >> (qq - 14)) & 1)).astype(jnp.float32)
+                high = high + cz(qq) * zh
+                if qq > 14:
+                    high = high + cb(qq - 1) * (prev_zh * zh)
+                prev_zh = zh
+            zh14 = 1.0 - 2.0 * (hti & 1).astype(jnp.float32)
+            fhr = jnp.cos(high)
+            fhi = jnp.sin(high)
+            s13 = cb(13)
+            f3i = (zh14 * zl13) * jnp.sin(s13)
+            return flr, fli, fhr, fhi, (jnp.cos(s13), f3i)
+
+        def apply_phase(mr, mi, ph):
+            flr, fli, fhr, fhi, f3 = ph
+            mr, mi = _cmul(mr, mi, flr, fli)
+            if has_top:
+                mr, mi = _cmul(mr, mi, fhr, fhi)
+                mr, mi = _cmul(mr, mi, f3[0], f3[1])
+            return mr, mi
+
+        def step(k, _):
+            pre = 2 * k       # flat tile indices (pre, post) for step k
+            post = 2 * k + 1
+            imag_sign = par_ref[0, pre, 5, 0]
+            active = par_ref[0, pre, 5, 1]
+
+            mr, mi = apply_phase(st_ref[0], st_ref[1], tile_phase(pre))
+
+            # kick with per-step imaginary sign (U7 fwd / U7* inverse)
+            u7rt = u7r_ref[...].T
+            u7it = u7i_ref[...].T * imag_sign
+            u7st = u7rt + u7it
+            kr = mr.reshape(TOP * 128, 128)
+            ki = mi.reshape(TOP * 128, 128)
+            p1 = jnp.dot(kr, u7rt, preferred_element_type=jnp.float32,
+                         precision=_DOT_PRECISION)
+            p2 = jnp.dot(ki, u7it, preferred_element_type=jnp.float32,
+                         precision=_DOT_PRECISION)
+            p3 = jnp.dot(kr + ki, u7st, preferred_element_type=jnp.float32,
+                         precision=_DOT_PRECISION)
+            kr, ki = p1 - p2, p3 - p1 - p2
+            kr = jnp.swapaxes(kr.reshape(TOP, 128, 128), 1, 2).reshape(
+                TOP * 128, 128)
+            ki = jnp.swapaxes(ki.reshape(TOP, 128, 128), 1, 2).reshape(
+                TOP * 128, 128)
+            p1 = jnp.dot(kr, u7rt, preferred_element_type=jnp.float32,
+                         precision=_DOT_PRECISION)
+            p2 = jnp.dot(ki, u7it, preferred_element_type=jnp.float32,
+                         precision=_DOT_PRECISION)
+            p3 = jnp.dot(kr + ki, u7st, preferred_element_type=jnp.float32,
+                         precision=_DOT_PRECISION)
+            kr, ki = p1 - p2, p3 - p1 - p2
+            kr = jnp.swapaxes(kr.reshape(TOP, 128, 128), 1, 2).reshape(TOP, _C)
+            ki = jnp.swapaxes(ki.reshape(TOP, 128, 128), 1, 2).reshape(TOP, _C)
+            if has_top:
+                utr = utr_ref[...]
+                uti = uti_ref[...] * imag_sign
+                q1 = jnp.dot(utr, kr, preferred_element_type=jnp.float32,
+                             precision=_DOT_PRECISION)
+                q2 = jnp.dot(uti, ki, preferred_element_type=jnp.float32,
+                             precision=_DOT_PRECISION)
+                q3 = jnp.dot(utr + uti, kr + ki,
+                             preferred_element_type=jnp.float32,
+                             precision=_DOT_PRECISION)
+                kr, ki = q1 - q2, q3 - q1 - q2
+            # inactive steps keep the pre-kick state (prediag was identity)
+            kr = jnp.where(active > 0.5, kr, mr)
+            ki = jnp.where(active > 0.5, ki, mi)
+
+            kr, ki = apply_phase(kr, ki, tile_phase(post))
+            st_ref[0] = kr
+            st_ref[1] = ki
+            return _
+
+        jax.lax.fori_loop(0, T2, step, None)
+
+        # terminal measurement: raw sum |v|^2 z_q (host applies s0/sigma/af)
+        zq = (1 - 2 * ((lci >> q) & 1)).astype(jnp.float32)
+        val = jnp.sum((st_ref[0] * st_ref[0] + st_ref[1] * st_ref[1]) * zq)
+        arow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        alane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        apos = arow * 128 + alane
+        a_out_ref[0] = jnp.where(apos == 0, val, 0.0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "p", "q", "initial_state", "ancilla_factor",
+                     "interpret"),
+)
+def resident_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
+                        initial_state="vacuum", ancilla_factor=1.0,
+                        interpret=False):
+    """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2), (n_ts,) -> (inst, c, n_ts).
+
+    VMEM-resident echo A0(t): per (trajectory, t) pair the kernel runs 2T
+    masked steps — t forward cycles, t inverse cycles, identity padding —
+    matching core.sigma_evolve.sigma_echo_batch event-for-event (identical
+    presampled uniforms -> identical trajectories). Requires 14 <= L <= 20,
+    K=1 time-independent x drive, q < 14.
+    """
+    if not (14 <= L <= 20):
+        raise ValueError("resident kernel supports 14 <= L <= 20")
+    TOP = 1 << (L - 14)
+    b0 = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
+    T2 = 2 * T
+
+    theta = angles[0, 0, 0]
+    c, s = jnp.cos(theta / 2).astype(jnp.float32), jnp.sin(theta / 2).astype(jnp.float32)
+    rr = jnp.eye(2, dtype=jnp.float32) * c
+    ri = jnp.array([[0, -1], [-1, 0]], jnp.float32) * s
+
+    def kpow(k):
+        kr, ki = rr, ri
+        for _ in range(k - 1):
+            kr, ki = (jnp.kron(kr, rr) - jnp.kron(ki, ri),
+                      jnp.kron(kr, ri) + jnp.kron(ki, rr))
+        return kr, ki
+
+    u7r, u7i = kpow(7)
+    if TOP > 1:
+        utr, uti = kpow(L - 14)
+    else:
+        utr = jnp.ones((1, 1), jnp.float32)
+        uti = jnp.zeros((1, 1), jnp.float32)
+
+    n_ts = ts.shape[0]
+
+    def per_instance(h, ph, ks):
+        zeros_h = jnp.zeros_like(h)
+        zeros_p = jnp.zeros_like(ph)
+
+        def tiles_one(key, t_value):
+            """(2*T2, 8, 128) interleaved (pre, post) tiles + final sigma."""
+            from dtc_tpu.core.sigma_evolve import (
+                _codes_from_uniform,
+                _masks_from_codes,
+            )
+
+            step_i = jnp.arange(T2)
+            fwd = step_i < t_value
+            inv = (step_i >= t_value) & (step_i < 2 * t_value)
+            if p > 0.0:
+                u = jax.random.uniform(key, (T2, 1, L))
+                codes = _codes_from_uniform(u, p)
+                codes = jnp.where((fwd | inv)[:, None, None], codes, 0)
+                xm, zm = _masks_from_codes(codes, L)
+                xm, zm = xm[:, 0], zm[:, 0]
+                csum = jax.lax.associative_scan(jnp.bitwise_xor, xm)
+                sig_b = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.uint32), csum[:-1]])
+            else:
+                zm = sig_b = csum = jnp.zeros((T2,), jnp.uint32)
+            # pre tile: inverse diagonal D0* x conj-correction at the
+            # CURRENT sigma (= sigma before this step's event). Unlike
+            # sigma_evolve.inverse_cycle_fac there is no pending-XOR
+            # cancellation here: the forward postdiag applies its D0
+            # sigma-correction eagerly (not deferred into the next kick),
+            # so at the turnaround the inverse must conj-correct it back.
+            dsig = sig_b
+
+            def one_step(zm_k, csum_k, dsig_k, fwd_k, inv_k):
+                pre = pack_cycle_params(
+                    jnp.uint32(0), dsig_k, -h, -ph, L) * inv_k.astype(jnp.float32)
+                post = (pack_cycle_params(zm_k, csum_k, h, ph, L)
+                        * fwd_k.astype(jnp.float32)
+                        + pack_cycle_params(zm_k, jnp.uint32(0), zeros_h,
+                                            zeros_p, L)
+                        * inv_k.astype(jnp.float32))
+                imag_sign = jnp.where(inv_k, -1.0, 1.0)
+                active = (fwd_k | inv_k).astype(jnp.float32)
+                pre = pre.at[5, 0].set(imag_sign).at[5, 1].set(active)
+                return jnp.stack([pre, post])
+
+            tiles = jax.vmap(one_step)(zm, csum, dsig, fwd, inv)  # (T2,2,8,128)
+            return tiles.reshape(2 * T2, 8, 128), csum[-1]
+
+        # (c, n_ts) pairs -> flat grid
+        tiles, sig_fin = jax.vmap(
+            lambda k: jax.vmap(lambda t: tiles_one(k, t))(ts))(ks)
+        n_pairs = ks.shape[0] * n_ts
+        tiles = tiles.reshape(n_pairs, 2 * T2, 8, 128)
+
+        a_raw = pl.pallas_call(
+            _make_echo_kernel(L, T2, q, b0, TOP > 1),
+            out_shape=jax.ShapeDtypeStruct((n_pairs, 8, 128), jnp.float32),
+            grid=(n_pairs,),
+            in_specs=[
+                pl.BlockSpec((128, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TOP, TOP), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TOP, TOP), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2 * T2, 8, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),  # tiles (too big: SMEM)
+            ],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, TOP, _C), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(u7r, u7i, utr, uti, tiles)
+        val = a_raw.reshape(n_pairs, 1024)[:, 0].reshape(ks.shape[0], n_ts)
+
+        sq = (1 - 2 * ((sig_fin >> q) & jnp.uint32(1)).astype(jnp.int32)
+              ).astype(jnp.float32)
+        return ancilla_factor * s0 * sq * val
+
+    return jax.vmap(per_instance)(hs, phis, keys)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("L", "T", "p", "q", "initial_state", "ancilla_factor",

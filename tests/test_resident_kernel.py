@@ -56,3 +56,32 @@ def test_dispatch_uses_sigma_on_cpu():
                          ancilla_factor=1.0)
     assert np.asarray(out).shape == (1, 2, T)
     np.testing.assert_allclose(np.asarray(out)[0, 0, 0], 1.0, atol=1e-6)
+
+
+def test_resident_echo_rejects_bad_L():
+    from dtc_tpu.ops.pallas_resident import resident_echo_batch
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)[None]
+    with pytest.raises(ValueError, match="14 <= L <= 20"):
+        resident_echo_batch(
+            jnp.ones((1, 8)), jnp.ones((1, 7)), jnp.zeros((2, 1, 2)), keys,
+            jnp.arange(2), L=8, T=2, p=0.0, q=4)
+
+
+def test_echo_dispatch_uses_sigma_on_cpu():
+    """On CPU backends the echo dispatcher must NOT pick the resident kernel
+    (and the sigma path must return the exact noiseless echo = 1)."""
+    from dtc_tpu.experiments.engine import _echo_batch
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.models.drives import build_kick_schedule
+
+    L, T = 14, 3
+    hs, phis = generate_disorder(L, 1, seed=96)
+    sched = build_kick_schedule("x", 0.9, T)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)[None]
+    out = _echo_batch(jnp.asarray(hs[:, :L]), jnp.asarray(phis[:, :L - 1]),
+                      sched.angles, keys, jnp.arange(3), L=L, T=T, K=1, p=0.0,
+                      q=L // 2, initial_state="vacuum",
+                      dtype_name="complex64", ancilla_factor=1.0)
+    assert np.asarray(out).shape == (1, 2, 3)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
