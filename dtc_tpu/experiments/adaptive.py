@@ -399,31 +399,42 @@ def run_adaptive_batch(cfg, hs=None, phis=None, *, out_dir=None,
     if hs is None or phis is None:
         hs, phis = get_disorder(cfg, disorder_dir)
     T = cfg.tf
+    noise = NoiseSpec(p=cfg.noise_p)
+    p = noise.p
+    af = noise.ancilla_factor if p > 0 else 1.0
+    n_traj = cfg.n_trajectories if p > 0 else 1
     all_fwd, all_echo, all_g = [], [], []
+    from dtc_tpu.experiments.engine import _echo_batch, _forward_batch
+
+    def schedule_angles(schedule):
+        # per-cycle x-kick angles (T, 1, 2): theta_x = pi * g_t
+        ang = np.zeros((T, 1, 2), dtype=np.float32)
+        ang[:, 0, 0] = np.pi * np.asarray(schedule)
+        return jnp.asarray(ang)
+
+    kw = dict(L=cfg.L, T=T, K=1, p=p, q=cfg.probe_qubit,
+              initial_state=cfg.initial_state, dtype_name=cfg.dtype,
+              ancilla_factor=af, has_y=False)
     for i in range(cfg.inst):
-        stepper = AdaptiveStepper(cfg, hs[i], phis[i])
+        h = jnp.asarray(np.asarray(hs[i])[: cfg.L])[None]
+        ph = jnp.asarray(np.asarray(phis[i])[: cfg.L - 1])[None]
         key = jax.random.PRNGKey(cfg.seed + 31 * i)
+        k1, k2 = jax.random.split(key)
 
-        def sweep(schedule, key, want_echo):
-            states_prev = stepper.reset()
-            vals = []
-            for t in range(T):
-                k_adv, k_echo, key = jax.random.split(key, 3)
-                states = stepper.advance(states_prev, schedule[t], t, k_adv)
-                if want_echo:
-                    vals.append(stepper.echo_value(states_prev, schedule,
-                                                   schedule[t], t + 1, k_echo))
-                else:
-                    vals.append(stepper.forward_value(states))
-                states_prev = states
-            return np.asarray(vals)
-
+        # echo pass with the initial schedule: echo_vals[t] = A0(t+1)
+        # (matching the reference's per-cycle echo probe, then the whole
+        # schedule is adjusted at once — g-optimization.py:625-669)
         g0 = np.full(T, cfg.g)
-        k1, k2, key = jax.random.split(key, 3)
-        echo_vals = sweep(g0, k1, want_echo=True)
+        keys1 = jax.random.split(k1, n_traj)[None]
+        echo_vals = np.asarray(
+            _echo_batch(h, ph, schedule_angles(g0), keys1,
+                        jnp.arange(1, T + 1), **kw)).mean(axis=1)[0]
         adj = adjust_g_schedule(echo_vals, g0, cfg.target_echo,
                                 cfg.feedback_gain, cfg.g_min, cfg.g_max)
-        fwd_vals = sweep(adj, k2, want_echo=False)
+        keys2 = jax.random.split(k2, n_traj)[None]
+        fwd_vals = np.asarray(
+            _forward_batch(h, ph, schedule_angles(adj), keys2,
+                           **kw)).mean(axis=1)[0]
         all_fwd.append(fwd_vals)
         all_echo.append(echo_vals)
         all_g.append(adj)

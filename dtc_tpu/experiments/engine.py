@@ -67,24 +67,21 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
     engine = os.environ.get("DTC_TPU_ENGINE", "auto")
     # schedule-constancy is a host-side dispatch decision: when angles are a
     # tracer (caller jitted around us), fall back to the general engine
-    if isinstance(angles, jax.core.Tracer):
-        time_independent = False
-    else:
-        ang_np = np.asarray(angles)
-        time_independent = (not has_y) and K == 1 and bool(
-            np.all(ang_np == ang_np[0]))
-
-    if (engine in ("auto", "resident") and time_independent
-            and 14 <= L <= 20 and q < 14 and dtype_name == "complex64"
-            and jax.default_backend() != "cpu"):
+    resident_ok, time_independent = _resident_dispatch(
+        angles, has_y=has_y, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
+        engine=engine)
+    if resident_ok:
         # VMEM-resident whole-trajectory kernel: state never leaves VMEM
-        # across all T cycles (measured 3.3k cycles/s at L=20 vs 2.0k for
-        # the factored engine; values match it to ~1e-6).
+        # across all T cycles (measured 9.3k cycles/s at L=20 vs 2.0k for
+        # the factored engine; values match it to ~1e-6). Per-cycle x-only
+        # schedules (adaptive-g) use the same kernel with (T,128,128)
+        # per-cycle kick matrices.
         from dtc_tpu.ops.pallas_resident import resident_forward_batch
 
         return resident_forward_batch(
             hs, phis, angles, keys, L=L, T=T, p=p, q=q,
-            initial_state=initial_state, ancilla_factor=ancilla_factor)
+            initial_state=initial_state, ancilla_factor=ancilla_factor,
+            time_dependent=not time_independent)
 
     if (engine == "planar" and time_independent):
         # Experimental planar-real + Pallas noise-factor path. Currently
@@ -107,31 +104,44 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
         ancilla_factor=ancilla_factor, has_y=has_y)
 
 
+def _resident_dispatch(angles, *, has_y, K, L, q, T, dtype_name, engine):
+    """(resident_ok, time_independent): whether the VMEM-resident kernels
+    apply, and whether the x-only schedule is constant (constant schedules
+    share one kick matrix; per-cycle ones carry T of them — cap T to keep
+    the matrix block in VMEM)."""
+    if isinstance(angles, jax.core.Tracer) or has_y or K != 1:
+        return False, False
+    ang_np = np.asarray(angles)
+    x_only = bool(np.all(ang_np[:, :, 1] == 0.0))
+    time_independent = x_only and bool(np.all(ang_np == ang_np[0]))
+    ok = (engine in ("auto", "resident") and x_only
+          and 14 <= L <= 20 and q < 14 and dtype_name == "complex64"
+          and (time_independent or T <= 256)
+          and jax.default_backend() != "cpu")
+    return ok, time_independent
+
+
 def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
                 dtype_name, ancilla_factor, has_y=False):
     """-> (inst, c, n_ts) echo values (sigma-frame).
 
-    Dispatch mirrors _forward_batch: time-independent x drives at
-    14 <= L <= 20 take the VMEM-resident Pallas echo kernel (measured 9x
-    the sigma engine at L=20; identical presampled trajectories)."""
+    Dispatch mirrors _forward_batch: x-only drives at 14 <= L <= 20 take
+    the VMEM-resident Pallas echo kernel (measured 9x the sigma engine at
+    L=20; identical presampled trajectories), including per-cycle
+    g schedules (adaptive-g workloads)."""
     import os
 
     engine = os.environ.get("DTC_TPU_ENGINE", "auto")
-    if isinstance(angles, jax.core.Tracer):
-        time_independent = False
-    else:
-        ang_np = np.asarray(angles)
-        time_independent = (not has_y) and K == 1 and bool(
-            np.all(ang_np == ang_np[0]))
-
-    if (engine in ("auto", "resident") and time_independent
-            and 14 <= L <= 20 and q < 14 and dtype_name == "complex64"
-            and jax.default_backend() != "cpu"):
+    resident_ok, time_independent = _resident_dispatch(
+        angles, has_y=has_y, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
+        engine=engine)
+    if resident_ok:
         from dtc_tpu.ops.pallas_resident import resident_echo_batch
 
         return resident_echo_batch(
             hs, phis, angles, keys, ts, L=L, T=T, p=p, q=q,
-            initial_state=initial_state, ancilla_factor=ancilla_factor)
+            initial_state=initial_state, ancilla_factor=ancilla_factor,
+            time_dependent=not time_independent)
 
     from dtc_tpu.core.sigma_evolve import sigma_echo_batch
 

@@ -75,7 +75,8 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _make_kernel(L: int, T: int, q: int, b0: int, has_top: bool):  # noqa: C901
+def _make_kernel(L: int, T: int, q: int, b0: int, has_top: bool,
+                 time_dep: bool = False):  # noqa: C901
     TOP = 1 << (L - 14)
 
     def kernel(u7r_ref, u7i_ref, utr_ref, uti_ref, par_ref,
@@ -96,8 +97,9 @@ def _make_kernel(L: int, T: int, q: int, b0: int, has_top: bool):  # noqa: C901
 
         def cycle(cyc, _):
             # ------------- kick bits 0..6 and 7..13: full plane ------------
-            u7rt = u7r_ref[...].T
-            u7it = u7i_ref[...].T
+            ui = cyc if time_dep else 0
+            u7rt = u7r_ref[ui].T
+            u7it = u7i_ref[ui].T
             u7st = u7rt + u7it
 
             def big_right(mr, mi):
@@ -123,13 +125,15 @@ def _make_kernel(L: int, T: int, q: int, b0: int, has_top: bool):  # noqa: C901
 
             # ---------------- top kick (bits 14..L-1) ----------------------
             if has_top:
-                q1 = jnp.dot(utr_ref[...], mr,
+                utr = utr_ref[ui]
+                uti = uti_ref[ui]
+                q1 = jnp.dot(utr, mr,
                              preferred_element_type=jnp.float32,
                              precision=_DOT_PRECISION)
-                q2 = jnp.dot(uti_ref[...], mi,
+                q2 = jnp.dot(uti, mi,
                              preferred_element_type=jnp.float32,
                              precision=_DOT_PRECISION)
-                q3 = jnp.dot(utr_ref[...] + uti_ref[...], mr + mi,
+                q3 = jnp.dot(utr + uti, mr + mi,
                              preferred_element_type=jnp.float32,
                              precision=_DOT_PRECISION)
                 mr, mi = q1 - q2, q3 - q1 - q2
@@ -204,7 +208,38 @@ def _make_kernel(L: int, T: int, q: int, b0: int, has_top: bool):  # noqa: C901
     return kernel
 
 
-def _make_echo_kernel(L: int, T2: int, q: int, b0: int, has_top: bool):  # noqa: C901
+
+def _kick_matrices(angles, L, TOP, time_dependent):
+    """Planar (Tu, 128, 128) U7 and (Tu, TOP, TOP) U_top kick matrices,
+    Tu = T for per-cycle schedules else 1 (x-polarized: RX(theta_t)^kron)."""
+
+    def one(theta):
+        c = jnp.cos(theta / 2).astype(jnp.float32)
+        s = jnp.sin(theta / 2).astype(jnp.float32)
+        rr = jnp.eye(2, dtype=jnp.float32) * c
+        ri = jnp.array([[0, -1], [-1, 0]], jnp.float32) * s
+
+        def kpow(k):
+            kr, ki = rr, ri
+            for _ in range(k - 1):
+                kr, ki = (jnp.kron(kr, rr) - jnp.kron(ki, ri),
+                          jnp.kron(kr, ri) + jnp.kron(ki, rr))
+            return kr, ki
+
+        u7r, u7i = kpow(7)
+        if TOP > 1:
+            utr, uti = kpow(int(np.log2(TOP)))
+        else:
+            utr = jnp.ones((1, 1), jnp.float32)
+            uti = jnp.zeros((1, 1), jnp.float32)
+        return u7r, u7i, utr, uti
+
+    thetas = angles[:, 0, 0] if time_dependent else angles[:1, 0, 0]
+    return jax.vmap(one)(thetas)
+
+
+def _make_echo_kernel(L: int, T2: int, q: int, b0: int, has_top: bool,
+                      time_dep: bool = False):  # noqa: C901
     """Echo kernel: T2 = 2T masked steps, one grid step = one (traj, t) pair.
 
     Each step applies prediag * kick(+-) * postdiag where both diagonals are
@@ -280,12 +315,13 @@ def _make_echo_kernel(L: int, T2: int, q: int, b0: int, has_top: bool):  # noqa:
             post = 2 * k + 1
             imag_sign = par_ref[0, pre, 5, 0]
             active = par_ref[0, pre, 5, 1]
+            ui = par_ref[0, pre, 5, 2].astype(jnp.int32) if time_dep else 0
 
             mr, mi = apply_phase(st_ref[0], st_ref[1], tile_phase(pre))
 
             # kick with per-step imaginary sign (U7 fwd / U7* inverse)
-            u7rt = u7r_ref[...].T
-            u7it = u7i_ref[...].T * imag_sign
+            u7rt = u7r_ref[ui].T
+            u7it = u7i_ref[ui].T * imag_sign
             u7st = u7rt + u7it
             kr = mr.reshape(TOP * 128, 128)
             ki = mi.reshape(TOP * 128, 128)
@@ -310,8 +346,8 @@ def _make_echo_kernel(L: int, T2: int, q: int, b0: int, has_top: bool):  # noqa:
             kr = jnp.swapaxes(kr.reshape(TOP, 128, 128), 1, 2).reshape(TOP, _C)
             ki = jnp.swapaxes(ki.reshape(TOP, 128, 128), 1, 2).reshape(TOP, _C)
             if has_top:
-                utr = utr_ref[...]
-                uti = uti_ref[...] * imag_sign
+                utr = utr_ref[ui]
+                uti = uti_ref[ui] * imag_sign
                 q1 = jnp.dot(utr, kr, preferred_element_type=jnp.float32,
                              precision=_DOT_PRECISION)
                 q2 = jnp.dot(uti, ki, preferred_element_type=jnp.float32,
@@ -345,11 +381,11 @@ def _make_echo_kernel(L: int, T2: int, q: int, b0: int, has_top: bool):  # noqa:
 @functools.partial(
     jax.jit,
     static_argnames=("L", "T", "p", "q", "initial_state", "ancilla_factor",
-                     "interpret"),
+                     "time_dependent", "interpret"),
 )
 def resident_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                         initial_state="vacuum", ancilla_factor=1.0,
-                        interpret=False):
+                        time_dependent=False, interpret=False):
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2), (n_ts,) -> (inst, c, n_ts).
 
     VMEM-resident echo A0(t): per (trajectory, t) pair the kernel runs 2T
@@ -364,26 +400,8 @@ def resident_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
     b0 = 0 if initial_state == "vacuum" else neel_index(L)
     s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
     T2 = 2 * T
-
-    theta = angles[0, 0, 0]
-    c, s = jnp.cos(theta / 2).astype(jnp.float32), jnp.sin(theta / 2).astype(jnp.float32)
-    rr = jnp.eye(2, dtype=jnp.float32) * c
-    ri = jnp.array([[0, -1], [-1, 0]], jnp.float32) * s
-
-    def kpow(k):
-        kr, ki = rr, ri
-        for _ in range(k - 1):
-            kr, ki = (jnp.kron(kr, rr) - jnp.kron(ki, ri),
-                      jnp.kron(kr, ri) + jnp.kron(ki, rr))
-        return kr, ki
-
-    u7r, u7i = kpow(7)
-    if TOP > 1:
-        utr, uti = kpow(L - 14)
-    else:
-        utr = jnp.ones((1, 1), jnp.float32)
-        uti = jnp.zeros((1, 1), jnp.float32)
-
+    Tu = T if time_dependent else 1
+    u7r, u7i, utr, uti = _kick_matrices(angles, L, TOP, time_dependent)
     n_ts = ts.shape[0]
 
     def per_instance(h, ph, ks):
@@ -419,7 +437,7 @@ def resident_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
             # so at the turnaround the inverse must conj-correct it back.
             dsig = sig_b
 
-            def one_step(zm_k, csum_k, dsig_k, fwd_k, inv_k):
+            def one_step(zm_k, csum_k, dsig_k, fwd_k, inv_k, aidx_k):
                 pre = pack_cycle_params(
                     jnp.uint32(0), dsig_k, -h, -ph, L) * inv_k.astype(jnp.float32)
                 post = (pack_cycle_params(zm_k, csum_k, h, ph, L)
@@ -429,10 +447,15 @@ def resident_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                         * inv_k.astype(jnp.float32))
                 imag_sign = jnp.where(inv_k, -1.0, 1.0)
                 active = (fwd_k | inv_k).astype(jnp.float32)
-                pre = pre.at[5, 0].set(imag_sign).at[5, 1].set(active)
+                pre = (pre.at[5, 0].set(imag_sign).at[5, 1].set(active)
+                       .at[5, 2].set(aidx_k.astype(jnp.float32)))
                 return jnp.stack([pre, post])
 
-            tiles = jax.vmap(one_step)(zm, csum, dsig, fwd, inv)  # (T2,2,8,128)
+            # kick-matrix index per step (forward i = k, inverse i = 2t-1-k,
+            # cf. sigma_echo_batch); constant-schedule kernels ignore it
+            aidx = jnp.where(fwd, step_i,
+                             jnp.clip(2 * t_value - 1 - step_i, 0, T - 1))
+            tiles = jax.vmap(one_step)(zm, csum, dsig, fwd, inv, aidx)  # (T2,2,8,128)
             return tiles.reshape(2 * T2, 8, 128), csum[-1]
 
         # (c, n_ts) pairs -> flat grid
@@ -442,17 +465,17 @@ def resident_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
         tiles = tiles.reshape(n_pairs, 2 * T2, 8, 128)
 
         a_raw = pl.pallas_call(
-            _make_echo_kernel(L, T2, q, b0, TOP > 1),
+            _make_echo_kernel(L, T2, q, b0, TOP > 1, time_dependent),
             out_shape=jax.ShapeDtypeStruct((n_pairs, 8, 128), jnp.float32),
             grid=(n_pairs,),
             in_specs=[
-                pl.BlockSpec((128, 128), lambda i: (0, 0),
+                pl.BlockSpec((Tu, 128, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((128, 128), lambda i: (0, 0),
+                pl.BlockSpec((Tu, 128, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TOP, TOP), lambda i: (0, 0),
+                pl.BlockSpec((Tu, TOP, TOP), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TOP, TOP), lambda i: (0, 0),
+                pl.BlockSpec((Tu, TOP, TOP), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 2 * T2, 8, 128), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),  # tiles (too big: SMEM)
@@ -478,11 +501,11 @@ def resident_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
 @functools.partial(
     jax.jit,
     static_argnames=("L", "T", "p", "q", "initial_state", "ancilla_factor",
-                     "interpret"),
+                     "time_dependent", "interpret"),
 )
 def resident_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
                            initial_state="vacuum", ancilla_factor=1.0,
-                           interpret=False):
+                           time_dependent=False, interpret=False):
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2) -> (inst, c, T).
 
     VMEM-resident x-pol forward autocorrelator; requires 14 <= L <= 20 and
@@ -494,25 +517,8 @@ def resident_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
     b0 = 0 if initial_state == "vacuum" else neel_index(L)
     s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
 
-    # constant matrices (planar real/imag)
-    theta = angles[0, 0, 0]
-    c, s = jnp.cos(theta / 2).astype(jnp.float32), jnp.sin(theta / 2).astype(jnp.float32)
-    rr = jnp.eye(2, dtype=jnp.float32) * c
-    ri = jnp.array([[0, -1], [-1, 0]], jnp.float32) * s
-
-    def kpow(k):
-        kr, ki = rr, ri
-        for _ in range(k - 1):
-            kr, ki = (jnp.kron(kr, rr) - jnp.kron(ki, ri),
-                      jnp.kron(kr, ri) + jnp.kron(ki, rr))
-        return kr, ki
-
-    u7r, u7i = kpow(7)
-    if TOP > 1:
-        utr, uti = kpow(L - 14)
-    else:
-        utr = jnp.ones((1, 1), jnp.float32)
-        uti = jnp.zeros((1, 1), jnp.float32)
+    Tu = T if time_dependent else 1
+    u7r, u7i, utr, uti = _kick_matrices(angles, L, TOP, time_dependent)
 
     if T > 1024:
         raise ValueError("resident kernel supports T <= 1024")
@@ -535,17 +541,17 @@ def resident_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
             sig_after = jnp.zeros((n_traj, T), jnp.uint32)
 
         a_raw = pl.pallas_call(
-            _make_kernel(L, T, q, b0, TOP > 1),
+            _make_kernel(L, T, q, b0, TOP > 1, time_dependent),
             out_shape=jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
             grid=(n_traj,),
             in_specs=[
-                pl.BlockSpec((128, 128), lambda i: (0, 0),
+                pl.BlockSpec((Tu, 128, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # u7r
-                pl.BlockSpec((128, 128), lambda i: (0, 0),
+                pl.BlockSpec((Tu, 128, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # u7i
-                pl.BlockSpec((TOP, TOP), lambda i: (0, 0),
+                pl.BlockSpec((Tu, TOP, TOP), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # utr
-                pl.BlockSpec((TOP, TOP), lambda i: (0, 0),
+                pl.BlockSpec((Tu, TOP, TOP), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # uti
                 pl.BlockSpec((1, T, 8, 128), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.SMEM),  # params (scalar reads)
