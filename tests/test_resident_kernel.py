@@ -85,3 +85,27 @@ def test_echo_dispatch_uses_sigma_on_cpu():
                       dtype_name="complex64", ancilla_factor=1.0)
     assert np.asarray(out).shape == (1, 2, 3)
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
+
+
+def test_resident_dispatch_logic():
+    """Host-side dispatch: x-only constant and per-cycle schedules qualify
+    (on TPU), y-drives and tracers never do; per-cycle capped at T<=256."""
+    from dtc_tpu.experiments.engine import _resident_dispatch
+
+    const = jnp.zeros((10, 1, 2)).at[:, 0, 0].set(3.0)
+    ramp = jnp.zeros((10, 1, 2)).at[:, 0, 0].set(jnp.linspace(2.6, 3.1, 10))
+    ywise = jnp.ones((10, 1, 2))
+    kw = dict(has_y=False, K=1, L=16, q=8, T=10, dtype_name="complex64",
+              engine="auto")
+    on_cpu = __import__("jax").default_backend() == "cpu"
+
+    ok, ti = _resident_dispatch(const, **kw)
+    assert ti and ok == (not on_cpu)
+    ok, ti = _resident_dispatch(ramp, **kw)
+    assert (not ti) and ok == (not on_cpu)
+    ok, _ = _resident_dispatch(ywise, **{**kw, "has_y": True})
+    assert not ok
+    ok, _ = _resident_dispatch(ramp, **{**kw, "T": 300})
+    assert not ok  # per-cycle matrices too large past T=256
+    ok, _ = _resident_dispatch(const, **{**kw, "L": 12})
+    assert not ok
