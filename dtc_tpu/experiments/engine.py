@@ -69,7 +69,7 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
     # tracer (caller jitted around us), fall back to the general engine
     resident_ok, time_independent = _resident_dispatch(
         angles, has_y=has_y, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
-        engine=engine)
+        engine=engine, max_L=21)
     if resident_ok:
         # VMEM-resident whole-trajectory kernel: state never leaves VMEM
         # across all T cycles (measured 9.3k cycles/s at L=20 vs 2.0k for
@@ -104,18 +104,20 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
         ancilla_factor=ancilla_factor, has_y=has_y)
 
 
-def _resident_dispatch(angles, *, has_y, K, L, q, T, dtype_name, engine):
+def _resident_dispatch(angles, *, has_y, K, L, q, T, dtype_name, engine,
+                       max_L=20):
     """(resident_ok, time_independent): whether the VMEM-resident kernels
     apply, and whether the x-only schedule is constant (constant schedules
     share one kick matrix; per-cycle ones carry T of them — cap T to keep
-    the matrix block in VMEM)."""
+    the matrix block in VMEM). max_L: 21 for the forward kernel (16 MB
+    state), 20 for echo (larger per-step temporaries)."""
     if isinstance(angles, jax.core.Tracer) or has_y or K != 1:
         return False, False
     ang_np = np.asarray(angles)
     x_only = bool(np.all(ang_np[:, :, 1] == 0.0))
     time_independent = x_only and bool(np.all(ang_np == ang_np[0]))
     ok = (engine in ("auto", "resident") and x_only
-          and 14 <= L <= 20 and q < 14 and dtype_name == "complex64"
+          and 14 <= L <= max_L and q < 14 and dtype_name == "complex64"
           and (time_independent or T <= 256)
           and jax.default_backend() != "cpu")
     return ok, time_independent

@@ -508,11 +508,11 @@ def resident_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
                            time_dependent=False, interpret=False):
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2) -> (inst, c, T).
 
-    VMEM-resident x-pol forward autocorrelator; requires 14 <= L <= 20 and
+    VMEM-resident x-pol forward autocorrelator; requires 14 <= L <= 21 and
     q < 14. Grid iterates trajectories; one grid step = one full trajectory.
     """
-    if not (14 <= L <= 20):
-        raise ValueError("resident kernel supports 14 <= L <= 20")
+    if not (14 <= L <= 21):
+        raise ValueError("resident kernel supports 14 <= L <= 21")
     TOP = 1 << (L - 14)
     b0 = 0 if initial_state == "vacuum" else neel_index(L)
     s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
@@ -565,7 +565,7 @@ def resident_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
             # full-plane kick/diagonal temporaries need more (v5e has
             # 128 MB physical VMEM)
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024),
+                vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
         )(u7r, u7i, utr, uti, params)
         a_raw = a_raw.reshape(n_traj, 1024)[:, :T]
