@@ -229,20 +229,22 @@ def inverse_cycle_fac(state, pending, ang, d0c, exp_hc, exp_pc, ev, *, L, K,
         return state, pending
     zm, sig_b, sig_after = ev
     state = state * d0c
-    # combine the conj-diag correction (at sig_b[0]) with any pending diag
-    # correction: corrections compose by XOR of their sigmas only when one of
-    # them is zero — which holds here (forward cycles always flush pend_sig
-    # into the next kick, so pend_sig is 0 unless the previous step was a
-    # forward cycle whose correction we absorb first).
-    first = True
+    # D0c's correction (at sig_b[0], the sigma when it was applied) rides the
+    # FIRST inverse kick only, XOR-composed with any pending correction: at
+    # the echo turnaround pend_sig (the last forward D0's deferred sigma)
+    # equals sig_b[0] and the conjugate-pair corrections cancel exactly
+    # (dsig = 0); mid-echo pend_sig is 0 and dsig = sig_b[0]. Later slots of
+    # the same cycle carry NO diag correction — there is no diagonal between
+    # inverse kick slots, only the event z-sign (a spurious per-slot
+    # correction here was the K>=2 echo bug caught by the lab-frame oracle
+    # comparison, tests/test_resident_general.py).
     for j in range(K):
         slot = K - 1 - j
-        dsig = sig_b[j] if not first else (sig_b[0] ^ pend_sig)
+        dsig = (sig_b[0] ^ pend_sig) if j == 0 else jnp.uint32(0)
         state = _kick_factored(state, ang[slot, 0], ang[slot, 1], sig_b[j],
                                pend_zm, dsig, exp_hc, exp_pc,
                                L=L, dtype=dtype, has_y=has_y, inverse=True)
         pend_zm, pend_sig = zm[j], jnp.uint32(0)
-        first = False
     return state, (pend_zm, pend_sig)
 
 

@@ -83,6 +83,18 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
             initial_state=initial_state, ancilla_factor=ancilla_factor,
             time_dependent=not time_independent)
 
+    if _general_dispatch(angles, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
+                         engine=engine, max_L=21):
+        # lab-frame general resident kernel: any polarization family / K
+        # slots / per-cycle schedule (y 9.8k, xy/circular 5.2k cycles/s at
+        # L=20 vs the sigma engine's 2.0k/1.3k; matches it to ~2e-6 with
+        # identical presampled trajectories)
+        from dtc_tpu.ops.pallas_resident_general import general_forward_batch
+
+        return general_forward_batch(
+            hs, phis, angles, keys, L=L, T=T, K=K, p=p, q=q,
+            initial_state=initial_state, ancilla_factor=ancilla_factor)
+
     if (engine == "planar" and time_independent):
         # Experimental planar-real + Pallas noise-factor path. Currently
         # ~1.8k cycles/s at L=20 vs the factored sigma engine's ~2.0k (both
@@ -123,6 +135,18 @@ def _resident_dispatch(angles, *, has_y, K, L, q, T, dtype_name, engine,
     return ok, time_independent
 
 
+def _general_dispatch(angles, *, K, L, q, T, dtype_name, engine, max_L=20):
+    """Whether the lab-frame general resident kernel applies (any
+    polarization/K/schedule; step tiles ride in SMEM (forward) / VMEM (echo),
+    so cap total kick slots at T*K <= 256). max_L mirrors _resident_dispatch
+    (21 forward / 20 echo)."""
+    if isinstance(angles, jax.core.Tracer):
+        return False
+    return (engine in ("auto", "resident", "general")
+            and 14 <= L <= max_L and q < 14 and dtype_name == "complex64"
+            and T * K <= 256 and jax.default_backend() != "cpu")
+
+
 def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
                 dtype_name, ancilla_factor, has_y=False):
     """-> (inst, c, n_ts) echo values (sigma-frame).
@@ -144,6 +168,14 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
             hs, phis, angles, keys, ts, L=L, T=T, p=p, q=q,
             initial_state=initial_state, ancilla_factor=ancilla_factor,
             time_dependent=not time_independent)
+
+    if _general_dispatch(angles, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
+                         engine=engine, max_L=20):
+        from dtc_tpu.ops.pallas_resident_general import general_echo_batch
+
+        return general_echo_batch(
+            hs, phis, angles, keys, ts, L=L, T=T, K=K, p=p, q=q,
+            initial_state=initial_state, ancilla_factor=ancilla_factor)
 
     from dtc_tpu.core.sigma_evolve import sigma_echo_batch
 

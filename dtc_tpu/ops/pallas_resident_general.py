@@ -1,0 +1,462 @@
+"""VMEM-resident whole-trajectory kernel, GENERAL polarizations (lab frame).
+
+The x-only resident kernel (ops/pallas_resident.py) relies on the sigma
+frame: deferring every sampled Pauli-X into a carried XOR frame works
+because pure-X kicks are invariant under X conjugation, so one precomputed
+kick matrix serves all trajectories. Kicks with a Y component break that
+(X RY(t) X = RY(-t)): the sigma-conjugated kick differs per site per cycle
+per trajectory, so y/xy/yx/circular/xy-cycle drives used to fall back to
+the XLA sigma engine (~2.0k cycles/s at L=20 vs 9.3k resident).
+
+This kernel drops the sigma frame entirely and works in the LAB frame:
+
+- each sampled Pauli string's X part (mask m) is folded into the kick it
+  follows as a row XOR, B = X_m U, i.e. B[a, b] = U[a XOR m, b];
+- the kick group matrices are BUILT INSIDE THE KERNEL per step as a
+  product of 7 bit-selected 2x2 factors,
+      B[a, b] = prod_j u[(a_j XOR m_j), b_j],
+  from 8 SMEM scalars (the slot's 2x2 unitary, packed by the host) and the
+  per-step X-mask bits — ~20 VPU ops per factor on a (128,128) tile,
+  negligible next to the full-plane Karatsuba dots;
+- the Z part and the static RZZ+RZ diagonal fuse into the same factorized
+  low/high phase as the x-only kernel (with zero sigma/flip rows: the
+  state is never frame-shifted, so there is no sigma correction and no
+  per-cycle measurement sign).
+
+One step = [prediag (echo only)] -> kick(B) -> fused postdiag -> optional
+measure; a cycle is K such steps (K = kick slots per cycle: 1 for x/y/
+xy_cycle, 2 for xy/yx/circular — each slot is one transpiled u3 gate = one
+depolarizing event per qubit, matching Aer's noise accounting, see
+SURVEY.md C9/C10). Per-cycle schedules are free: the slot unitary rides in
+the step tile, so time-dependent drives (circular polarization
+autocorr-delta-a-single-qiskit-fast-circular-polarization.py:110-142,
+adaptive-g g-optimization.py:200-245) need no extra kick-matrix inputs.
+
+Trajectory parity: noise is presampled from the SAME uniforms as
+core.sigma_evolve (forward: uniform(key, (T*K, L)); echo: uniform(key,
+(2T, K, L)) with steps >= 2t zeroed), so values match the sigma engine
+trajectory-for-trajectory up to float reassociation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dtc_tpu.core.sigma_evolve import _codes_from_uniform, _masks_from_codes
+from dtc_tpu.core.statevector import neel_index
+
+import os as _os
+
+_DOT_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("DTC_TPU_KERNEL_PRECISION", "highest")]
+
+_C = 16384  # 2**14 column axis (bits 0..13)
+_HALF_PI = float(np.pi / 2)
+
+# row-5 flag lanes
+_LANE_MPOS = 0    # forward: A(t) output slot (< 0: no measurement)
+_LANE_ACTIVE = 1  # echo: step active (0 = identity padding)
+_LANE_U8 = 2      # lanes 2..9: slot 2x2 unitary [re, im] x [00, 01, 10, 11]
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def slot_u8(theta_x, theta_y, inverse=False):
+    """(..., 8) f32 planar entries of RY(ty) @ RX(tx) (or its dagger) in the
+    row-5 packing order [00r, 00i, 01r, 01i, 10r, 10i, 11r, 11i]; closed
+    form mirrors models.drives.slot_unitary."""
+    cx, sx = jnp.cos(theta_x / 2), jnp.sin(theta_x / 2)
+    cy, sy = jnp.cos(theta_y / 2), jnp.sin(theta_y / 2)
+    m00 = (cy * cx, sy * sx)
+    m01 = (-sy * cx, -cy * sx)
+    m10 = (sy * cx, -cy * sx)
+    m11 = (cy * cx, -sy * sx)
+    if inverse:  # dagger: conj + transpose
+        m00, m01, m10, m11 = ((m00[0], -m00[1]), (m10[0], -m10[1]),
+                              (m01[0], -m01[1]), (m11[0], -m11[1]))
+    return jnp.stack([m00[0], m00[1], m01[0], m01[1],
+                      m10[0], m10[1], m11[0], m11[1]], axis=-1).astype(
+                          jnp.float32)
+
+
+def _make_general_kernel(L: int, S: int, q: int, b0: int, has_top: bool,
+                         echo: bool):  # noqa: C901
+    """S steps; tiles_ref holds (2 if echo else 1) tiles per step."""
+    TOP = 1 << (L - 14)
+    TPS = 2 if echo else 1  # tiles per step (echo: [pre, post])
+
+    def kernel(tiles_ref, a_out_ref, st_ref):
+        arow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        alane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        apos = arow * 128 + alane
+        col = jax.lax.broadcasted_iota(jnp.uint32, (TOP, _C), 1)
+        topi = jax.lax.broadcasted_iota(jnp.uint32, (TOP, _C), 0)
+        gidx = (topi << 14) | col
+        st_ref[0] = jnp.where(gidx == jnp.uint32(b0), 1.0, 0.0)
+        st_ref[1] = jnp.zeros((TOP, _C), jnp.float32)
+        lci = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
+        if has_top:
+            hti = jax.lax.broadcasted_iota(jnp.int32, (TOP, 1), 0)
+        zq = (1 - 2 * ((lci >> q) & 1)).astype(jnp.float32)
+
+        def tile_phase(ti):
+            """Factorized exp(i theta) of tile ti: theta linear in z-bits
+            with cz_q = h_q (sig_q - 1/2) - (pi/2) n_q (sig rows are zero in
+            the lab frame -> plain D0 x Pauli-Z sign); identical formula to
+            pallas_resident (see that module's docstring)."""
+            def czc(qq):
+                return (tiles_ref[0, ti, 3, qq]
+                        * (tiles_ref[0, ti, 1, qq] - 0.5)
+                        - _HALF_PI * tiles_ref[0, ti, 0, qq])
+
+            def cbc(jj):
+                return (tiles_ref[0, ti, 4, jj]
+                        * (tiles_ref[0, ti, 2, jj] - 0.5))
+
+            c0 = _HALF_PI * sum(tiles_ref[0, ti, 0, qq] for qq in range(L))
+            low = jnp.full((1, _C), c0, jnp.float32)
+            prev_z = None
+            for qq in range(14):
+                z = (1 - 2 * ((lci >> qq) & 1)).astype(jnp.float32)
+                low = low + czc(qq) * z
+                if qq > 0:
+                    low = low + cbc(qq - 1) * (prev_z * z)
+                prev_z = z
+            zl13 = prev_z
+            flr = jnp.cos(low)
+            fli = jnp.sin(low)
+            if not has_top:
+                return flr, fli, None, None, None
+            high = jnp.zeros((TOP, 1), jnp.float32)
+            prev_zh = None
+            for qq in range(14, L):
+                zh = (1 - 2 * ((hti >> (qq - 14)) & 1)).astype(jnp.float32)
+                high = high + czc(qq) * zh
+                if qq > 14:
+                    high = high + cbc(qq - 1) * (prev_zh * zh)
+                prev_zh = zh
+            zh14 = 1.0 - 2.0 * (hti & 1).astype(jnp.float32)
+            s13 = cbc(13)
+            f3i = (zh14 * zl13) * jnp.sin(s13)
+            return flr, fli, jnp.cos(high), jnp.sin(high), (jnp.cos(s13), f3i)
+
+        def apply_phase(mr, mi, ph):
+            flr, fli, fhr, fhi, f3 = ph
+            mr, mi = _cmul(mr, mi, flr, fli)
+            if has_top:
+                mr, mi = _cmul(mr, mi, fhr, fhi)
+                mr, mi = _cmul(mr, mi, f3[0], f3[1])
+            return mr, mi
+
+        def build_group(ti, u8, nbits, off, transposed):
+            """Planar (2^nbits, 2^nbits) group matrix with the step's X-mask
+            folded in: element value prod_j u[(a_j XOR x_j), b_j], laid out
+            [b, a] when transposed (right-multiply form) else [a, b]."""
+            n = 1 << nbits
+            a_ax = 1 if transposed else 0
+            ia = jax.lax.broadcasted_iota(jnp.int32, (n, n), a_ax)
+            ib = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1 - a_ax)
+            br = bi = None
+            for j in range(nbits):
+                x = tiles_ref[0, ti, 6, off + j]
+                abit = ((ia >> j) & 1).astype(jnp.float32)
+                bbit = ((ib >> j) & 1).astype(jnp.float32)
+                ae = abit + x - 2.0 * abit * x  # abit XOR x (x is 0/1)
+                an = 1.0 - ae
+                bn = 1.0 - bbit
+                fr = an * (bn * u8[0] + bbit * u8[2]) + ae * (
+                    bn * u8[4] + bbit * u8[6])
+                fi = an * (bn * u8[1] + bbit * u8[3]) + ae * (
+                    bn * u8[5] + bbit * u8[7])
+                if br is None:
+                    br, bi = fr, fi
+                else:
+                    br, bi = _cmul(br, bi, fr, fi)
+            return br, bi
+
+        def step(si, _):
+            kt = TPS * si          # kick/flags tile (echo: pre tile)
+            post = TPS * si + (TPS - 1)
+            u8 = [tiles_ref[0, kt, 5, _LANE_U8 + j] for j in range(8)]
+
+            if echo:
+                mr, mi = apply_phase(st_ref[0], st_ref[1], tile_phase(kt))
+            else:
+                mr, mi = st_ref[0], st_ref[1]
+
+            # kick: bits 0..6 and 7..13 as full-plane Karatsuba dots against
+            # in-kernel-built (transposed) group matrices, then the top group
+            btr, bti = build_group(kt, u8, 7, 0, transposed=True)
+            bts = btr + bti
+            kr = mr.reshape(TOP * 128, 128)
+            ki = mi.reshape(TOP * 128, 128)
+
+            def big_right(xr, xi, gr, gi, gs):
+                p1 = jnp.dot(xr, gr, preferred_element_type=jnp.float32,
+                             precision=_DOT_PRECISION)
+                p2 = jnp.dot(xi, gi, preferred_element_type=jnp.float32,
+                             precision=_DOT_PRECISION)
+                p3 = jnp.dot(xr + xi, gs, preferred_element_type=jnp.float32,
+                             precision=_DOT_PRECISION)
+                return p1 - p2, p3 - p1 - p2
+
+            kr, ki = big_right(kr, ki, btr, bti, bts)
+            kr = jnp.swapaxes(kr.reshape(TOP, 128, 128), 1, 2).reshape(
+                TOP * 128, 128)
+            ki = jnp.swapaxes(ki.reshape(TOP, 128, 128), 1, 2).reshape(
+                TOP * 128, 128)
+            bmr, bmi = build_group(kt, u8, 7, 7, transposed=True)
+            kr, ki = big_right(kr, ki, bmr, bmi, bmr + bmi)
+            kr = jnp.swapaxes(kr.reshape(TOP, 128, 128), 1, 2).reshape(TOP, _C)
+            ki = jnp.swapaxes(ki.reshape(TOP, 128, 128), 1, 2).reshape(TOP, _C)
+            if has_top:
+                utr, uti = build_group(kt, u8, L - 14, 14, transposed=False)
+                q1 = jnp.dot(utr, kr, preferred_element_type=jnp.float32,
+                             precision=_DOT_PRECISION)
+                q2 = jnp.dot(uti, ki, preferred_element_type=jnp.float32,
+                             precision=_DOT_PRECISION)
+                q3 = jnp.dot(utr + uti, kr + ki,
+                             preferred_element_type=jnp.float32,
+                             precision=_DOT_PRECISION)
+                kr, ki = q1 - q2, q3 - q1 - q2
+
+            if echo:  # inactive steps keep the pre-kick state
+                active = tiles_ref[0, kt, 5, _LANE_ACTIVE]
+                kr = jnp.where(active > 0.5, kr, mr)
+                ki = jnp.where(active > 0.5, ki, mi)
+
+            kr, ki = apply_phase(kr, ki, tile_phase(post))
+            st_ref[0] = kr
+            st_ref[1] = ki
+
+            if not echo:
+                mpos = tiles_ref[0, kt, 5, _LANE_MPOS]
+
+                @pl.when(mpos >= 0.0)
+                def _():
+                    a_next = jnp.sum((kr * kr + ki * ki) * zq)
+                    a_out_ref[0] = a_out_ref[0] + jnp.where(
+                        apos == mpos.astype(jnp.int32), a_next, 0.0)
+
+            return _
+
+        if echo:
+            a_out_ref[0] = jnp.zeros((8, 128), jnp.float32)
+        else:
+            a_out_ref[0] = jnp.where(
+                apos == 0, float(1 - 2 * ((b0 >> q) & 1)), 0.0)
+        jax.lax.fori_loop(0, S, step, None)
+
+        if echo:
+            val = jnp.sum((st_ref[0] * st_ref[0] + st_ref[1] * st_ref[1]) * zq)
+            a_out_ref[0] = jnp.where(apos == 0, val, 0.0)
+
+    return kernel
+
+
+def _bits_row(mask):
+    """uint32 scalar/vector -> (…, 128) float 0/1 bit rows."""
+    qs = jnp.arange(128, dtype=jnp.uint32)
+    return ((mask[..., None] >> qs) & 1).astype(jnp.int32).astype(jnp.float32)
+
+
+def _diag_rows(h, ph, L):
+    hrow = jnp.zeros((128,), jnp.float32).at[:L].set(h.astype(jnp.float32))
+    prow = jnp.zeros((128,), jnp.float32).at[:L - 1].set(
+        ph.astype(jnp.float32))
+    return hrow, prow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "K", "p", "q", "initial_state",
+                     "ancilla_factor", "interpret"),
+)
+def general_forward_batch(hs, phis, angles, keys, *, L, T, K, p, q,
+                          initial_state="vacuum", ancilla_factor=1.0,
+                          interpret=False):
+    """(inst, L), (inst, L-1), (T,K,2), (inst, c, 2) -> (inst, c, T).
+
+    Lab-frame resident forward kernel for ANY kick schedule (all
+    polarization families, per-cycle g). Requires 14 <= L <= 21, q < 14.
+    """
+    if not (14 <= L <= 21):
+        raise ValueError("resident kernel supports 14 <= L <= 21")
+    if T * K > 1024:
+        raise ValueError("resident kernel supports T*K <= 1024")
+    TOP = 1 << (L - 14)
+    b0 = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
+    S = T * K
+
+    u8 = jax.vmap(jax.vmap(lambda a: slot_u8(a[0], a[1])))(angles)  # (T,K,8)
+    u8 = u8.reshape(S, 8)
+    # measurement slot: after the final kick slot of cycle t -> A(t+1)
+    mpos = np.full((T, K), -1.0, np.float32)
+    mpos[: T - 1, K - 1] = np.arange(1, T, dtype=np.float32)
+    mpos = jnp.asarray(mpos.reshape(S))
+    final = np.zeros((T, K), np.float32)
+    final[:, K - 1] = 1.0
+    final = jnp.asarray(final.reshape(S, 1))
+
+    def per_instance(h, ph, ks):
+        hrow, prow = _diag_rows(h, ph, L)
+
+        def tiles_one(key):
+            if p > 0.0:
+                u = jax.random.uniform(key, (S, L))
+                codes = _codes_from_uniform(u, p)
+                xm, zm = _masks_from_codes(codes, L)
+            else:
+                xm = zm = jnp.zeros((S,), jnp.uint32)
+            zmb = _bits_row(zm)                      # (S, 128)
+            xmb = _bits_row(xm)
+            zeros = jnp.zeros((S, 128), jnp.float32)
+            row5 = jnp.zeros((S, 128), jnp.float32)
+            row5 = row5.at[:, _LANE_MPOS].set(mpos)
+            row5 = row5.at[:, _LANE_U8:_LANE_U8 + 8].set(u8)
+            return jnp.stack([zmb, zeros, zeros, final * hrow[None],
+                              final * prow[None], row5, xmb, zeros],
+                             axis=1)  # (S, 8, 128)
+
+        params = jax.vmap(tiles_one)(ks)  # (c, S, 8, 128)
+        n_traj = ks.shape[0]
+
+        a_raw = pl.pallas_call(
+            _make_general_kernel(L, S, q, b0, TOP > 1, echo=False),
+            out_shape=jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
+            grid=(n_traj,),
+            in_specs=[
+                pl.BlockSpec((1, S, 8, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((2, TOP, _C), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(params)
+        a_raw = a_raw.reshape(n_traj, 1024)[:, :T]
+        return ancilla_factor * s0 * a_raw
+
+    return jax.vmap(per_instance)(hs, phis, keys)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "K", "p", "q", "initial_state",
+                     "ancilla_factor", "interpret"),
+)
+def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
+                       initial_state="vacuum", ancilla_factor=1.0,
+                       interpret=False):
+    """(inst, L), (inst, L-1), (T,K,2), (inst, c, 2), (n_ts,) -> (inst, c, n_ts).
+
+    Lab-frame resident echo A0(t) for ANY kick schedule: per (trajectory, t)
+    pair, t forward cycles then t inverse cycles (slots reversed, daggered
+    slot unitaries, D0^dagger leading each inverse cycle), events sampled
+    from the same uniforms as core.sigma_evolve.sigma_echo_batch. Requires
+    14 <= L <= 20, q < 14.
+    """
+    if not (14 <= L <= 20):
+        raise ValueError("resident kernel supports 14 <= L <= 20")
+    if 2 * T * K > 1024:
+        raise ValueError("resident echo kernel supports 2*T*K <= 1024")
+    TOP = 1 << (L - 14)
+    b0 = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
+    S = 2 * T * K
+    n_ts = ts.shape[0]
+
+    u8f = jax.vmap(jax.vmap(lambda a: slot_u8(a[0], a[1])))(angles)
+    u8i = jax.vmap(jax.vmap(lambda a: slot_u8(a[0], a[1], inverse=True)))(
+        angles)  # (T, K, 8)
+
+    def per_instance(h, ph, ks):
+        hrow, prow = _diag_rows(h, ph, L)
+        zrow = jnp.zeros((128,), jnp.float32)
+
+        def tiles_one(key, t_value):
+            kstep = jnp.arange(2 * T)
+            fwd = kstep < t_value
+            inv = (kstep >= t_value) & (kstep < 2 * t_value)
+            if p > 0.0:
+                u = jax.random.uniform(key, (2 * T, K, L))
+                codes = _codes_from_uniform(u, p)
+                codes = jnp.where((fwd | inv)[:, None, None], codes, 0)
+                xm, zm = _masks_from_codes(codes, L)  # (2T, K)
+            else:
+                xm = zm = jnp.zeros((2 * T, K), jnp.uint32)
+
+            # cycle index: forward i = kstep, inverse i = 2t-1-kstep
+            ci = jnp.where(fwd, kstep,
+                           jnp.clip(2 * t_value - 1 - kstep, 0, T - 1))
+            # slot within cycle for event j: forward slot j, inverse K-1-j
+            u8f_c = jnp.take(u8f, ci, axis=0)       # (2T, K, 8)
+            u8i_c = jnp.take(u8i, ci, axis=0)
+
+            def one_step(j):
+                """(2T, 2, 8, 128) pre/post tiles for event slot j."""
+                slot_u = jnp.where(fwd[:, None], u8f_c[:, j],
+                                   u8i_c[:, K - 1 - j])  # (2T, 8)
+                zmb = _bits_row(zm[:, j])
+                xmb = _bits_row(xm[:, j])
+                zeros = jnp.zeros((2 * T, 128), jnp.float32)
+                act = (fwd | inv).astype(jnp.float32)
+                row5 = jnp.zeros((2 * T, 128), jnp.float32)
+                row5 = row5.at[:, _LANE_ACTIVE].set(act)
+                row5 = row5.at[:, _LANE_U8:_LANE_U8 + 8].set(slot_u)
+                # pre tile: D0^dagger on the FIRST inverse slot (j == 0)
+                pre_d = inv.astype(jnp.float32)[:, None] if j == 0 else 0.0
+                pre = jnp.stack([zeros, zeros, zeros,
+                                 -pre_d * hrow[None] + 0.0 * zeros,
+                                 -pre_d * prow[None] + 0.0 * zeros,
+                                 row5, xmb, zeros], axis=1)
+                # post tile: event z-sign; forward final slot adds D0
+                post_d = (fwd.astype(jnp.float32)[:, None]
+                          if j == K - 1 else 0.0)
+                post = jnp.stack([zmb, zeros, zeros,
+                                  post_d * hrow[None] + 0.0 * zeros,
+                                  post_d * prow[None] + 0.0 * zeros,
+                                  zeros, zeros, zeros], axis=1)
+                return jnp.stack([pre, post], axis=1)  # (2T, 2, 8, 128)
+
+            tiles = jnp.stack([one_step(j) for j in range(K)],
+                              axis=1)  # (2T, K, 2, 8, 128)
+            return tiles.reshape(2 * S, 8, 128)
+
+        tiles = jax.vmap(
+            lambda k: jax.vmap(lambda t: tiles_one(k, t))(ts))(ks)
+        n_pairs = ks.shape[0] * n_ts
+        tiles = tiles.reshape(n_pairs, 2 * S, 8, 128)
+
+        a_raw = pl.pallas_call(
+            _make_general_kernel(L, S, q, b0, TOP > 1, echo=True),
+            out_shape=jax.ShapeDtypeStruct((n_pairs, 8, 128), jnp.float32),
+            grid=(n_pairs,),
+            in_specs=[
+                pl.BlockSpec((1, 2 * S, 8, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((2, TOP, _C), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(tiles)
+        val = a_raw.reshape(n_pairs, 1024)[:, 0].reshape(ks.shape[0], n_ts)
+        return ancilla_factor * s0 * val
+
+    return jax.vmap(per_instance)(hs, phis, keys)
