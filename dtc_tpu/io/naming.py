@@ -79,6 +79,56 @@ def gate_count_csv_name(t: int, echo: bool, *, opt_level: int = 0,
     return name + ".csv"
 
 
+def parse_config_from_name(path: str) -> dict:
+    """Inverse of the encoders above: extract the config key from a filename.
+
+    The reference's draw scripts locate/pair datasets by parsing these
+    filename tokens (filename-keyed loader, draw-polarization-comparison.py:7-66;
+    grid cells keyed by (L, g, noise, amplitude/delta), draw-2b-sincosfit.py:65-80).
+    Returns a dict with whatever tokens are present; numeric values are parsed.
+    """
+    import os
+    import re
+
+    stem = os.path.basename(path)
+    stem = stem.rsplit(".", 1)[0]
+    out: dict = {}
+    m = re.match(r"(autocorr_data|energy_data|g_history)_(comparison_)?([a-z]+)_",
+                 stem)
+    if m:
+        out["kind"] = m.group(1)
+        out["initial_state"] = m.group(3)
+    if "_realtime_adaptive" in stem:
+        out["adaptive"] = True
+        am = re.search(r"_realtime_adaptive_(optimization_iter(\d+)|exp([\d.eE+-]+)|linear)",
+                       stem)
+        if am:
+            if am.group(2) is not None:
+                out["method"] = "optimization"
+                out["optimization_iterations"] = int(am.group(2))
+            elif am.group(3) is not None:
+                out["method"] = "exponential"
+                out["decay_compensation"] = float(am.group(3))
+            else:
+                out["method"] = "linear"
+    num = r"(-?[\d.]+(?:[eE][+-]?\d+)?)"
+    for token, key, cast in [
+        ("g", "g", float), ("L", "L", int), ("inst", "inst", int),
+        ("tf", "tf", int), ("randomphi", "randomphi", int),
+        ("delta", "phi_delta", float), ("amplitude", "phi_amplitude", float),
+        ("noise", "noise_prob", float), ("usenoise", "use_noise", int),
+        ("target", "target_echo", float), ("gain", "feedback_gain", float),
+    ]:
+        tm = re.search(rf"_{token}{num}(?=_|$)", stem)
+        if tm:
+            out[key] = cast(tm.group(1))
+    pm = re.search(r"_pol([a-z_]+?)(?:_with_envelopes)?$", stem)
+    if pm:
+        out["polarization"] = pm.group(1)
+    out["with_envelopes"] = stem.endswith("_with_envelopes")
+    return out
+
+
 def autocorr_folder_name(cfg) -> str:
     return f"autocorr_data_L{cfg.L}_noiseprob{cfg.noise_prob}_fakebackend{cfg.use_fakebackend}"
 

@@ -123,12 +123,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", type=str, default="params.csv")
 
     p = sub.add_parser("draw", help="render plots from experiment CSVs")
-    p.add_argument("csv", type=str, help="input experiment CSV")
+    p.add_argument("csv", type=str, nargs="+",
+                   help="input experiment CSV(s); multi-CSV kinds "
+                        "(energy-all, fit-grid, xy-cycle, sub-echo) overlay them")
     p.add_argument("--kind", type=str, default="autocorr",
                    choices=["autocorr", "sincos-fit", "fft", "envelope",
-                            "quicklook"])
+                            "quicklook", "power-law", "energy-all",
+                            "sub-echo", "fit-grid", "polarization-comparison",
+                            "xy-cycle"])
     p.add_argument("--key", type=str, default="av_autocorr")
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--per_qubit", action="store_true",
+                   help="normalize energies by L (draw-energy-all-per-qubit.py)")
+    p.add_argument("--echo_csv", type=str, nargs="*", default=[],
+                   help="echo CSVs for the sub-echo inset")
+    p.add_argument("--period", type=int, default=5,
+                   help="xy-cycle gridline period")
+    p.add_argument("--row", type=str, default="phi_delta",
+                   help="fit-grid row key (parsed from filenames)")
+    p.add_argument("--col", type=str, default="phi_amplitude",
+                   help="fit-grid column key (parsed from filenames)")
+    p.add_argument("--fit_csv", type=str, default=None,
+                   help="fit-grid: write fit-results CSV here")
 
     p = sub.add_parser("layout", help="design + render a QPU snake layout")
     p.add_argument("--device", type=str, default="brisbane",
@@ -186,14 +202,81 @@ def main(argv=None) -> int:
         return 0
 
     if cmd == "draw":
+        import os
+
         from dtc_tpu.analysis import plots
         from dtc_tpu.io import csvio
+        from dtc_tpu.io.naming import parse_config_from_name
 
-        out = args.out or (args.csv.rsplit(".", 1)[0] + f"_{args.kind}.png")
+        def stem(path):
+            return os.path.basename(path).rsplit(".", 1)[0]
+
+        def series(path, keys=("av_autocorr_echo", "av_autocorr")):
+            """(t, y) from a CSV: first matching key, else first numeric col."""
+            c = csvio.read_columns(path)
+            for k in keys:
+                if k in c:
+                    return c["time"], c[k]
+            k = next(k for k in c if k != "time")
+            return c["time"], c[k]
+
+        csv0 = args.csv[0]
+        out = args.out or (csv0.rsplit(".", 1)[0] + f"_{args.kind}.png")
         if args.kind == "quicklook":
-            plots.plot_csv_quicklook(args.csv, out)
+            plots.plot_csv_quicklook(csv0, out)
+        elif args.kind == "energy-all" or args.kind == "power-law":
+            # draw-energy-all.py:87-250 / power-law panels of ...-fast-energy.py:206-307
+            sources = {}
+            meta_L = None
+            for path in args.csv:
+                c = csvio.read_columns(path)
+                meta = parse_config_from_name(path)
+                meta_L = meta.get("L", meta_L)
+                ecols = [k for k in c if k.startswith("energy")] or \
+                        [k for k in c if k not in ("time",)]
+                for k in ecols:
+                    label = k if len(args.csv) == 1 else f"{stem(path)}:{k}"
+                    sources[label] = (c["time"], c[k])
+            plots.plot_energy_comparison(
+                sources, out, per_qubit=args.per_qubit, L=meta_L,
+                with_envelope_fit=(args.kind == "energy-all"),
+                with_power_law=(args.kind == "power-law"))
+        elif args.kind == "sub-echo":
+            # draw-energy-all-sub-echo.py:264-369
+            energy_sources = {stem(p): series(p, ("energy", "energy_p_0.05"))
+                              for p in args.csv}
+            echo_sources = {stem(p): series(p) for p in args.echo_csv}
+            meta_L = parse_config_from_name(csv0).get("L")
+            plots.plot_energy_with_echo_inset(
+                energy_sources, echo_sources, out,
+                per_qubit=args.per_qubit, L=meta_L)
+        elif args.kind == "fit-grid":
+            # draw-2b-sincosfit.py / draw-autocorr-sincosfit-both.py grids
+            records = []
+            for path in args.csv:
+                meta = parse_config_from_name(path)
+                meta["row"] = meta.get(args.row, 0.0)
+                meta["col"] = meta.get(args.col, 0.0)
+                meta["file"] = stem(path)
+                records.append((meta, csvio.read_columns(path)))
+            _, fit_rows = plots.plot_fit_grid(records, out,
+                                              fit_csv=args.fit_csv,
+                                              key=args.key)
+            n_ok = sum(1 for r in fit_rows if r.get("fit_success"))
+            print(f"fits: {n_ok}/{len(fit_rows)} converged")
+        elif args.kind == "polarization-comparison":
+            # draw-polarization-comparison.py:7-66 (merged comparison CSV)
+            merged = csvio.read_columns(csv0)
+            pols = [k[len("av_autocorr_"):] for k in merged
+                    if k.startswith("av_autocorr_")
+                    and not k.startswith("av_autocorr_echo_")]
+            plots.plot_polarization_comparison(merged, out, pols)
+        elif args.kind == "xy-cycle":
+            # draw-xy-cycle-noise-comparison.py:7-120
+            curves = {stem(p): series(p, ("av_autocorr",)) for p in args.csv}
+            plots.plot_xy_cycle_comparison(curves, out, period=args.period)
         else:
-            cols = csvio.read_columns(args.csv)
+            cols = csvio.read_columns(csv0)
             if args.kind == "autocorr":
                 plots.plot_autocorr(cols, out)
             elif args.kind == "sincos-fit":

@@ -93,6 +93,79 @@ def test_cli_draw_layout_qasm(tmp_path):
     assert text.startswith("OPENQASM 2.0;") and "rzz(" in text
 
 
+def test_parse_config_from_name():
+    from dtc_tpu.io.naming import (adaptive_csv_name, autocorr_csv_name,
+                                   parse_config_from_name)
+    from dtc_tpu.utils.config import SimConfig
+
+    cfg = SimConfig(L=20, g=0.97, inst=2, tf=50, randomphi=1, phi_delta=0.1,
+                    phi_amplitude=1.5, noise_prob=0.05, use_noise=1)
+    m = parse_config_from_name(autocorr_csv_name(cfg, pol="xy_cycle"))
+    assert m["initial_state"] == "vacuum" and m["L"] == 20 and m["g"] == 0.97
+    assert m["tf"] == 50 and m["phi_delta"] == 0.1 and m["phi_amplitude"] == 1.5
+    assert m["noise_prob"] == 0.05 and m["use_noise"] == 1
+    assert m["polarization"] == "xy_cycle" and not m["with_envelopes"]
+
+    cfg2 = SimConfig(L=4, use_optimization=1, optimization_iterations=7,
+                     target_echo=1.0, feedback_gain=0.05)
+    m2 = parse_config_from_name("/tmp/x/" + adaptive_csv_name(cfg2))
+    assert m2["adaptive"] and m2["method"] == "optimization"
+    assert m2["optimization_iterations"] == 7
+    assert m2["target_echo"] == 1.0 and m2["feedback_gain"] == 0.05
+
+    m3 = parse_config_from_name(autocorr_csv_name(cfg, with_envelopes=True))
+    assert m3["with_envelopes"] and "polarization" not in m3
+
+
+def test_cli_draw_multi_csv_kinds(tmp_path):
+    t = np.arange(20)
+    energy_csvs = []
+    for d, a in [(0.0, 1.0), (0.1, 1.0), (0.0, 2.0)]:
+        p = str(tmp_path / f"autocorr_data_vacuum_g0.9_L4_inst1_tf20_randomphi1"
+                f"_delta{d}_amplitude{a}_noise0.05_usenoise1.csv")
+        csvio.write_columns(p, {
+            "time": t,
+            "av_autocorr": np.cos(np.pi * t) * np.exp(-(0.03 + d) * t),
+        })
+        energy_csvs.append(p)
+    e_csv = str(tmp_path / "energy_data_vacuum_g0.9_L4_inst1_randomphi1"
+                "_delta0.0_amplitude1.0_noise0.05_usenoise1.csv")
+    csvio.write_columns(e_csv, {
+        "time": t, "energy_p_0.0": -4.0 + 0.1 * t,
+        "energy_p_0.05": -4.0 + 0.3 * np.sqrt(t + 1.0)})
+
+    fit_csv = str(tmp_path / "fits.csv")
+    assert cli_main(["draw", *energy_csvs, "--kind", "fit-grid",
+                     "--fit_csv", fit_csv,
+                     "--out", str(tmp_path / "grid.png")]) == 0
+    rows = csvio.read_columns(fit_csv)
+    assert len(rows["row"]) == 3 and "frequency_fitted" in rows
+
+    assert cli_main(["draw", e_csv, "--kind", "energy-all", "--per_qubit",
+                     "--out", str(tmp_path / "ea.png")]) == 0
+    assert cli_main(["draw", e_csv, "--kind", "power-law",
+                     "--out", str(tmp_path / "pl.png")]) == 0
+    assert cli_main(["draw", e_csv, "--kind", "sub-echo",
+                     "--echo_csv", energy_csvs[0],
+                     "--out", str(tmp_path / "se.png")]) == 0
+    assert cli_main(["draw", *energy_csvs, "--kind", "xy-cycle",
+                     "--period", "5", "--out", str(tmp_path / "xy.png")]) == 0
+
+    merged = str(tmp_path / "merged.csv")
+    csvio.write_columns(merged, {
+        "time": t,
+        "av_autocorr_x": np.cos(np.pi * t), "av_autocorr_echo_x": 0 * t + 1.0,
+        "sqrt_av_autocorr_echo_x": 0 * t + 1.0,
+        "av_autocorr_y": np.cos(np.pi * t) * 0.9,
+        "av_autocorr_echo_y": 0 * t + 0.9,
+        "sqrt_av_autocorr_echo_y": 0 * t + 0.95,
+    })
+    assert cli_main(["draw", merged, "--kind", "polarization-comparison",
+                     "--out", str(tmp_path / "pc.png")]) == 0
+    for f in ["grid.png", "ea.png", "pl.png", "se.png", "xy.png", "pc.png"]:
+        assert os.path.getsize(str(tmp_path / f)) > 1000
+
+
 def test_cli_gate_counts_emission(tmp_path):
     out = str(tmp_path / "gc")
     assert cli_main(["autocorr", "--L", "4", "--tf", "2", "--use_noise", "0",
