@@ -36,12 +36,15 @@ tiles in SMEM (scalar coefficient reads are register-speed there; VMEM
 scalar reads measured ~8% of kernel time). A(0) is trivial (basis state)
 and supplied by the host wrapper.
 
-Empirical tuning notes (v5e, all variants validated to <=8e-6 vs the
-sigma engine): DEFAULT-precision dots are NOT faster than HIGHEST here
-(the kernel is not MXU-FLOP-bound), Mosaic rejects Precision.HIGH;
-removing the axis swaps does not help (relayout moves into the dots);
-chunking the kick/elementwise passes only hurts once the scoped-VMEM
-limit is raised via CompilerParams (default 16 MB).
+Empirical tuning notes (v5e; forward kernel validated vs the sigma
+engine: <=2.1e-5 at HIGHEST, <=1.8e-4 at the default bf16x3):
+post-diagonal-fold the kernel is DOT-BOUND — raw-bf16 dots run 80 ms vs
+HIGHEST 173 ms, so precision passes are the lever (bf16x3 = 149 ms /
+10.7k cycles/s); Mosaic rejects Precision.HIGH; removing the axis swaps
+saves only ~3 ms (relayout mostly rides the dots); the bond-6 cmul and
+per-cycle measure cost ~3 ms each; chunking the kick/elementwise passes
+only hurts once the scoped-VMEM limit is raised via CompilerParams
+(default 16 MB).
 """
 
 from __future__ import annotations
@@ -58,13 +61,42 @@ from dtc_tpu.core.sigma_evolve import presample_noise
 from dtc_tpu.core.statevector import neel_index
 from dtc_tpu.ops.pallas_noise import pack_cycle_params
 
-# Kernel dot precision (HIGHEST = full f32; "default" = raw bf16, only for
-# roofline probes — measured no faster, see module docstring).
+# Kernel dot precision. After the diagonal-fold optimization the kernel is
+# DOT-BOUND (measured: HIGHEST 173 ms/run, raw-bf16 80 ms at L=20/T=50/32
+# traj), so dot passes are now the lever:
+#   highest — XLA f32 (6 bf16 passes/dot). err vs sigma engine <= 2.1e-5.
+#   bf16x3  — manual hi/lo split, 3 bf16 passes/dot (x*y ~ xh*yh + xh*yl +
+#             xl*yh; the dropped xl*yl term is O(2^-16) relative). DEFAULT
+#             since measured err <= 1.8e-4 at T=50 (far below trajectory
+#             sampling noise ~1e-1) at 149 ms vs highest's 168 ms.
+#   default — raw bf16, PROBES ONLY (unitarity drifts ~0.4%/cycle).
 import os as _os
+_KERNEL_PRECISION = _os.environ.get("DTC_TPU_KERNEL_PRECISION", "bf16x3")
 _DOT_PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
+    "bf16x3": jax.lax.Precision.DEFAULT,
     "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("DTC_TPU_KERNEL_PRECISION", "highest")]
+}[_KERNEL_PRECISION]
+
+
+def _split_bf16(a):
+    ah = a.astype(jnp.bfloat16)
+    return ah, (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _dot_f32(a, b):
+    """f32-quality dot: bf16x3 decomposition or a native XLA-precision dot."""
+    if _KERNEL_PRECISION != "bf16x3":
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=_DOT_PRECISION)
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+
+    def d(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 _C = 16384  # 2**14 column axis (bits 0..13)
 
@@ -95,51 +127,31 @@ def _make_kernel(L: int, T: int, q: int, b0: int, has_top: bool,
         st_ref[0] = jnp.where(gidx == jnp.uint32(b0), 1.0, 0.0)
         st_ref[1] = jnp.zeros((TOP, _C), jnp.float32)
 
+        # loop-invariant vectors: 7-bit z tables, straddle-bond sign, zq
+        l7 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        z7 = [(1 - 2 * ((l7 >> k) & 1)).astype(jnp.float32) for k in range(7)]
+        lci = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
+        zz67 = (1 - 2 * (((lci >> 6) ^ (lci >> 7)) & 1)).astype(jnp.float32)
+        zq = (1 - 2 * ((lci >> q) & 1)).astype(jnp.float32)
+        if has_top:
+            hti = jax.lax.broadcasted_iota(jnp.int32, (TOP, 1), 0)
+            zh = [(1 - 2 * ((hti >> k) & 1)).astype(jnp.float32)
+                  for k in range(L - 14)]
+
         def cycle(cyc, _):
-            # ------------- kick bits 0..6 and 7..13: full plane ------------
+            # The per-cycle fused diagonal — static RZZ+RZ angles, the
+            # sigma-frame noise correction, and the sampled Pauli Z-sign —
+            # is LINEAR in the z-bits, so it splits along the kick axes:
+            #   theta = th_lo(bits 0..6) + th_mid(bits 7..13) + cb6 z6 z7
+            #         + th_hi(bits 14..) + cb13 z13 z14
+            # th_lo / th_mid / th_hi FOLD INTO the kick matrices as column
+            # scalings B = diag(e^{i th}) U (the dot contracts exactly those
+            # bits), leaving only the bond-6 straddle as a full-plane cmul
+            # and the bond-13 straddle as a contiguous column-half split of
+            # the top dot. This removed 2 of 3 full-plane complex multiplies
+            # per cycle (the docs/PERFORMANCE.md "next lever").
             ui = cyc if time_dep else 0
-            u7rt = u7r_ref[ui].T
-            u7it = u7i_ref[ui].T
-            u7st = u7rt + u7it
 
-            def big_right(mr, mi):
-                # Karatsuba complex matmul: 3 dots instead of 4
-                p1 = jnp.dot(mr, u7rt, preferred_element_type=jnp.float32,
-                             precision=_DOT_PRECISION)
-                p2 = jnp.dot(mi, u7it, preferred_element_type=jnp.float32,
-                             precision=_DOT_PRECISION)
-                p3 = jnp.dot(mr + mi, u7st, preferred_element_type=jnp.float32,
-                             precision=_DOT_PRECISION)
-                return p1 - p2, p3 - p1 - p2
-
-            mr = st_ref[0].reshape(TOP * 128, 128)
-            mi = st_ref[1].reshape(TOP * 128, 128)
-            mr, mi = big_right(mr, mi)  # G_lo (bits 0..6)
-            mr = jnp.swapaxes(mr.reshape(TOP, 128, 128), 1, 2).reshape(
-                TOP * 128, 128)
-            mi = jnp.swapaxes(mi.reshape(TOP, 128, 128), 1, 2).reshape(
-                TOP * 128, 128)
-            mr, mi = big_right(mr, mi)  # G_mid (bits 7..13)
-            mr = jnp.swapaxes(mr.reshape(TOP, 128, 128), 1, 2).reshape(TOP, _C)
-            mi = jnp.swapaxes(mi.reshape(TOP, 128, 128), 1, 2).reshape(TOP, _C)
-
-            # ---------------- top kick (bits 14..L-1) ----------------------
-            if has_top:
-                utr = utr_ref[ui]
-                uti = uti_ref[ui]
-                q1 = jnp.dot(utr, mr,
-                             preferred_element_type=jnp.float32,
-                             precision=_DOT_PRECISION)
-                q2 = jnp.dot(uti, mi,
-                             preferred_element_type=jnp.float32,
-                             precision=_DOT_PRECISION)
-                q3 = jnp.dot(utr + uti, mr + mi,
-                             preferred_element_type=jnp.float32,
-                             precision=_DOT_PRECISION)
-                mr, mi = q1 - q2, q3 - q1 - q2
-
-            # -------- fused diagonal (static + noise + sign) + measure -----
-            # per-cycle bit coefficients: register-speed SMEM scalar reads
             def cz(qq):
                 return (par_ref[0, cyc, 3, qq] * (par_ref[0, cyc, 1, qq] - 0.5)
                         - _HALF_PI * par_ref[0, cyc, 0, qq])
@@ -149,49 +161,77 @@ def _make_kernel(L: int, T: int, q: int, b0: int, has_top: bool,
 
             c0 = _HALF_PI * sum(par_ref[0, cyc, 0, qq] for qq in range(L))
 
-            # low angle over the 14 column bits: (1, C)
-            lci = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
-            low = jnp.full((1, _C), c0, jnp.float32)
-            prev_z = None
-            for qq in range(14):
-                z = (1 - 2 * ((lci >> qq) & 1)).astype(jnp.float32)
-                low = low + cz(qq) * z
-                if qq > 0:
-                    low = low + cb(qq - 1) * (prev_z * z)
-                prev_z = z
-            zl13 = prev_z  # z of bit 13 (straddle partner)
-            flr = jnp.cos(low)
-            fli = jnp.sin(low)
+            def seven_bit_angle(base, bias):
+                th = jnp.full((1, 128), bias, jnp.float32)
+                for k in range(7):
+                    th = th + cz(base + k) * z7[k]
+                    if k > 0:
+                        th = th + cb(base + k - 1) * (z7[k - 1] * z7[k])
+                return th
 
+            def scaled(u7rt, u7it, th):
+                dr = jnp.cos(th)
+                di = jnp.sin(th)
+                br = u7rt * dr - u7it * di
+                bi = u7rt * di + u7it * dr
+                return br, bi, br + bi
+
+            u7rt = u7r_ref[ui].T
+            u7it = u7i_ref[ui].T
+            blr, bli, bls = scaled(u7rt, u7it, seven_bit_angle(0, c0))
+            bmr, bmi, bms = scaled(u7rt, u7it, seven_bit_angle(7, 0.0))
+
+            def kara_right(mr, mi, br, bi, bs):
+                p1 = _dot_f32(mr, br)
+                p2 = _dot_f32(mi, bi)
+                p3 = _dot_f32(mr + mi, bs)
+                return p1 - p2, p3 - p1 - p2
+
+            mr = st_ref[0].reshape(TOP * 128, 128)
+            mi = st_ref[1].reshape(TOP * 128, 128)
+            mr, mi = kara_right(mr, mi, blr, bli, bls)   # kick+diag bits 0..6
+            mr = jnp.swapaxes(mr.reshape(TOP, 128, 128), 1, 2).reshape(
+                TOP * 128, 128)
+            mi = jnp.swapaxes(mi.reshape(TOP, 128, 128), 1, 2).reshape(
+                TOP * 128, 128)
+            mr, mi = kara_right(mr, mi, bmr, bmi, bms)   # kick+diag bits 7..13
+            mr = jnp.swapaxes(mr.reshape(TOP, 128, 128), 1, 2).reshape(TOP, _C)
+            mi = jnp.swapaxes(mi.reshape(TOP, 128, 128), 1, 2).reshape(TOP, _C)
+
+            # bond 6-7 straddle: the one remaining full-plane cmul
+            s6 = cb(6)
+            mr, mi = _cmul(mr, mi, jnp.cos(s6), zz67 * jnp.sin(s6))
+
+            # top kick + high diag + bond 13-14 straddle: two column-half
+            # dots with diag(e^{i(th_hi +- cb13 z14)}) U_top
             if has_top:
-                # high angle over the TOP bits: (TOP, 1)
-                hti = jax.lax.broadcasted_iota(jnp.int32, (TOP, 1), 0)
-                high = jnp.zeros((TOP, 1), jnp.float32)
-                prev_zh = None
-                for qq in range(14, L):
-                    zh = (1 - 2 * ((hti >> (qq - 14)) & 1)).astype(jnp.float32)
-                    high = high + cz(qq) * zh
-                    if qq > 14:
-                        high = high + cb(qq - 1) * (prev_zh * zh)
-                    prev_zh = zh
-                zh14 = 1.0 - 2.0 * (hti & 1).astype(jnp.float32)
-                fhr = jnp.cos(high)
-                fhi = jnp.sin(high)
-                s13 = cb(13)  # straddle bond: exp(+-i s13), sign z13*z14
-                cp = jnp.cos(s13)
-                sp = jnp.sin(s13)
+                th_hi = jnp.zeros((TOP, 1), jnp.float32)
+                for k in range(L - 14):
+                    th_hi = th_hi + cz(14 + k) * zh[k]
+                    if k > 0:
+                        th_hi = th_hi + cb(13 + k) * (zh[k - 1] * zh[k])
+                s13z14 = cb(13) * zh[0]
+                utr = utr_ref[ui]
+                uti = uti_ref[ui]
+                halves = []
+                for sgn, sl in ((1.0, slice(0, _C // 2)),
+                                (-1.0, slice(_C // 2, _C))):
+                    th = th_hi + sgn * s13z14
+                    dr = jnp.cos(th)
+                    di = jnp.sin(th)
+                    btr = utr * dr - uti * di
+                    bti = utr * di + uti * dr
+                    hr, hi_ = mr[:, sl], mi[:, sl]
+                    q1 = _dot_f32(btr, hr)
+                    q2 = _dot_f32(bti, hi_)
+                    q3 = _dot_f32(btr + bti, hr + hi_)
+                    halves.append((q1 - q2, q3 - q1 - q2))
+                mr = jnp.concatenate([halves[0][0], halves[1][0]], axis=1)
+                mi = jnp.concatenate([halves[0][1], halves[1][1]], axis=1)
 
-            # measurement sign of qubit q (q < 14): (1, C)
-            zq = (1 - 2 * ((lci >> q) & 1)).astype(jnp.float32)
-
-            re2, im2 = _cmul(mr, mi, flr, fli)
-            if has_top:
-                re2, im2 = _cmul(re2, im2, fhr, fhi)
-                f3i = (zh14 * zl13) * sp
-                re2, im2 = _cmul(re2, im2, cp, f3i)
-            st_ref[0] = re2
-            st_ref[1] = im2
-            a_next = jnp.sum((re2 * re2 + im2 * im2) * zq)
+            st_ref[0] = mr
+            st_ref[1] = mi
+            a_next = jnp.sum((mr * mr + mi * mi) * zq)
 
             # A(cyc+1) raw value (host applies s0/sigma/ancilla factors)
             @pl.when(cyc + 1 < T)
