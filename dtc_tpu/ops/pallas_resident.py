@@ -365,36 +365,26 @@ def _make_echo_kernel(L: int, T2: int, q: int, b0: int, has_top: bool,
             u7st = u7rt + u7it
             kr = mr.reshape(TOP * 128, 128)
             ki = mi.reshape(TOP * 128, 128)
-            p1 = jnp.dot(kr, u7rt, preferred_element_type=jnp.float32,
-                         precision=_DOT_PRECISION)
-            p2 = jnp.dot(ki, u7it, preferred_element_type=jnp.float32,
-                         precision=_DOT_PRECISION)
-            p3 = jnp.dot(kr + ki, u7st, preferred_element_type=jnp.float32,
-                         precision=_DOT_PRECISION)
+            p1 = _dot_f32(kr, u7rt)
+            p2 = _dot_f32(ki, u7it)
+            p3 = _dot_f32(kr + ki, u7st)
             kr, ki = p1 - p2, p3 - p1 - p2
             kr = jnp.swapaxes(kr.reshape(TOP, 128, 128), 1, 2).reshape(
                 TOP * 128, 128)
             ki = jnp.swapaxes(ki.reshape(TOP, 128, 128), 1, 2).reshape(
                 TOP * 128, 128)
-            p1 = jnp.dot(kr, u7rt, preferred_element_type=jnp.float32,
-                         precision=_DOT_PRECISION)
-            p2 = jnp.dot(ki, u7it, preferred_element_type=jnp.float32,
-                         precision=_DOT_PRECISION)
-            p3 = jnp.dot(kr + ki, u7st, preferred_element_type=jnp.float32,
-                         precision=_DOT_PRECISION)
+            p1 = _dot_f32(kr, u7rt)
+            p2 = _dot_f32(ki, u7it)
+            p3 = _dot_f32(kr + ki, u7st)
             kr, ki = p1 - p2, p3 - p1 - p2
             kr = jnp.swapaxes(kr.reshape(TOP, 128, 128), 1, 2).reshape(TOP, _C)
             ki = jnp.swapaxes(ki.reshape(TOP, 128, 128), 1, 2).reshape(TOP, _C)
             if has_top:
                 utr = utr_ref[ui]
                 uti = uti_ref[ui] * imag_sign
-                q1 = jnp.dot(utr, kr, preferred_element_type=jnp.float32,
-                             precision=_DOT_PRECISION)
-                q2 = jnp.dot(uti, ki, preferred_element_type=jnp.float32,
-                             precision=_DOT_PRECISION)
-                q3 = jnp.dot(utr + uti, kr + ki,
-                             preferred_element_type=jnp.float32,
-                             precision=_DOT_PRECISION)
+                q1 = _dot_f32(utr, kr)
+                q2 = _dot_f32(uti, ki)
+                q3 = _dot_f32(utr + uti, kr + ki)
                 kr, ki = q1 - q2, q3 - q1 - q2
             # inactive steps keep the pre-kick state (prediag was identity)
             kr = jnp.where(active > 0.5, kr, mr)
