@@ -72,8 +72,9 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
         engine=engine, max_L=21)
     if resident_ok:
         # VMEM-resident whole-trajectory kernel: state never leaves VMEM
-        # across all T cycles (measured 9.3k cycles/s at L=20 vs 2.0k for
-        # the factored engine; values match it to ~1e-6). Per-cycle x-only
+        # across all T cycles (measured 11.2k cycles/s at L=20 vs 2.0k for
+        # the factored engine; values match it to the bf16x3 dot level,
+        # <=1.8e-4, far under trajectory sampling noise). Per-cycle x-only
         # schedules (adaptive-g) use the same kernel with (T,128,128)
         # per-cycle kick matrices.
         from dtc_tpu.ops.pallas_resident import resident_forward_batch
@@ -86,9 +87,9 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
     if _general_dispatch(angles, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
                          engine=engine, max_L=21):
         # lab-frame general resident kernel: any polarization family / K
-        # slots / per-cycle schedule (y 9.8k, xy/circular 5.2k cycles/s at
-        # L=20 vs the sigma engine's 2.0k/1.3k; matches it to ~2e-6 with
-        # identical presampled trajectories)
+        # slots / per-cycle schedule (y 12.3k, xy/circular 7.1k cycles/s at
+        # L=20 vs the sigma engine's 2.0k/1.3k; matches it to ~3e-4 — the
+        # bf16x3 dot level — with identical presampled trajectories)
         from dtc_tpu.ops.pallas_resident_general import general_forward_batch
 
         return general_forward_batch(
@@ -152,9 +153,9 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
     """-> (inst, c, n_ts) echo values (sigma-frame).
 
     Dispatch mirrors _forward_batch: x-only drives at 14 <= L <= 20 take
-    the VMEM-resident Pallas echo kernel (measured 9x the sigma engine at
-    L=20; identical presampled trajectories), including per-cycle
-    g schedules (adaptive-g workloads)."""
+    the VMEM-resident Pallas echo kernel (measured 14x the sigma engine at
+    L=20 — 15.1k masked steps/s; identical presampled trajectories),
+    including per-cycle g schedules (adaptive-g workloads)."""
     import os
 
     engine = os.environ.get("DTC_TPU_ENGINE", "auto")

@@ -50,13 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dtc_tpu.core.sigma_evolve import _codes_from_uniform, _masks_from_codes
 from dtc_tpu.core.statevector import neel_index
-
-import os as _os
-
-_DOT_PRECISION = {
-    "default": jax.lax.Precision.DEFAULT,
-    "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("DTC_TPU_KERNEL_PRECISION", "highest")]
+from dtc_tpu.ops.pallas_resident import _dot_f32  # bf16x3 / HIGHEST dots
 
 _C = 16384  # 2**14 column axis (bits 0..13)
 _HALF_PI = float(np.pi / 2)
@@ -105,58 +99,52 @@ def _make_general_kernel(L: int, S: int, q: int, b0: int, has_top: bool,
         st_ref[0] = jnp.where(gidx == jnp.uint32(b0), 1.0, 0.0)
         st_ref[1] = jnp.zeros((TOP, _C), jnp.float32)
         lci = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
+        zq = (1 - 2 * ((lci >> q) & 1)).astype(jnp.float32)
+        # z tables for the group-angle fold (see pallas_resident): 7-bit
+        # output rows / input columns, bond-6 straddle mask, top tables
+        l7r = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        z7o = [(1 - 2 * ((l7r >> k) & 1)).astype(jnp.float32)
+               for k in range(7)]
+        l7c = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        z7i = [(1 - 2 * ((l7c >> k) & 1)).astype(jnp.float32)
+               for k in range(7)]
+        zz67 = (1 - 2 * (((lci >> 6) ^ (lci >> 7)) & 1)).astype(jnp.float32)
         if has_top:
             hti = jax.lax.broadcasted_iota(jnp.int32, (TOP, 1), 0)
-        zq = (1 - 2 * ((lci >> q) & 1)).astype(jnp.float32)
+            zho = [(1 - 2 * ((hti >> k) & 1)).astype(jnp.float32)
+                   for k in range(L - 14)]
+            htc = jax.lax.broadcasted_iota(jnp.int32, (1, TOP), 1)
+            zhi = [(1 - 2 * ((htc >> k) & 1)).astype(jnp.float32)
+                   for k in range(L - 14)]
+            z13c = (1 - 2 * ((lci >> 13) & 1)).astype(jnp.float32)
 
-        def tile_phase(ti):
-            """Factorized exp(i theta) of tile ti: theta linear in z-bits
-            with cz_q = h_q (sig_q - 1/2) - (pi/2) n_q (sig rows are zero in
+        def czc(ti, qq):
+            """cz_q = h_q (sig_q - 1/2) - (pi/2) n_q (sig rows are zero in
             the lab frame -> plain D0 x Pauli-Z sign); identical formula to
             pallas_resident (see that module's docstring)."""
-            def czc(qq):
-                return (tiles_ref[0, ti, 3, qq]
-                        * (tiles_ref[0, ti, 1, qq] - 0.5)
-                        - _HALF_PI * tiles_ref[0, ti, 0, qq])
+            return (tiles_ref[0, ti, 3, qq]
+                    * (tiles_ref[0, ti, 1, qq] - 0.5)
+                    - _HALF_PI * tiles_ref[0, ti, 0, qq])
 
-            def cbc(jj):
-                return (tiles_ref[0, ti, 4, jj]
-                        * (tiles_ref[0, ti, 2, jj] - 0.5))
+        def cbc(ti, jj):
+            return (tiles_ref[0, ti, 4, jj]
+                    * (tiles_ref[0, ti, 2, jj] - 0.5))
 
-            c0 = _HALF_PI * sum(tiles_ref[0, ti, 0, qq] for qq in range(L))
-            low = jnp.full((1, _C), c0, jnp.float32)
-            prev_z = None
-            for qq in range(14):
-                z = (1 - 2 * ((lci >> qq) & 1)).astype(jnp.float32)
-                low = low + czc(qq) * z
-                if qq > 0:
-                    low = low + cbc(qq - 1) * (prev_z * z)
-                prev_z = z
-            zl13 = prev_z
-            flr = jnp.cos(low)
-            fli = jnp.sin(low)
-            if not has_top:
-                return flr, fli, None, None, None
-            high = jnp.zeros((TOP, 1), jnp.float32)
-            prev_zh = None
-            for qq in range(14, L):
-                zh = (1 - 2 * ((hti >> (qq - 14)) & 1)).astype(jnp.float32)
-                high = high + czc(qq) * zh
-                if qq > 14:
-                    high = high + cbc(qq - 1) * (prev_zh * zh)
-                prev_zh = zh
-            zh14 = 1.0 - 2.0 * (hti & 1).astype(jnp.float32)
-            s13 = cbc(13)
-            f3i = (zh14 * zl13) * jnp.sin(s13)
-            return flr, fli, jnp.cos(high), jnp.sin(high), (jnp.cos(s13), f3i)
+        def angle7(ti, base, bias, zt):
+            th = bias + jnp.zeros_like(zt[0])
+            for k in range(7):
+                th = th + czc(ti, base + k) * zt[k]
+                if k > 0:
+                    th = th + cbc(ti, base + k - 1) * (zt[k - 1] * zt[k])
+            return th
 
-        def apply_phase(mr, mi, ph):
-            flr, fli, fhr, fhi, f3 = ph
-            mr, mi = _cmul(mr, mi, flr, fli)
-            if has_top:
-                mr, mi = _cmul(mr, mi, fhr, fhi)
-                mr, mi = _cmul(mr, mi, f3[0], f3[1])
-            return mr, mi
+        def angle_hi(ti, zt):
+            th = jnp.zeros_like(zt[0])
+            for k in range(L - 14):
+                th = th + czc(ti, 14 + k) * zt[k]
+                if k > 0:
+                    th = th + cbc(ti, 13 + k) * (zt[k - 1] * zt[k])
+            return th
 
         def build_group(ti, u8, nbits, off, transposed):
             """Planar (2^nbits, 2^nbits) group matrix with the step's X-mask
@@ -189,53 +177,85 @@ def _make_general_kernel(L: int, S: int, q: int, b0: int, has_top: bool,
             post = TPS * si + (TPS - 1)
             u8 = [tiles_ref[0, kt, 5, _LANE_U8 + j] for j in range(8)]
 
+            mr, mi = st_ref[0], st_ref[1]
             if echo:
-                mr, mi = apply_phase(st_ref[0], st_ref[1], tile_phase(kt))
-            else:
-                mr, mi = st_ref[0], st_ref[1]
+                # pre straddle phases (the rest of the prediag folds into
+                # the dots as contraction-input row/column scalings)
+                s6p = cbc(kt, 6)
+                mr, mi = _cmul(mr, mi, jnp.cos(s6p), zz67 * jnp.sin(s6p))
+                if has_top:
+                    s13p = cbc(kt, 13)
+                    mr, mi = _cmul(mr, mi, jnp.cos(s13p),
+                                   (z13c * zho[0]) * jnp.sin(s13p))
 
             # kick: bits 0..6 and 7..13 as full-plane Karatsuba dots against
-            # in-kernel-built (transposed) group matrices, then the top group
-            btr, bti = build_group(kt, u8, 7, 0, transposed=True)
-            bts = btr + bti
-            kr = mr.reshape(TOP * 128, 128)
-            ki = mi.reshape(TOP * 128, 128)
+            # in-kernel-built (transposed) group matrices with the pre/post
+            # group angles folded as row/column scalings, then the top group
+            def scaled_group(nbits, off, th):
+                gr, gi = build_group(kt, u8, nbits, off,
+                                     transposed=(off < 14))
+                dr = jnp.cos(th)
+                di = jnp.sin(th)
+                gr, gi = _cmul(gr, gi, dr, di)
+                return gr, gi
 
-            def big_right(xr, xi, gr, gi, gs):
-                p1 = jnp.dot(xr, gr, preferred_element_type=jnp.float32,
-                             precision=_DOT_PRECISION)
-                p2 = jnp.dot(xi, gi, preferred_element_type=jnp.float32,
-                             precision=_DOT_PRECISION)
-                p3 = jnp.dot(xr + xi, gs, preferred_element_type=jnp.float32,
-                             precision=_DOT_PRECISION)
+            c0q = _HALF_PI * sum(tiles_ref[0, post, 0, qq] for qq in range(L))
+            th_lo = angle7(post, 0, c0q, z7o)
+            th_mi = angle7(post, 7, 0.0, z7o)
+            if echo:
+                c0p = _HALF_PI * sum(tiles_ref[0, kt, 0, qq]
+                                     for qq in range(L))
+                th_lo = th_lo + angle7(kt, 0, c0p, z7i)
+                th_mi = th_mi + angle7(kt, 7, 0.0, z7i)
+
+            def big_right(xr, xi, gr, gi):
+                p1 = _dot_f32(xr, gr)
+                p2 = _dot_f32(xi, gi)
+                p3 = _dot_f32(xr + xi, gr + gi)
                 return p1 - p2, p3 - p1 - p2
 
-            kr, ki = big_right(kr, ki, btr, bti, bts)
+            btr, bti = scaled_group(7, 0, th_lo)
+            kr = mr.reshape(TOP * 128, 128)
+            ki = mi.reshape(TOP * 128, 128)
+            kr, ki = big_right(kr, ki, btr, bti)
             kr = jnp.swapaxes(kr.reshape(TOP, 128, 128), 1, 2).reshape(
                 TOP * 128, 128)
             ki = jnp.swapaxes(ki.reshape(TOP, 128, 128), 1, 2).reshape(
                 TOP * 128, 128)
-            bmr, bmi = build_group(kt, u8, 7, 7, transposed=True)
-            kr, ki = big_right(kr, ki, bmr, bmi, bmr + bmi)
+            bmr, bmi = scaled_group(7, 7, th_mi)
+            kr, ki = big_right(kr, ki, bmr, bmi)
             kr = jnp.swapaxes(kr.reshape(TOP, 128, 128), 1, 2).reshape(TOP, _C)
             ki = jnp.swapaxes(ki.reshape(TOP, 128, 128), 1, 2).reshape(TOP, _C)
             if has_top:
+                # top kick + high angles + bond-13 straddle as two
+                # column-half dots (z13 of the final state selects the half)
                 utr, uti = build_group(kt, u8, L - 14, 14, transposed=False)
-                q1 = jnp.dot(utr, kr, preferred_element_type=jnp.float32,
-                             precision=_DOT_PRECISION)
-                q2 = jnp.dot(uti, ki, preferred_element_type=jnp.float32,
-                             precision=_DOT_PRECISION)
-                q3 = jnp.dot(utr + uti, kr + ki,
-                             preferred_element_type=jnp.float32,
-                             precision=_DOT_PRECISION)
-                kr, ki = q1 - q2, q3 - q1 - q2
+                b_hi = angle_hi(post, zho)
+                s13q = cbc(post, 13)
+                th_hi = b_hi + (angle_hi(kt, zhi) if echo else 0.0)
+                halves = []
+                for sgn, sl in ((1.0, slice(0, _C // 2)),
+                                (-1.0, slice(_C // 2, _C))):
+                    th = th_hi + sgn * s13q * zho[0]
+                    dr = jnp.cos(th)
+                    di = jnp.sin(th)
+                    htr, hti_ = _cmul(utr, uti, dr, di)
+                    hr, hi_ = kr[:, sl], ki[:, sl]
+                    q1 = _dot_f32(htr, hr)
+                    q2 = _dot_f32(hti_, hi_)
+                    q3 = _dot_f32(htr + hti_, hr + hi_)
+                    halves.append((q1 - q2, q3 - q1 - q2))
+                kr = jnp.concatenate([halves[0][0], halves[1][0]], axis=1)
+                ki = jnp.concatenate([halves[0][1], halves[1][1]], axis=1)
 
             if echo:  # inactive steps keep the pre-kick state
                 active = tiles_ref[0, kt, 5, _LANE_ACTIVE]
                 kr = jnp.where(active > 0.5, kr, mr)
                 ki = jnp.where(active > 0.5, ki, mi)
 
-            kr, ki = apply_phase(kr, ki, tile_phase(post))
+            # post bond-6 straddle (bits 6/7 final after the second dot)
+            s6q = cbc(post, 6)
+            kr, ki = _cmul(kr, ki, jnp.cos(s6q), zz67 * jnp.sin(s6q))
             st_ref[0] = kr
             st_ref[1] = ki
 

@@ -2,7 +2,8 @@
 reference that caught the sigma engine's K>=2 echo bug.
 
 Full-kernel numerical validation runs on the TPU (interpret mode is too slow
-at the kernel's minimum L=14): values match the sigma engine to <=2.5e-6 for
+at the kernel's minimum L=14): values match the sigma engine to <=2.7e-4
+(the bf16x3 dot level; far under trajectory sampling noise) for
 every polarization family (x/y/xy/yx/circular/xy_cycle), forward and echo,
 L=14/17/20, with identical presampled trajectories (see docs/PERFORMANCE.md).
 
