@@ -31,10 +31,19 @@ clo), the TOP axis bits 14..L-1. One cycle:
      replaced a per-amplitude 2L-term bit loop + full-plane sincos + a
      streamed-D0 HBM pass (measured: 3.5k -> 9.1k cycles/s at L=20).
 
-Per-cycle parameters (zm/sigma/flip bits + h/phi rows) are (T, 8, 128)
-tiles in SMEM (scalar coefficient reads are register-speed there; VMEM
-scalar reads measured ~8% of kernel time). A(0) is trivial (basis state)
-and supplied by the host wrapper.
+Per-cycle parameters (zm/sigma/flip bits + h/phi lanes) are compact
+(T, 128) rows in SMEM (pack_cycle_params_compact; scalar coefficient
+reads are register-speed there — VMEM scalar reads measured ~8% of
+kernel time). A(0) is trivial (basis state) and supplied by the host
+wrapper.
+
+The forward kernel can evolve nb > 1 trajectories per grid step
+(DTC_TPU_RESIDENT_NB), stage-interleaved so Mosaic overlaps one chain's
+MXU dots with another's VPU work: measured 11.5k -> 12.5k (nb=2) ->
+12.8k (nb=4) cycles/s at L=20/T=50 with bit-identical values — but
+Mosaic compile time explodes with the unrolled body (~5 s at nb=1,
+minutes at nb=2, >15 min at nb=8), so nb=1 stays the DEFAULT; raise it
+only for long repeated sweeps of one shape that amortize the compile.
 
 Empirical tuning notes (v5e; forward kernel validated vs the sigma
 engine: <=2.1e-5 at HIGHEST, <=1.8e-4 at the default bf16x3):
@@ -59,7 +68,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dtc_tpu.core.sigma_evolve import presample_noise
 from dtc_tpu.core.statevector import neel_index
-from dtc_tpu.ops.pallas_noise import pack_cycle_params
+from dtc_tpu.ops.pallas_noise import (
+    pack_cycle_params,
+    pack_cycle_params_compact,
+)
 
 # Kernel dot precision. After the diagonal-fold optimization the kernel is
 # DOT-BOUND (measured: HIGHEST 173 ms/run, raw-bf16 80 ms at L=20/T=50/32
@@ -108,14 +120,19 @@ def _cmul(ar, ai, br, bi):
 
 
 def _make_kernel(L: int, T: int, q: int, b0: int, has_top: bool,
-                 time_dep: bool = False):  # noqa: C901
+                 time_dep: bool = False, nb: int = 1):  # noqa: C901
+    """Forward kernel evolving ``nb`` independent trajectories per grid
+    step, stage-interleaved: each pipeline stage (build B, dot, swap, top,
+    measure) loops over the chains so Mosaic can overlap one chain's MXU
+    dots with another's VPU/elementwise work. nb=1 reproduces the original
+    single-chain schedule exactly (same per-chain op order)."""
     TOP = 1 << (L - 14)
 
     def kernel(u7r_ref, u7i_ref, utr_ref, uti_ref, par_ref,
                a_out_ref, st_ref):
-        # a_out_ref: (1, 8, 128) VMEM block for THIS trajectory; A(t) stored
-        # at flat position t via one-hot vector adds (scalar VMEM stores are
-        # unsupported on this backend)
+        # a_out_ref: (1, nb, 8, 128) VMEM block for THIS chain group; A(t)
+        # stored at flat position t via one-hot vector adds (scalar VMEM
+        # stores are unsupported on this backend)
         arow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         alane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         apos = arow * 128 + alane
@@ -124,8 +141,9 @@ def _make_kernel(L: int, T: int, q: int, b0: int, has_top: bool,
         col = jax.lax.broadcasted_iota(jnp.uint32, (TOP, _C), 1)
         topi = jax.lax.broadcasted_iota(jnp.uint32, (TOP, _C), 0)
         gidx = (topi << 14) | col
-        st_ref[0] = jnp.where(gidx == jnp.uint32(b0), 1.0, 0.0)
-        st_ref[1] = jnp.zeros((TOP, _C), jnp.float32)
+        for b in range(nb):
+            st_ref[2 * b] = jnp.where(gidx == jnp.uint32(b0), 1.0, 0.0)
+            st_ref[2 * b + 1] = jnp.zeros((TOP, _C), jnp.float32)
 
         # loop-invariant vectors: 7-bit z tables, straddle-bond sign, zq
         l7 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -151,35 +169,34 @@ def _make_kernel(L: int, T: int, q: int, b0: int, has_top: bool,
             # the top dot. This removed 2 of 3 full-plane complex multiplies
             # per cycle (the docs/PERFORMANCE.md "next lever").
             ui = cyc if time_dep else 0
+            u7rt = u7r_ref[ui].T
+            u7it = u7i_ref[ui].T
 
-            def cz(qq):
-                return (par_ref[0, cyc, 3, qq] * (par_ref[0, cyc, 1, qq] - 0.5)
-                        - _HALF_PI * par_ref[0, cyc, 0, qq])
+            # compact row layout (pack_cycle_params_compact): n | sig |
+            # flip | h | phi at offsets 0, L, 2L, 3L-1, 4L-1
+            def cz(b, qq):
+                return (par_ref[0, b, cyc, 3 * L - 1 + qq]
+                        * (par_ref[0, b, cyc, L + qq] - 0.5)
+                        - _HALF_PI * par_ref[0, b, cyc, qq])
 
-            def cb(jj):
-                return par_ref[0, cyc, 4, jj] * (par_ref[0, cyc, 2, jj] - 0.5)
+            def cb(b, jj):
+                return (par_ref[0, b, cyc, 4 * L - 1 + jj]
+                        * (par_ref[0, b, cyc, 2 * L + jj] - 0.5))
 
-            c0 = _HALF_PI * sum(par_ref[0, cyc, 0, qq] for qq in range(L))
-
-            def seven_bit_angle(base, bias):
+            def seven_bit_angle(b, base, bias):
                 th = jnp.full((1, 128), bias, jnp.float32)
                 for k in range(7):
-                    th = th + cz(base + k) * z7[k]
+                    th = th + cz(b, base + k) * z7[k]
                     if k > 0:
-                        th = th + cb(base + k - 1) * (z7[k - 1] * z7[k])
+                        th = th + cb(b, base + k - 1) * (z7[k - 1] * z7[k])
                 return th
 
-            def scaled(u7rt, u7it, th):
+            def scaled(th):
                 dr = jnp.cos(th)
                 di = jnp.sin(th)
                 br = u7rt * dr - u7it * di
                 bi = u7rt * di + u7it * dr
                 return br, bi, br + bi
-
-            u7rt = u7r_ref[ui].T
-            u7it = u7i_ref[ui].T
-            blr, bli, bls = scaled(u7rt, u7it, seven_bit_angle(0, c0))
-            bmr, bmi, bms = scaled(u7rt, u7it, seven_bit_angle(7, 0.0))
 
             def kara_right(mr, mi, br, bi, bs):
                 p1 = _dot_f32(mr, br)
@@ -187,62 +204,87 @@ def _make_kernel(L: int, T: int, q: int, b0: int, has_top: bool,
                 p3 = _dot_f32(mr + mi, bs)
                 return p1 - p2, p3 - p1 - p2
 
-            mr = st_ref[0].reshape(TOP * 128, 128)
-            mi = st_ref[1].reshape(TOP * 128, 128)
-            mr, mi = kara_right(mr, mi, blr, bli, bls)   # kick+diag bits 0..6
-            mr = jnp.swapaxes(mr.reshape(TOP, 128, 128), 1, 2).reshape(
-                TOP * 128, 128)
-            mi = jnp.swapaxes(mi.reshape(TOP, 128, 128), 1, 2).reshape(
-                TOP * 128, 128)
-            mr, mi = kara_right(mr, mi, bmr, bmi, bms)   # kick+diag bits 7..13
-            mr = jnp.swapaxes(mr.reshape(TOP, 128, 128), 1, 2).reshape(TOP, _C)
-            mi = jnp.swapaxes(mi.reshape(TOP, 128, 128), 1, 2).reshape(TOP, _C)
+            # stage 0: per-chain scaled kick matrices (VPU, tiny)
+            bl = []
+            bm = []
+            for b in range(nb):
+                c0 = _HALF_PI * sum(par_ref[0, b, cyc, qq]
+                                    for qq in range(L))
+                bl.append(scaled(seven_bit_angle(b, 0, c0)))
+                bm.append(scaled(seven_bit_angle(b, 7, 0.0)))
+
+            mr = [st_ref[2 * b].reshape(TOP * 128, 128) for b in range(nb)]
+            mi = [st_ref[2 * b + 1].reshape(TOP * 128, 128)
+                  for b in range(nb)]
+            for b in range(nb):                  # kick+diag bits 0..6
+                mr[b], mi[b] = kara_right(mr[b], mi[b], *bl[b])
+            for b in range(nb):
+                mr[b] = jnp.swapaxes(mr[b].reshape(TOP, 128, 128), 1,
+                                     2).reshape(TOP * 128, 128)
+                mi[b] = jnp.swapaxes(mi[b].reshape(TOP, 128, 128), 1,
+                                     2).reshape(TOP * 128, 128)
+            for b in range(nb):                  # kick+diag bits 7..13
+                mr[b], mi[b] = kara_right(mr[b], mi[b], *bm[b])
+            for b in range(nb):
+                mr[b] = jnp.swapaxes(mr[b].reshape(TOP, 128, 128), 1,
+                                     2).reshape(TOP, _C)
+                mi[b] = jnp.swapaxes(mi[b].reshape(TOP, 128, 128), 1,
+                                     2).reshape(TOP, _C)
 
             # bond 6-7 straddle: the one remaining full-plane cmul
-            s6 = cb(6)
-            mr, mi = _cmul(mr, mi, jnp.cos(s6), zz67 * jnp.sin(s6))
+            for b in range(nb):
+                s6 = cb(b, 6)
+                mr[b], mi[b] = _cmul(mr[b], mi[b], jnp.cos(s6),
+                                     zz67 * jnp.sin(s6))
 
             # top kick + high diag + bond 13-14 straddle: two column-half
             # dots with diag(e^{i(th_hi +- cb13 z14)}) U_top
             if has_top:
-                th_hi = jnp.zeros((TOP, 1), jnp.float32)
-                for k in range(L - 14):
-                    th_hi = th_hi + cz(14 + k) * zh[k]
-                    if k > 0:
-                        th_hi = th_hi + cb(13 + k) * (zh[k - 1] * zh[k])
-                s13z14 = cb(13) * zh[0]
                 utr = utr_ref[ui]
                 uti = uti_ref[ui]
-                halves = []
-                for sgn, sl in ((1.0, slice(0, _C // 2)),
-                                (-1.0, slice(_C // 2, _C))):
-                    th = th_hi + sgn * s13z14
-                    dr = jnp.cos(th)
-                    di = jnp.sin(th)
-                    btr = utr * dr - uti * di
-                    bti = utr * di + uti * dr
-                    hr, hi_ = mr[:, sl], mi[:, sl]
-                    q1 = _dot_f32(btr, hr)
-                    q2 = _dot_f32(bti, hi_)
-                    q3 = _dot_f32(btr + bti, hr + hi_)
-                    halves.append((q1 - q2, q3 - q1 - q2))
-                mr = jnp.concatenate([halves[0][0], halves[1][0]], axis=1)
-                mi = jnp.concatenate([halves[0][1], halves[1][1]], axis=1)
+                for b in range(nb):
+                    th_hi = jnp.zeros((TOP, 1), jnp.float32)
+                    for k in range(L - 14):
+                        th_hi = th_hi + cz(b, 14 + k) * zh[k]
+                        if k > 0:
+                            th_hi = th_hi + cb(b, 13 + k) * (zh[k - 1] * zh[k])
+                    s13z14 = cb(b, 13) * zh[0]
+                    halves = []
+                    for sgn, sl in ((1.0, slice(0, _C // 2)),
+                                    (-1.0, slice(_C // 2, _C))):
+                        th = th_hi + sgn * s13z14
+                        dr = jnp.cos(th)
+                        di = jnp.sin(th)
+                        btr = utr * dr - uti * di
+                        bti = utr * di + uti * dr
+                        hr, hi_ = mr[b][:, sl], mi[b][:, sl]
+                        q1 = _dot_f32(btr, hr)
+                        q2 = _dot_f32(bti, hi_)
+                        q3 = _dot_f32(btr + bti, hr + hi_)
+                        halves.append((q1 - q2, q3 - q1 - q2))
+                    mr[b] = jnp.concatenate(
+                        [halves[0][0], halves[1][0]], axis=1)
+                    mi[b] = jnp.concatenate(
+                        [halves[0][1], halves[1][1]], axis=1)
 
-            st_ref[0] = mr
-            st_ref[1] = mi
-            a_next = jnp.sum((mr * mr + mi * mi) * zq)
+            for b in range(nb):
+                st_ref[2 * b] = mr[b]
+                st_ref[2 * b + 1] = mi[b]
 
             # A(cyc+1) raw value (host applies s0/sigma/ancilla factors)
             @pl.when(cyc + 1 < T)
             def _():
-                a_out_ref[0] = a_out_ref[0] + jnp.where(
-                    apos == cyc + 1, a_next, 0.0)
+                for b in range(nb):
+                    a_next = jnp.sum(
+                        (mr[b] * mr[b] + mi[b] * mi[b]) * zq)
+                    a_out_ref[0, b] = a_out_ref[0, b] + jnp.where(
+                        apos == cyc + 1, a_next, 0.0)
 
             return _
 
-        a_out_ref[0] = jnp.where(
-            apos == 0, float(1 - 2 * ((b0 >> q) & 1)), 0.0)
+        for b in range(nb):
+            a_out_ref[0, b] = jnp.where(
+                apos == 0, float(1 - 2 * ((b0 >> q) & 1)), 0.0)
         jax.lax.fori_loop(0, T, cycle, None)
 
     return kernel
@@ -593,27 +635,40 @@ def resident_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
     if T > 1024:
         raise ValueError("resident kernel supports T <= 1024")
 
+    # trajectories per grid step (stage-interleaved chains; see
+    # _make_kernel). Grouping lets Mosaic overlap one chain's dots with
+    # another's elementwise work at the cost of nb x the VMEM working set.
+    nb = int(_os.environ.get("DTC_TPU_RESIDENT_NB", "1"))
+
     def per_instance(h, ph, ks):
         n_traj = ks.shape[0]
+        pad = (-n_traj) % nb
+        if pad:
+            ks = jnp.concatenate([ks, ks[:pad]])
+        n_pad = n_traj + pad
         if p > 0.0:
             def sample(key):
                 _, zm, _, csum = presample_noise(key, p, T, L)
                 return jax.vmap(
-                    lambda z, sg: pack_cycle_params(z, sg, h, ph, L)
+                    lambda z, sg: pack_cycle_params_compact(z, sg, h, ph, L)
                 )(zm, csum), csum
 
-            params, sig_after = jax.vmap(sample)(ks)  # (c,T,8,128), (c,T)
+            params, sig_after = jax.vmap(sample)(ks)  # (c,T,128), (c,T)
+            sig_after = sig_after[:n_traj]
         else:
-            # noiseless: zm = sigma = 0 tiles still carry the h/phi rows the
+            # noiseless: zm = sigma = 0 rows still carry the h/phi lanes the
             # kernel's fused diagonal needs (cz_q = -h_q/2, cb_j = -phi_j/2)
-            tile = pack_cycle_params(jnp.uint32(0), jnp.uint32(0), h, ph, L)
-            params = jnp.broadcast_to(tile, (n_traj, T, 8, 128))
+            row = pack_cycle_params_compact(
+                jnp.uint32(0), jnp.uint32(0), h, ph, L)
+            params = jnp.broadcast_to(row, (n_pad, T, 128))
             sig_after = jnp.zeros((n_traj, T), jnp.uint32)
+        params = params.reshape(n_pad // nb, nb, T, 128)
 
         a_raw = pl.pallas_call(
-            _make_kernel(L, T, q, b0, TOP > 1, time_dependent),
-            out_shape=jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
-            grid=(n_traj,),
+            _make_kernel(L, T, q, b0, TOP > 1, time_dependent, nb=nb),
+            out_shape=jax.ShapeDtypeStruct((n_pad // nb, nb, 8, 128),
+                                           jnp.float32),
+            grid=(n_pad // nb,),
             in_specs=[
                 pl.BlockSpec((Tu, 128, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # u7r
@@ -623,13 +678,13 @@ def resident_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
                              memory_space=pltpu.VMEM),  # utr
                 pl.BlockSpec((Tu, TOP, TOP), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # uti
-                pl.BlockSpec((1, T, 8, 128), lambda i: (i, 0, 0, 0),
+                pl.BlockSpec((1, nb, T, 128), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.SMEM),  # params (scalar reads)
             ],
-            out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, nb, 8, 128), lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, TOP, _C), jnp.float32),   # state
+                pltpu.VMEM((2 * nb, TOP, _C), jnp.float32),   # states
             ],
             # default scoped-vmem limit is 16 MB; state (8 MB at L=20) +
             # full-plane kick/diagonal temporaries need more (v5e has
@@ -638,7 +693,7 @@ def resident_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
         )(u7r, u7i, utr, uti, params)
-        a_raw = a_raw.reshape(n_traj, 1024)[:, :T]
+        a_raw = a_raw.reshape(n_pad, 1024)[:n_traj, :T]
 
         sig_start = jnp.concatenate(
             [jnp.zeros((n_traj, 1), jnp.uint32), sig_after[:, :-1]], axis=1)

@@ -40,6 +40,24 @@ def test_pack_cycle_params_rows():
     assert np.all(par[0, L:] == 0)
 
 
+def test_pack_cycle_params_compact_lanes():
+    from dtc_tpu.ops.pallas_noise import pack_cycle_params_compact
+
+    L = 5
+    hs = jnp.arange(1.0, 6.0)
+    phis = jnp.arange(10.0, 14.0)
+    row = np.asarray(pack_cycle_params_compact(
+        jnp.uint32(0b10110), jnp.uint32(0b01010), hs, phis, L))
+    assert row.shape == (128,)
+    np.testing.assert_array_equal(row[0:L], [0, 1, 1, 0, 1])        # zm bits
+    np.testing.assert_array_equal(row[L:2 * L], [0, 1, 0, 1, 0])    # sigma
+    np.testing.assert_array_equal(row[2 * L:3 * L - 1], [1, 1, 1, 1])  # flips
+    np.testing.assert_allclose(row[3 * L - 1:4 * L - 1], np.arange(1.0, 6.0))
+    np.testing.assert_allclose(row[4 * L - 1:5 * L - 2],
+                               np.arange(10.0, 14.0))
+    assert np.all(row[5 * L - 2:] == 0)
+
+
 def test_dispatch_uses_sigma_on_cpu():
     """On CPU backends the dispatcher must NOT pick the resident kernel."""
     from dtc_tpu.experiments.engine import _forward_batch
