@@ -85,7 +85,7 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
             time_dependent=not time_independent)
 
     if _general_dispatch(angles, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
-                         engine=engine, max_L=21):
+                         engine=engine, max_L=21, max_steps=1024):
         # lab-frame general resident kernel: any polarization family / K
         # slots / per-cycle schedule (y 12.3k, xy/circular 7.1k cycles/s at
         # L=20 vs the sigma engine's 2.0k/1.3k; matches it to ~3e-4 — the
@@ -136,16 +136,18 @@ def _resident_dispatch(angles, *, has_y, K, L, q, T, dtype_name, engine,
     return ok, time_independent
 
 
-def _general_dispatch(angles, *, K, L, q, T, dtype_name, engine, max_L=20):
+def _general_dispatch(angles, *, K, L, q, T, dtype_name, engine, max_L=20,
+                      max_steps=1024):
     """Whether the lab-frame general resident kernel applies (any
-    polarization/K/schedule; step tiles ride in SMEM (forward) / VMEM (echo),
-    so cap total kick slots at T*K <= 256). max_L mirrors _resident_dispatch
-    (21 forward / 20 echo)."""
+    polarization/K/schedule). Compact (128,) step rows ride in SMEM, so
+    the forward kernel takes T*K <= 1024 kick slots (measurement-slot
+    limit) and the echo kernel 2*T*K <= 1024 (max_steps=512). max_L
+    mirrors _resident_dispatch (21 forward / 20 echo)."""
     if isinstance(angles, jax.core.Tracer):
         return False
     return (engine in ("auto", "resident", "general")
             and 14 <= L <= max_L and q < 14 and dtype_name == "complex64"
-            and T * K <= 256 and jax.default_backend() != "cpu")
+            and T * K <= max_steps and jax.default_backend() != "cpu")
 
 
 def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
@@ -171,7 +173,7 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
             time_dependent=not time_independent)
 
     if _general_dispatch(angles, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
-                         engine=engine, max_L=20):
+                         engine=engine, max_L=20, max_steps=512):
         from dtc_tpu.ops.pallas_resident_general import general_echo_batch
 
         return general_echo_batch(

@@ -55,7 +55,16 @@ from dtc_tpu.ops.pallas_resident import _dot_f32  # bf16x3 / HIGHEST dots
 _C = 16384  # 2**14 column axis (bits 0..13)
 _HALF_PI = float(np.pi / 2)
 
-# row-5 flag lanes
+# Compact (128,) tile-row layout (lab frame: sigma/flip rows are
+# identically zero, so the old (8, 128) tile compacts to ONE row of
+# 4L+9 <= 128 lanes; this shrank the forward kernel's double-buffered
+# SMEM window 8x — the (8,128) layout overflowed the 1 MB SMEM cap
+# beyond S ~ 128 steps):
+#   [0, L)      noise-Z bits n_q
+#   [L, 2L)     noise-X mask bits
+#   [2L, 3L)    h_q row (tile-masked by the host)
+#   [3L, 4L-1)  phi_j row
+#   [4L-1, ...) flag lanes (see _LANE_*)
 _LANE_MPOS = 0    # forward: A(t) output slot (< 0: no measurement)
 _LANE_ACTIVE = 1  # echo: step active (0 = identity padding)
 _LANE_U8 = 2      # lanes 2..9: slot 2x2 unitary [re, im] x [00, 01, 10, 11]
@@ -118,17 +127,18 @@ def _make_general_kernel(L: int, S: int, q: int, b0: int, has_top: bool,
                    for k in range(L - 14)]
             z13c = (1 - 2 * ((lci >> 13) & 1)).astype(jnp.float32)
 
+        FO = 4 * L - 1  # flag-lane base
+
         def czc(ti, qq):
-            """cz_q = h_q (sig_q - 1/2) - (pi/2) n_q (sig rows are zero in
-            the lab frame -> plain D0 x Pauli-Z sign); identical formula to
-            pallas_resident (see that module's docstring)."""
-            return (tiles_ref[0, ti, 3, qq]
-                    * (tiles_ref[0, ti, 1, qq] - 0.5)
-                    - _HALF_PI * tiles_ref[0, ti, 0, qq])
+            """cz_q = -h_q/2 - (pi/2) n_q (the sigma term of the
+            pallas_resident formula drops: the lab frame never
+            frame-shifts, so sigma = flip = 0 -> plain D0 x Pauli-Z
+            sign)."""
+            return (-0.5 * tiles_ref[0, ti, 2 * L + qq]
+                    - _HALF_PI * tiles_ref[0, ti, qq])
 
         def cbc(ti, jj):
-            return (tiles_ref[0, ti, 4, jj]
-                    * (tiles_ref[0, ti, 2, jj] - 0.5))
+            return -0.5 * tiles_ref[0, ti, 3 * L + jj]
 
         def angle7(ti, base, bias, zt):
             th = bias + jnp.zeros_like(zt[0])
@@ -156,7 +166,7 @@ def _make_general_kernel(L: int, S: int, q: int, b0: int, has_top: bool,
             ib = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1 - a_ax)
             br = bi = None
             for j in range(nbits):
-                x = tiles_ref[0, ti, 6, off + j]
+                x = tiles_ref[0, ti, L + off + j]
                 abit = ((ia >> j) & 1).astype(jnp.float32)
                 bbit = ((ib >> j) & 1).astype(jnp.float32)
                 ae = abit + x - 2.0 * abit * x  # abit XOR x (x is 0/1)
@@ -175,7 +185,7 @@ def _make_general_kernel(L: int, S: int, q: int, b0: int, has_top: bool,
         def step(si, _):
             kt = TPS * si          # kick/flags tile (echo: pre tile)
             post = TPS * si + (TPS - 1)
-            u8 = [tiles_ref[0, kt, 5, _LANE_U8 + j] for j in range(8)]
+            u8 = [tiles_ref[0, kt, FO + _LANE_U8 + j] for j in range(8)]
 
             mr, mi = st_ref[0], st_ref[1]
             if echo:
@@ -199,11 +209,11 @@ def _make_general_kernel(L: int, S: int, q: int, b0: int, has_top: bool,
                 gr, gi = _cmul(gr, gi, dr, di)
                 return gr, gi
 
-            c0q = _HALF_PI * sum(tiles_ref[0, post, 0, qq] for qq in range(L))
+            c0q = _HALF_PI * sum(tiles_ref[0, post, qq] for qq in range(L))
             th_lo = angle7(post, 0, c0q, z7o)
             th_mi = angle7(post, 7, 0.0, z7o)
             if echo:
-                c0p = _HALF_PI * sum(tiles_ref[0, kt, 0, qq]
+                c0p = _HALF_PI * sum(tiles_ref[0, kt, qq]
                                      for qq in range(L))
                 th_lo = th_lo + angle7(kt, 0, c0p, z7i)
                 th_mi = th_mi + angle7(kt, 7, 0.0, z7i)
@@ -249,7 +259,7 @@ def _make_general_kernel(L: int, S: int, q: int, b0: int, has_top: bool,
                 ki = jnp.concatenate([halves[0][1], halves[1][1]], axis=1)
 
             if echo:  # inactive steps keep the pre-kick state
-                active = tiles_ref[0, kt, 5, _LANE_ACTIVE]
+                active = tiles_ref[0, kt, FO + _LANE_ACTIVE]
                 kr = jnp.where(active > 0.5, kr, mr)
                 ki = jnp.where(active > 0.5, ki, mi)
 
@@ -260,7 +270,7 @@ def _make_general_kernel(L: int, S: int, q: int, b0: int, has_top: bool,
             st_ref[1] = ki
 
             if not echo:
-                mpos = tiles_ref[0, kt, 5, _LANE_MPOS]
+                mpos = tiles_ref[0, kt, FO + _LANE_MPOS]
 
                 @pl.when(mpos >= 0.0)
                 def _():
@@ -284,17 +294,14 @@ def _make_general_kernel(L: int, S: int, q: int, b0: int, has_top: bool,
     return kernel
 
 
-def _bits_row(mask):
-    """uint32 scalar/vector -> (…, 128) float 0/1 bit rows."""
-    qs = jnp.arange(128, dtype=jnp.uint32)
+def _bits_row(mask, width):
+    """uint32 scalar/vector -> (…, width) float 0/1 bit rows."""
+    qs = jnp.arange(width, dtype=jnp.uint32)
     return ((mask[..., None] >> qs) & 1).astype(jnp.int32).astype(jnp.float32)
 
 
-def _diag_rows(h, ph, L):
-    hrow = jnp.zeros((128,), jnp.float32).at[:L].set(h.astype(jnp.float32))
-    prow = jnp.zeros((128,), jnp.float32).at[:L - 1].set(
-        ph.astype(jnp.float32))
-    return hrow, prow
+def _flag_lanes(L):
+    return 128 - (4 * L - 1)
 
 
 @functools.partial(
@@ -329,8 +336,14 @@ def general_forward_batch(hs, phis, angles, keys, *, L, T, K, p, q,
     final[:, K - 1] = 1.0
     final = jnp.asarray(final.reshape(S, 1))
 
+    FL = _flag_lanes(L)
+    flags = jnp.zeros((S, FL), jnp.float32)
+    flags = flags.at[:, _LANE_MPOS].set(mpos)
+    flags = flags.at[:, _LANE_U8:_LANE_U8 + 8].set(u8)
+
     def per_instance(h, ph, ks):
-        hrow, prow = _diag_rows(h, ph, L)
+        hrow = (final * h[None].astype(jnp.float32))      # (S, L)
+        prow = (final * ph[None].astype(jnp.float32))     # (S, L-1)
 
         def tiles_one(key):
             if p > 0.0:
@@ -339,17 +352,12 @@ def general_forward_batch(hs, phis, angles, keys, *, L, T, K, p, q,
                 xm, zm = _masks_from_codes(codes, L)
             else:
                 xm = zm = jnp.zeros((S,), jnp.uint32)
-            zmb = _bits_row(zm)                      # (S, 128)
-            xmb = _bits_row(xm)
-            zeros = jnp.zeros((S, 128), jnp.float32)
-            row5 = jnp.zeros((S, 128), jnp.float32)
-            row5 = row5.at[:, _LANE_MPOS].set(mpos)
-            row5 = row5.at[:, _LANE_U8:_LANE_U8 + 8].set(u8)
-            return jnp.stack([zmb, zeros, zeros, final * hrow[None],
-                              final * prow[None], row5, xmb, zeros],
-                             axis=1)  # (S, 8, 128)
+            zmb = _bits_row(zm, L)                      # (S, L)
+            xmb = _bits_row(xm, L)
+            # compact row: n | x-mask | h | phi | flags (see _LANE_*)
+            return jnp.concatenate([zmb, xmb, hrow, prow, flags], axis=-1)
 
-        params = jax.vmap(tiles_one)(ks)  # (c, S, 8, 128)
+        params = jax.vmap(tiles_one)(ks)  # (c, S, 128)
         n_traj = ks.shape[0]
 
         a_raw = pl.pallas_call(
@@ -357,7 +365,7 @@ def general_forward_batch(hs, phis, angles, keys, *, L, T, K, p, q,
             out_shape=jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
             grid=(n_traj,),
             in_specs=[
-                pl.BlockSpec((1, S, 8, 128), lambda i: (i, 0, 0, 0),
+                pl.BlockSpec((1, S, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
@@ -403,9 +411,11 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
     u8i = jax.vmap(jax.vmap(lambda a: slot_u8(a[0], a[1], inverse=True)))(
         angles)  # (T, K, 8)
 
+    FL = _flag_lanes(L)
+
     def per_instance(h, ph, ks):
-        hrow, prow = _diag_rows(h, ph, L)
-        zrow = jnp.zeros((128,), jnp.float32)
+        hf = h.astype(jnp.float32)
+        pf = ph.astype(jnp.float32)
 
         def tiles_one(key, t_value):
             kstep = jnp.arange(2 * T)
@@ -427,47 +437,51 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
             u8i_c = jnp.take(u8i, ci, axis=0)
 
             def one_step(j):
-                """(2T, 2, 8, 128) pre/post tiles for event slot j."""
+                """(2T, 2, 128) compact pre/post rows for event slot j."""
                 slot_u = jnp.where(fwd[:, None], u8f_c[:, j],
                                    u8i_c[:, K - 1 - j])  # (2T, 8)
-                zmb = _bits_row(zm[:, j])
-                xmb = _bits_row(xm[:, j])
-                zeros = jnp.zeros((2 * T, 128), jnp.float32)
+                zmb = _bits_row(zm[:, j], L)
+                xmb = _bits_row(xm[:, j], L)
+                zl = jnp.zeros((2 * T, L), jnp.float32)
+                zp = jnp.zeros((2 * T, L - 1), jnp.float32)
                 act = (fwd | inv).astype(jnp.float32)
-                row5 = jnp.zeros((2 * T, 128), jnp.float32)
-                row5 = row5.at[:, _LANE_ACTIVE].set(act)
-                row5 = row5.at[:, _LANE_U8:_LANE_U8 + 8].set(slot_u)
+                flags = jnp.zeros((2 * T, FL), jnp.float32)
+                flags = flags.at[:, _LANE_ACTIVE].set(act)
+                flags = flags.at[:, _LANE_U8:_LANE_U8 + 8].set(slot_u)
                 # pre tile: D0^dagger on the FIRST inverse slot (j == 0)
                 pre_d = inv.astype(jnp.float32)[:, None] if j == 0 else 0.0
-                pre = jnp.stack([zeros, zeros, zeros,
-                                 -pre_d * hrow[None] + 0.0 * zeros,
-                                 -pre_d * prow[None] + 0.0 * zeros,
-                                 row5, xmb, zeros], axis=1)
+                pre = jnp.concatenate(
+                    [zl, xmb, -pre_d * hf[None] + 0.0 * zl,
+                     -pre_d * pf[None] + 0.0 * zp, flags], axis=-1)
                 # post tile: event z-sign; forward final slot adds D0
                 post_d = (fwd.astype(jnp.float32)[:, None]
                           if j == K - 1 else 0.0)
-                post = jnp.stack([zmb, zeros, zeros,
-                                  post_d * hrow[None] + 0.0 * zeros,
-                                  post_d * prow[None] + 0.0 * zeros,
-                                  zeros, zeros, zeros], axis=1)
-                return jnp.stack([pre, post], axis=1)  # (2T, 2, 8, 128)
+                post = jnp.concatenate(
+                    [zmb, zl, post_d * hf[None] + 0.0 * zl,
+                     post_d * pf[None] + 0.0 * zp,
+                     jnp.zeros((2 * T, FL), jnp.float32)], axis=-1)
+                return jnp.stack([pre, post], axis=1)  # (2T, 2, 128)
 
             tiles = jnp.stack([one_step(j) for j in range(K)],
-                              axis=1)  # (2T, K, 2, 8, 128)
-            return tiles.reshape(2 * S, 8, 128)
+                              axis=1)  # (2T, K, 2, 128)
+            return tiles.reshape(2 * S, 128)
 
         tiles = jax.vmap(
             lambda k: jax.vmap(lambda t: tiles_one(k, t))(ts))(ks)
         n_pairs = ks.shape[0] * n_ts
-        tiles = tiles.reshape(n_pairs, 2 * S, 8, 128)
+        tiles = tiles.reshape(n_pairs, 2 * S, 128)
 
+        # compact rows fit the double-buffered 1 MB SMEM window up to
+        # 2S = 1008 rows; SMEM scalar loads are the fast path
+        tile_mem = (pltpu.SMEM if 2 * S * 512 * 2 <= 1024 * 1024
+                    else pltpu.VMEM)
         a_raw = pl.pallas_call(
             _make_general_kernel(L, S, q, b0, TOP > 1, echo=True),
             out_shape=jax.ShapeDtypeStruct((n_pairs, 8, 128), jnp.float32),
             grid=(n_pairs,),
             in_specs=[
-                pl.BlockSpec((1, 2 * S, 8, 128), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2 * S, 128), lambda i: (i, 0, 0),
+                             memory_space=tile_mem),
             ],
             out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
