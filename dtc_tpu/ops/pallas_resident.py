@@ -68,10 +68,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dtc_tpu.core.sigma_evolve import presample_noise
 from dtc_tpu.core.statevector import neel_index
-from dtc_tpu.ops.pallas_noise import (
-    pack_cycle_params,
-    pack_cycle_params_compact,
-)
+from dtc_tpu.ops.pallas_noise import pack_cycle_params_compact
 
 # Kernel dot precision. After the diagonal-fold optimization the kernel is
 # DOT-BOUND (measured: HIGHEST 173 ms/run, raw-bf16 80 ms at L=20/T=50/32
@@ -370,12 +367,16 @@ def _make_echo_kernel(L: int, T2: int, q: int, b0: int, has_top: bool,
                    for k in range(L - 14)]
             z13c = (1 - 2 * ((lci >> 13) & 1)).astype(jnp.float32)
 
+        # compact row layout (pack_cycle_params_compact): n | sig | flip |
+        # h | phi at offsets 0, L, 2L, 3L-1, 4L-1; flags at lanes 125..127
         def cz(ti, qq):
-            return (par_ref[0, ti, 3, qq] * (par_ref[0, ti, 1, qq] - 0.5)
-                    - _HALF_PI * par_ref[0, ti, 0, qq])
+            return (par_ref[0, ti, 3 * L - 1 + qq]
+                    * (par_ref[0, ti, L + qq] - 0.5)
+                    - _HALF_PI * par_ref[0, ti, qq])
 
         def cb(ti, jj):
-            return par_ref[0, ti, 4, jj] * (par_ref[0, ti, 2, jj] - 0.5)
+            return (par_ref[0, ti, 4 * L - 1 + jj]
+                    * (par_ref[0, ti, 2 * L + jj] - 0.5))
 
         def angle7(ti, base, bias, zt):
             th = bias + jnp.zeros_like(zt[0])
@@ -396,11 +397,11 @@ def _make_echo_kernel(L: int, T2: int, q: int, b0: int, has_top: bool,
         def step(k, _):
             pre = 2 * k       # flat tile indices (pre, post) for step k
             post = 2 * k + 1
-            imag_sign = par_ref[0, pre, 5, 0]
-            active = par_ref[0, pre, 5, 1]
-            ui = par_ref[0, pre, 5, 2].astype(jnp.int32) if time_dep else 0
-            c0p = _HALF_PI * sum(par_ref[0, pre, 0, qq] for qq in range(L))
-            c0q = _HALF_PI * sum(par_ref[0, post, 0, qq] for qq in range(L))
+            imag_sign = par_ref[0, pre, 125]
+            active = par_ref[0, pre, 126]
+            ui = par_ref[0, pre, 127].astype(jnp.int32) if time_dep else 0
+            c0p = _HALF_PI * sum(par_ref[0, pre, qq] for qq in range(L))
+            c0q = _HALF_PI * sum(par_ref[0, post, qq] for qq in range(L))
 
             mr, mi = st_ref[0], st_ref[1]
             # pre straddle phases: e^{i s z z'} = cos s + i zz' sin s
@@ -550,32 +551,37 @@ def resident_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
             dsig = sig_b
 
             def one_step(zm_k, csum_k, dsig_k, fwd_k, inv_k, aidx_k):
-                pre = pack_cycle_params(
-                    jnp.uint32(0), dsig_k, -h, -ph, L) * inv_k.astype(jnp.float32)
-                post = (pack_cycle_params(zm_k, csum_k, h, ph, L)
+                pre = (pack_cycle_params_compact(jnp.uint32(0), dsig_k,
+                                                 -h, -ph, L)
+                       * inv_k.astype(jnp.float32))
+                post = (pack_cycle_params_compact(zm_k, csum_k, h, ph, L)
                         * fwd_k.astype(jnp.float32)
-                        + pack_cycle_params(zm_k, jnp.uint32(0), zeros_h,
-                                            zeros_p, L)
+                        + pack_cycle_params_compact(zm_k, jnp.uint32(0),
+                                                    zeros_h, zeros_p, L)
                         * inv_k.astype(jnp.float32))
                 imag_sign = jnp.where(inv_k, -1.0, 1.0)
                 active = (fwd_k | inv_k).astype(jnp.float32)
-                pre = (pre.at[5, 0].set(imag_sign).at[5, 1].set(active)
-                       .at[5, 2].set(aidx_k.astype(jnp.float32)))
+                pre = (pre.at[125].set(imag_sign).at[126].set(active)
+                       .at[127].set(aidx_k.astype(jnp.float32)))
                 return jnp.stack([pre, post])
 
             # kick-matrix index per step (forward i = k, inverse i = 2t-1-k,
             # cf. sigma_echo_batch); constant-schedule kernels ignore it
             aidx = jnp.where(fwd, step_i,
                              jnp.clip(2 * t_value - 1 - step_i, 0, T - 1))
-            tiles = jax.vmap(one_step)(zm, csum, dsig, fwd, inv, aidx)  # (T2,2,8,128)
-            return tiles.reshape(2 * T2, 8, 128), csum[-1]
+            tiles = jax.vmap(one_step)(zm, csum, dsig, fwd, inv, aidx)
+            return tiles.reshape(2 * T2, 128), csum[-1]  # (2*T2, 128)
 
         # (c, n_ts) pairs -> flat grid
         tiles, sig_fin = jax.vmap(
             lambda k: jax.vmap(lambda t: tiles_one(k, t))(ts))(ks)
         n_pairs = ks.shape[0] * n_ts
-        tiles = tiles.reshape(n_pairs, 2 * T2, 8, 128)
+        tiles = tiles.reshape(n_pairs, 2 * T2, 128)
 
+        # compact rows fit the double-buffered 1 MB SMEM window (the
+        # scalar-read fast path) up to 2*T2 = 1008 rows; VMEM past that
+        tile_mem = (pltpu.SMEM if 2 * T2 * 512 * 2 <= 1024 * 1024
+                    else pltpu.VMEM)
         a_raw = pl.pallas_call(
             _make_echo_kernel(L, T2, q, b0, TOP > 1, time_dependent),
             out_shape=jax.ShapeDtypeStruct((n_pairs, 8, 128), jnp.float32),
@@ -589,8 +595,8 @@ def resident_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((Tu, TOP, TOP), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2 * T2, 8, 128), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),  # tiles (too big: SMEM)
+                pl.BlockSpec((1, 2 * T2, 128), lambda i: (i, 0, 0),
+                             memory_space=tile_mem),  # step tiles
             ],
             out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
