@@ -118,12 +118,13 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
 
 
 def _resident_dispatch(angles, *, has_y, K, L, q, T, dtype_name, engine,
-                       max_L=20):
+                       max_L=21):
     """(resident_ok, time_independent): whether the VMEM-resident kernels
     apply, and whether the x-only schedule is constant (constant schedules
     share one kick matrix; per-cycle ones carry T of them — cap T to keep
-    the matrix block in VMEM). max_L: 21 for the forward kernel (16 MB
-    state), 20 for echo (larger per-step temporaries)."""
+    the matrix block in VMEM). Both kernels take 14 <= L <= 21 (16 MB
+    state at L=21; the diagonal-fold removed the full-plane phase
+    temporaries that had kept echo at L <= 20)."""
     if isinstance(angles, jax.core.Tracer) or has_y or K != 1:
         return False, False
     ang_np = np.asarray(angles)
@@ -136,13 +137,12 @@ def _resident_dispatch(angles, *, has_y, K, L, q, T, dtype_name, engine,
     return ok, time_independent
 
 
-def _general_dispatch(angles, *, K, L, q, T, dtype_name, engine, max_L=20,
+def _general_dispatch(angles, *, K, L, q, T, dtype_name, engine, max_L=21,
                       max_steps=1024):
     """Whether the lab-frame general resident kernel applies (any
     polarization/K/schedule). Compact (128,) step rows ride in SMEM, so
     the forward kernel takes T*K <= 1024 kick slots (measurement-slot
-    limit) and the echo kernel 2*T*K <= 1024 (max_steps=512). max_L
-    mirrors _resident_dispatch (21 forward / 20 echo)."""
+    limit) and the echo kernel 2*T*K <= 1024 (max_steps=512)."""
     if isinstance(angles, jax.core.Tracer):
         return False
     return (engine in ("auto", "resident", "general")
@@ -154,7 +154,7 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
                 dtype_name, ancilla_factor, has_y=False):
     """-> (inst, c, n_ts) echo values (sigma-frame).
 
-    Dispatch mirrors _forward_batch: x-only drives at 14 <= L <= 20 take
+    Dispatch mirrors _forward_batch: x-only drives at 14 <= L <= 21 take
     the VMEM-resident Pallas echo kernel (measured 14x the sigma engine at
     L=20 — 15.1k masked steps/s; identical presampled trajectories),
     including per-cycle g schedules (adaptive-g workloads)."""
@@ -163,7 +163,7 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
     engine = os.environ.get("DTC_TPU_ENGINE", "auto")
     resident_ok, time_independent = _resident_dispatch(
         angles, has_y=has_y, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
-        engine=engine)
+        engine=engine, max_L=21)
     if resident_ok:
         from dtc_tpu.ops.pallas_resident import resident_echo_batch
 
@@ -173,7 +173,7 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
             time_dependent=not time_independent)
 
     if _general_dispatch(angles, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
-                         engine=engine, max_L=20, max_steps=512):
+                         engine=engine, max_L=21, max_steps=512):
         from dtc_tpu.ops.pallas_resident_general import general_echo_batch
 
         return general_echo_batch(

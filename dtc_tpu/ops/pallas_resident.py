@@ -504,11 +504,11 @@ def resident_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
     VMEM-resident echo A0(t): per (trajectory, t) pair the kernel runs 2T
     masked steps — t forward cycles, t inverse cycles, identity padding —
     matching core.sigma_evolve.sigma_echo_batch event-for-event (identical
-    presampled uniforms -> identical trajectories). Requires 14 <= L <= 20,
-    K=1 time-independent x drive, q < 14.
+    presampled uniforms -> identical trajectories). Requires 14 <= L <= 21,
+    K=1 x drive (constant or per-cycle), q < 14.
     """
-    if not (14 <= L <= 20):
-        raise ValueError("resident kernel supports 14 <= L <= 20")
+    if not (14 <= L <= 21):
+        raise ValueError("resident kernel supports 14 <= L <= 21")
     TOP = 1 << (L - 14)
     b0 = 0 if initial_state == "vacuum" else neel_index(L)
     s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0

@@ -395,10 +395,10 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
     pair, t forward cycles then t inverse cycles (slots reversed, daggered
     slot unitaries, D0^dagger leading each inverse cycle), events sampled
     from the same uniforms as core.sigma_evolve.sigma_echo_batch. Requires
-    14 <= L <= 20, q < 14.
+    14 <= L <= 21, q < 14.
     """
-    if not (14 <= L <= 20):
-        raise ValueError("resident kernel supports 14 <= L <= 20")
+    if not (14 <= L <= 21):
+        raise ValueError("resident kernel supports 14 <= L <= 21")
     if 2 * T * K > 1024:
         raise ValueError("resident echo kernel supports 2*T*K <= 1024")
     TOP = 1 << (L - 14)

@@ -80,7 +80,7 @@ def test_resident_echo_rejects_bad_L():
     from dtc_tpu.ops.pallas_resident import resident_echo_batch
 
     keys = jax.random.split(jax.random.PRNGKey(0), 1)[None]
-    with pytest.raises(ValueError, match="14 <= L <= 20"):
+    with pytest.raises(ValueError, match="14 <= L <= 21"):
         resident_echo_batch(
             jnp.ones((1, 8)), jnp.ones((1, 7)), jnp.zeros((2, 1, 2)), keys,
             jnp.arange(2), L=8, T=2, p=0.0, q=4)
