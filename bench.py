@@ -27,7 +27,7 @@ from dtc_tpu.io.disorder import generate_disorder
 from dtc_tpu.models.drives import build_kick_schedule
 
 
-def run_case(L, T, p, n_traj, n_rep=3, g=0.97):
+def run_case(L, T, p, n_traj, n_rep=3, n_groups=5, g=0.97):
     hs, phis = generate_disorder(L, 1, seed=0)
     sched = build_kick_schedule("x", g, T)
     hs_j = jnp.asarray(hs[:, :L])
@@ -46,12 +46,16 @@ def run_case(L, T, p, n_traj, n_rep=3, g=0.97):
         assert abs(a[0, :, 0].mean() - af) < 1e-3, f"A(0) != (1-p)^6: {a[0,:,0].mean()}"
 
     check(run(0))  # compile + warmup + validate
-    t0 = time.perf_counter()
-    for i in range(n_rep):
-        a = run(i + 1)
-    dt = (time.perf_counter() - t0) / n_rep
-    check(a)
-    return (T * n_traj) / dt
+    # median over timing groups: single-group readings on this chip swing
+    # up to ~40% under transient co-tenant / compile-helper contention
+    group_dts = []
+    for gi in range(n_groups):
+        t0 = time.perf_counter()
+        for i in range(n_rep):
+            a = run(gi * n_rep + i + 1)
+        group_dts.append((time.perf_counter() - t0) / n_rep)
+        check(a)
+    return (T * n_traj) / float(np.median(group_dts))
 
 
 def main():
