@@ -478,7 +478,12 @@ def _make_echo_kernel(L: int, T2: int, q: int, b0: int, has_top: bool,
             st_ref[1] = ki
             return _
 
-        jax.lax.fori_loop(0, T2, step, None)
+        # active steps are exactly the FIRST 2t of the T2-step schedule, so
+        # the per-pair trip count (flag lane 124 of tile 0) skips the
+        # identity padding — an echo sweep over t = 1..T halves its real
+        # work (sum 2t = T(T+1) active vs 2T^2 padded steps)
+        n_active = par_ref[0, 0, 124].astype(jnp.int32)
+        jax.lax.fori_loop(0, n_active, step, None)
 
         # terminal measurement: raw sum |v|^2 z_q (host applies s0/sigma/af)
         zq = (1 - 2 * ((lci >> q) & 1)).astype(jnp.float32)
@@ -570,7 +575,10 @@ def resident_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
             aidx = jnp.where(fwd, step_i,
                              jnp.clip(2 * t_value - 1 - step_i, 0, T - 1))
             tiles = jax.vmap(one_step)(zm, csum, dsig, fwd, inv, aidx)
-            return tiles.reshape(2 * T2, 128), csum[-1]  # (2*T2, 128)
+            tiles = tiles.reshape(2 * T2, 128)
+            # per-pair dynamic trip count (active steps = first 2t)
+            tiles = tiles.at[0, 124].set((2 * t_value).astype(jnp.float32))
+            return tiles, csum[-1]  # (2*T2, 128)
 
         # (c, n_ts) pairs -> flat grid
         tiles, sig_fin = jax.vmap(

@@ -68,6 +68,7 @@ _HALF_PI = float(np.pi / 2)
 _LANE_MPOS = 0    # forward: A(t) output slot (< 0: no measurement)
 _LANE_ACTIVE = 1  # echo: step active (0 = identity padding)
 _LANE_U8 = 2      # lanes 2..9: slot 2x2 unitary [re, im] x [00, 01, 10, 11]
+_LANE_COUNT = 10  # echo: per-pair active-step count (tile 0 only)
 
 
 def _cmul(ar, ai, br, bi):
@@ -282,10 +283,15 @@ def _make_general_kernel(L: int, S: int, q: int, b0: int, has_top: bool,
 
         if echo:
             a_out_ref[0] = jnp.zeros((8, 128), jnp.float32)
+            # active steps are exactly the FIRST 2*t*K, so the per-pair
+            # trip count skips the identity padding (halves an echo
+            # sweep's real work)
+            n_active = tiles_ref[0, 0, FO + _LANE_COUNT].astype(jnp.int32)
+            jax.lax.fori_loop(0, n_active, step, None)
         else:
             a_out_ref[0] = jnp.where(
                 apos == 0, float(1 - 2 * ((b0 >> q) & 1)), 0.0)
-        jax.lax.fori_loop(0, S, step, None)
+            jax.lax.fori_loop(0, S, step, None)
 
         if echo:
             val = jnp.sum((st_ref[0] * st_ref[0] + st_ref[1] * st_ref[1]) * zq)
@@ -464,7 +470,10 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
 
             tiles = jnp.stack([one_step(j) for j in range(K)],
                               axis=1)  # (2T, K, 2, 128)
-            return tiles.reshape(2 * S, 128)
+            tiles = tiles.reshape(2 * S, 128)
+            # per-pair dynamic trip count (active steps = first 2*t*K)
+            return tiles.at[0, 4 * L - 1 + _LANE_COUNT].set(
+                (2 * t_value * K).astype(jnp.float32))
 
         tiles = jax.vmap(
             lambda k: jax.vmap(lambda t: tiles_one(k, t))(ts))(ks)
