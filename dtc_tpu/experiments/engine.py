@@ -84,6 +84,20 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
             initial_state=initial_state, ancilla_factor=ancilla_factor,
             time_dependent=not time_independent)
 
+    if (time_independent and 22 <= L <= 26 and q < 14
+            and dtype_name == "complex64" and T <= 1024
+            and engine in ("auto", "resident", "streamed")
+            and jax.default_backend() != "cpu"):
+        # HBM-streamed whole-trajectory kernel: past the VMEM limit the
+        # state lives in HBM and each cycle makes two double-buffered DMA
+        # sweeps (ops/pallas_streamed; matches the sigma engine to the
+        # bf16x3 level with identical presampled trajectories)
+        from dtc_tpu.ops.pallas_streamed import streamed_forward_batch
+
+        return streamed_forward_batch(
+            hs, phis, angles, keys, L=L, T=T, p=p, q=q,
+            initial_state=initial_state, ancilla_factor=ancilla_factor)
+
     if _general_dispatch(angles, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
                          engine=engine, max_L=21, max_steps=1024):
         # lab-frame general resident kernel: any polarization family / K

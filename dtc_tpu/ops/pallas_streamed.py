@@ -1,0 +1,395 @@
+"""HBM-streamed whole-trajectory Floquet kernel (x-polarized forward,
+22 <= L <= 26).
+
+Past L=21 the statevector (>= 32 MB planar) no longer fits VMEM, and the
+XLA scan alternative is deopted 15-30x by per-cycle traced operands
+(docs/PERFORMANCE.md), while a python-per-cycle-jit loop pays ~9 ms
+dispatch per call (benchmarks/percall_probe.py). This kernel keeps the
+whole T-cycle trajectory in ONE pallas_call like ops/pallas_resident, but
+the state lives in an HBM scratch and every cycle makes two double-
+buffered DMA sweeps over it (measured ~326 GB/s effective on this
+backend, benchmarks/dma_probe.py):
+
+  pass A — row slabs (RS, 16384): kick bits 0..6 / 7..13 as Karatsuba
+    dots with the column parts of the fused diagonal folded in (th_lo /
+    th_mid as output-column scalings, exactly the pallas_resident fold),
+    then the bond-6 straddle cmul. Column-diagonal parts commute with the
+    later top kicks, so applying them here is exact.
+  pass B — column slabs (R, CS): the row-bit kicks, split as
+    U_top = U21 (bits 21..L-1) x U7 (bits 14..20) — both contractions
+    slab-local after a VMEM axis swap — with the ROW parts of the
+    diagonal folded in (th_B on U7's output rows, th_C and the bond-20
+    straddle on U21's output rows), then the bond 13-14 straddle cmul
+    (z13 is constant per column slab for CS <= 8192) and the per-cycle
+    A(t) partial sum.
+
+Same sigma-frame noise formulation, compact (T, 128) SMEM parameter rows
+and bf16x3 dots as the resident kernel; values match the sigma engine to
+the bf16x3 level with identical presampled trajectories.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dtc_tpu.core.sigma_evolve import presample_noise
+from dtc_tpu.core.statevector import neel_index
+from dtc_tpu.ops.pallas_noise import pack_cycle_params_compact
+from dtc_tpu.ops.pallas_resident import _cmul, _dot_f32
+
+_C = 16384       # bits 0..13 (column axis of the HBM state)
+_RS = 64         # pass-A slab rows
+_HALF_PI = float(np.pi / 2)
+
+
+def _kara_right(xr, xi, br, bi):
+    p1 = _dot_f32(xr, br)
+    p2 = _dot_f32(xi, bi)
+    p3 = _dot_f32(xr + xi, br + bi)
+    return p1 - p2, p3 - p1 - p2
+
+
+def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int):  # noqa: C901
+    R = 1 << (L - 14)
+    R2 = R // 128
+    NA = R // _RS
+    NB = _C // CS
+
+    def kernel(u7r_ref, u7i_ref, u21r_ref, u21i_ref, par_ref, st_in_ref,
+               a_out_ref, st_hbm, aslab, bslab, acc, sems):
+        # st_in_ref is aliased to st_hbm (Mosaic has no HBM scratch; the
+        # state rides an ANY-space input/output pair instead); all DMA goes
+        # through the output ref
+        del st_in_ref
+        arow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        alane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        apos = arow * 128 + alane
+        a_out_ref[0] = jnp.where(
+            apos == 0, float(1 - 2 * ((b0 >> q) & 1)), 0.0)
+
+        # loop-invariant z tables
+        l7o = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        z7o = [(1 - 2 * ((l7o >> k) & 1)).astype(jnp.float32)
+               for k in range(7)]
+        l7c = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        z7c = [(1 - 2 * ((l7c >> k) & 1)).astype(jnp.float32)
+               for k in range(7)]
+        lci = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
+        zz67 = (1 - 2 * (((lci >> 6) ^ (lci >> 7)) & 1)).astype(jnp.float32)
+        r2i = jax.lax.broadcasted_iota(jnp.int32, (R2, 1), 0)
+        z21 = (1 - 2 * (r2i & 1)).astype(jnp.float32)
+        zr2 = [(1 - 2 * ((r2i >> k) & 1)).astype(jnp.float32)
+               for k in range(L - 21)]
+        # z14 (bit 0 of the m axis) as a (1, 128, 1) broadcast table
+        m3 = jax.lax.broadcasted_iota(jnp.int32, (1, 128, 1), 1)
+        z14m = (1 - 2 * (m3 & 1)).astype(jnp.float32)
+        csl = jax.lax.broadcasted_iota(jnp.int32, (1, CS), 1)
+
+        # DMA helpers (sem lanes: A loads 0/1, A stores 2/3, B loads 4/5,
+        # B stores 6/7; the init sweep borrows the A-store lanes)
+        def loadA(slot, i):
+            return pltpu.make_async_copy(
+                st_hbm.at[:, pl.ds(i * _RS, _RS), :], aslab.at[slot],
+                sems.at[slot])
+
+        def storeA(slot, i):
+            return pltpu.make_async_copy(
+                aslab.at[slot], st_hbm.at[:, pl.ds(i * _RS, _RS), :],
+                sems.at[2 + slot])
+
+        def loadB(slot, j):
+            return pltpu.make_async_copy(
+                st_hbm.at[:, :, pl.ds(j * CS, CS)], bslab.at[slot],
+                sems.at[4 + slot])
+
+        def storeB(slot, j):
+            return pltpu.make_async_copy(
+                bslab.at[slot], st_hbm.at[:, :, pl.ds(j * CS, CS)],
+                sems.at[6 + slot])
+
+        # ------------------------------------------------------------------
+        # init sweep: write the basis state b0 slab by slab (store-only)
+        r_b0 = b0 >> 14
+        c_b0 = b0 & (_C - 1)
+        rloc = jax.lax.broadcasted_iota(jnp.int32, (_RS, _C), 0)
+        cloc = jax.lax.broadcasted_iota(jnp.int32, (_RS, _C), 1)
+
+        def init_body(i, _):
+            slot = i % 2
+
+            @pl.when(i >= 2)
+            def _():
+                storeA(slot, i - 2).wait()
+
+            aslab[slot, 0] = jnp.where(
+                (rloc + i * _RS == r_b0) & (cloc == c_b0), 1.0, 0.0)
+            aslab[slot, 1] = jnp.zeros((_RS, _C), jnp.float32)
+            storeA(slot, i).start()
+            return _
+
+        jax.lax.fori_loop(0, NA, init_body, None)
+        storeA((NA - 2) % 2, NA - 2).wait()
+        storeA((NA - 1) % 2, NA - 1).wait()
+
+        def cycle(cyc, _):
+            # compact row reads (pack_cycle_params_compact layout)
+            def cz(qq):
+                return (par_ref[0, cyc, 3 * L - 1 + qq]
+                        * (par_ref[0, cyc, L + qq] - 0.5)
+                        - _HALF_PI * par_ref[0, cyc, qq])
+
+            def cb(jj):
+                return (par_ref[0, cyc, 4 * L - 1 + jj]
+                        * (par_ref[0, cyc, 2 * L + jj] - 0.5))
+
+            c0 = _HALF_PI * sum(par_ref[0, cyc, qq] for qq in range(L))
+
+            def angle7(base, bias, zt):
+                th = bias + jnp.zeros_like(zt[0])
+                for k in range(7):
+                    th = th + cz(base + k) * zt[k]
+                    if k > 0:
+                        th = th + cb(base + k - 1) * (zt[k - 1] * zt[k])
+                return th
+
+            def scaled_cols(u7rt, u7it, th):
+                dr = jnp.cos(th)
+                di = jnp.sin(th)
+                return u7rt * dr - u7it * di, u7rt * di + u7it * dr
+
+            u7rt = u7r_ref[0].T
+            u7it = u7i_ref[0].T
+            b1r, b1i = scaled_cols(u7rt, u7it, angle7(0, c0, z7o))
+            b2r, b2i = scaled_cols(u7rt, u7it, angle7(7, 0.0, z7o))
+            # pass-B matrices: B14 = rowdiag(e^{i th_B}) U7 (RX kron powers
+            # are symmetric, so U7 doubles as its own [out, in] layout)
+            th_b = angle7(14, 0.0, z7c)
+            b14r, b14i = scaled_cols(u7r_ref[0], u7i_ref[0], th_b)
+            th_c = jnp.zeros((R2, 1), jnp.float32)
+            for k in range(L - 21):
+                th_c = th_c + cz(21 + k) * zr2[k]
+                if k > 0:
+                    th_c = th_c + cb(20 + k) * (zr2[k - 1] * zr2[k])
+            s20 = cb(20)
+            s13 = cb(13)
+            s6 = cb(6)
+
+            # ---------------- pass A: row slabs ----------------
+            def a_body(i, _):
+                s = i % 2
+                nxt = (i + 1) % 2
+                loadA(s, i).wait()
+                mr = aslab[s, 0].reshape(_RS * 128, 128)
+                mi = aslab[s, 1].reshape(_RS * 128, 128)
+                mr, mi = _kara_right(mr, mi, b1r, b1i)
+                mr = jnp.swapaxes(mr.reshape(_RS, 128, 128), 1, 2).reshape(
+                    _RS * 128, 128)
+                mi = jnp.swapaxes(mi.reshape(_RS, 128, 128), 1, 2).reshape(
+                    _RS * 128, 128)
+                mr, mi = _kara_right(mr, mi, b2r, b2i)
+                mr = jnp.swapaxes(mr.reshape(_RS, 128, 128), 1, 2).reshape(
+                    _RS, _C)
+                mi = jnp.swapaxes(mi.reshape(_RS, 128, 128), 1, 2).reshape(
+                    _RS, _C)
+                mr, mi = _cmul(mr, mi, jnp.cos(s6), zz67 * jnp.sin(s6))
+                aslab[s, 0] = mr
+                aslab[s, 1] = mi
+                storeA(s, i).start()
+
+                @pl.when(i + 1 < NA)
+                def _():
+                    @pl.when(i >= 1)
+                    def _():
+                        storeA(nxt, i - 1).wait()
+
+                    loadA(nxt, i + 1).start()
+
+                return _
+
+            loadA(0, 0).start()
+            jax.lax.fori_loop(0, NA, a_body, None)
+            storeA((NA - 2) % 2, NA - 2).wait()
+            storeA((NA - 1) % 2, NA - 1).wait()
+
+            # ---------------- pass B: column slabs ----------------
+            acc[0] = 0.0
+
+            def b_body(j, _):
+                s = j % 2
+                nxt = (j + 1) % 2
+                loadB(s, j).wait()
+                # (R, CS) -> (m, R2*CS) for the bits-14..20 contraction
+                mr = jnp.swapaxes(bslab[s, 0].reshape(R2, 128, CS), 0,
+                                  1).reshape(128, R2 * CS)
+                mi = jnp.swapaxes(bslab[s, 1].reshape(R2, 128, CS), 0,
+                                  1).reshape(128, R2 * CS)
+                p1 = _dot_f32(b14r, mr)
+                p2 = _dot_f32(b14i, mi)
+                p3 = _dot_f32(b14r + b14i, mr + mi)
+                mr, mi = p1 - p2, p3 - p1 - p2
+                # -> (R2, 128, CS) for the bits-21.. contraction; the
+                # bond-20 straddle splits the m axis into z20 = +-1 halves
+                mr = jnp.swapaxes(mr.reshape(128, R2, CS), 0, 1)
+                mi = jnp.swapaxes(mi.reshape(128, R2, CS), 0, 1)
+                halves = []
+                for sgn, sl in ((1.0, slice(0, 64)), (-1.0, slice(64, 128))):
+                    th = th_c + sgn * s20 * z21
+                    dr = jnp.cos(th)
+                    di = jnp.sin(th)
+                    gr = u21r_ref[0] * dr - u21i_ref[0] * di
+                    gi = u21r_ref[0] * di + u21i_ref[0] * dr
+                    hr = mr[:, sl, :].reshape(R2, 64 * CS)
+                    hi_ = mi[:, sl, :].reshape(R2, 64 * CS)
+                    q1 = _dot_f32(gr, hr)
+                    q2 = _dot_f32(gi, hi_)
+                    q3 = _dot_f32(gr + gi, hr + hi_)
+                    halves.append(((q1 - q2).reshape(R2, 64, CS),
+                                   (q3 - q1 - q2).reshape(R2, 64, CS)))
+                mr = jnp.concatenate([halves[0][0], halves[1][0]], axis=1)
+                mi = jnp.concatenate([halves[0][1], halves[1][1]], axis=1)
+                # bond 13-14 straddle: z13 is constant over this column
+                # slab (CS <= 8192), z14 = bit 0 of the m axis
+                z13 = jnp.where(j * CS < _C // 2, 1.0, -1.0)
+                mr, mi = _cmul(mr, mi, jnp.cos(s13),
+                               (z13 * z14m) * jnp.sin(s13))
+                # A(t) partial: zq is a column sign (q < 14)
+                zq = (1 - 2 * (((j * CS + csl) >> q) & 1)).astype(
+                    jnp.float32)[:, None, :]
+                acc[0] = acc[0] + jnp.sum((mr * mr + mi * mi) * zq)
+                bslab[s, 0] = mr.reshape(R, CS)
+                bslab[s, 1] = mi.reshape(R, CS)
+                storeB(s, j).start()
+
+                @pl.when(j + 1 < NB)
+                def _():
+                    @pl.when(j >= 1)
+                    def _():
+                        storeB(nxt, j - 1).wait()
+
+                    loadB(nxt, j + 1).start()
+
+                return _
+
+            loadB(0, 0).start()
+            jax.lax.fori_loop(0, NB, b_body, None)
+            storeB((NB - 2) % 2, NB - 2).wait()
+            storeB((NB - 1) % 2, NB - 1).wait()
+
+            @pl.when(cyc + 1 < T)
+            def _():
+                a_out_ref[0] = a_out_ref[0] + jnp.where(
+                    apos == cyc + 1, acc[0], 0.0)
+
+            return _
+
+        jax.lax.fori_loop(0, T, cycle, None)
+
+    return kernel
+
+
+def _rx_kron(theta, nbits):
+    c = jnp.cos(theta / 2).astype(jnp.float32)
+    s = jnp.sin(theta / 2).astype(jnp.float32)
+    kr = jnp.eye(2, dtype=jnp.float32) * c
+    ki = jnp.array([[0, -1], [-1, 0]], jnp.float32) * s
+    ur, ui = kr, ki
+    for _ in range(nbits - 1):
+        ur, ui = (jnp.kron(ur, kr) - jnp.kron(ui, ki),
+                  jnp.kron(ur, ki) + jnp.kron(ui, kr))
+    return ur, ui
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "p", "q", "initial_state", "ancilla_factor",
+                     "interpret"),
+)
+def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
+                           initial_state="vacuum", ancilla_factor=1.0,
+                           interpret=False):
+    """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2) -> (inst, c, T).
+
+    HBM-streamed x-polarized forward autocorrelator for 22 <= L <= 26
+    (constant schedules; q < 14). Mirrors resident_forward_batch
+    (ops/pallas_resident.py) above the VMEM limit.
+    """
+    if not (22 <= L <= 26):
+        raise ValueError("streamed kernel supports 22 <= L <= 26")
+    if T > 1024:
+        raise ValueError("streamed kernel supports T <= 1024")
+    R = 1 << (L - 14)
+    CS = max(128, (1 << 20) // R)   # pass-B slab: 8 MB planar, CS <= 8192
+    b0 = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
+    theta = angles[0, 0, 0]
+    u7r, u7i = _rx_kron(theta, 7)
+    u21r, u21i = _rx_kron(theta, L - 21)
+
+    def per_instance(h, ph, ks):
+        n_traj = ks.shape[0]
+        if p > 0.0:
+            def sample(key):
+                _, zm, _, csum = presample_noise(key, p, T, L)
+                return jax.vmap(
+                    lambda z, sg: pack_cycle_params_compact(z, sg, h, ph, L)
+                )(zm, csum), csum
+
+            params, sig_after = jax.vmap(sample)(ks)  # (c,T,128), (c,T)
+        else:
+            row = pack_cycle_params_compact(
+                jnp.uint32(0), jnp.uint32(0), h, ph, L)
+            params = jnp.broadcast_to(row, (n_traj, T, 128))
+            sig_after = jnp.zeros((n_traj, T), jnp.uint32)
+
+        state0 = jnp.zeros((2, R, _C), jnp.float32)
+        a_raw, _ = pl.pallas_call(
+            _make_streamed_kernel(L, T, q, b0, CS),
+            out_shape=[
+                jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((2, R, _C), jnp.float32),  # state
+            ],
+            grid=(n_traj,),
+            in_specs=[
+                pl.BlockSpec((1, 128, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # u7r
+                pl.BlockSpec((1, 128, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # u7i
+                pl.BlockSpec((1, R // 128, R // 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # u21r
+                pl.BlockSpec((1, R // 128, R // 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # u21i
+                pl.BlockSpec((1, T, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),  # compact params
+                pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
+            ],
+            input_output_aliases={5: 1},
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, _RS, _C), jnp.float32),    # pass-A slabs
+                pltpu.VMEM((2, 2, R, CS), jnp.float32),      # pass-B slabs
+                pltpu.SMEM((1,), jnp.float32),               # A(t) partial
+                pltpu.SemaphoreType.DMA((8,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=122 * 1024 * 1024),
+            interpret=interpret,
+        )(u7r[None], u7i[None], u21r[None], u21i[None], params, state0)
+        a_raw = a_raw.reshape(n_traj, 1024)[:, :T]
+
+        sig_start = jnp.concatenate(
+            [jnp.zeros((n_traj, 1), jnp.uint32), sig_after[:, :-1]], axis=1)
+        sq = (1 - 2 * ((sig_start >> q) & jnp.uint32(1)).astype(jnp.int32)
+              ).astype(jnp.float32)
+        return ancilla_factor * s0 * sq * a_raw
+
+    return jax.vmap(per_instance)(hs, phis, keys)

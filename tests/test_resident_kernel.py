@@ -76,6 +76,35 @@ def test_dispatch_uses_sigma_on_cpu():
     np.testing.assert_allclose(np.asarray(out)[0, 0, 0], 1.0, atol=1e-6)
 
 
+def test_streamed_rejects_bad_L():
+    from dtc_tpu.ops.pallas_streamed import streamed_forward_batch
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)[None]
+    with pytest.raises(ValueError, match="22 <= L <= 26"):
+        streamed_forward_batch(
+            jnp.ones((1, 8)), jnp.ones((1, 7)), jnp.zeros((2, 1, 2)), keys,
+            L=8, T=2, p=0.0, q=4)
+
+
+def test_streamed_dispatch_stays_off_cpu():
+    """The streamed branch must never fire on CPU (and the sigma fallback
+    must still produce the exact noiseless A(0) = 1 at L=22-sized dispatch
+    inputs -- checked at a small L to keep the CPU suite fast)."""
+    from dtc_tpu.experiments.engine import _forward_batch
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.models.drives import build_kick_schedule
+
+    L, T = 12, 2
+    hs, phis = generate_disorder(L, 1, seed=97)
+    sched = build_kick_schedule("x", 0.9, T)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)[None]
+    out = _forward_batch(jnp.asarray(hs[:, :L]), jnp.asarray(phis[:, :L - 1]),
+                         sched.angles, keys, L=L, T=T, K=1, p=0.0, q=L // 2,
+                         initial_state="vacuum", dtype_name="complex64",
+                         ancilla_factor=1.0)
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0], 1.0, atol=1e-6)
+
+
 def test_resident_echo_rejects_bad_L():
     from dtc_tpu.ops.pallas_resident import resident_echo_batch
 
