@@ -5,6 +5,10 @@ load slab -> multiply by 2 -> store slab. Validates make_async_copy both
 directions and measures effective HBM bandwidth for the streamed-kernel
 design (docs/PERFORMANCE.md: fast L >= 22 needs HBM-resident state).
 """
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

@@ -1,4 +1,8 @@
 """Probe: trajectories-per-grid-step (nb) scaling of the forward kernel."""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import subprocess
 import sys

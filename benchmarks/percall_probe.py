@@ -6,6 +6,10 @@ Complex state passes BETWEEN jits (allowed on this backend); per-cycle
 noise factors enter each call as plain inputs, so no call contains a
 traced-operand loop at all.
 """
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

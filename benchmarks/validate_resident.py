@@ -5,6 +5,10 @@ presampled trajectories; parity on a small (traj, ts) subset — the raw sigma
 engine OOMs on large un-chunked echo grids) and resident-kernel timings on
 the full grid.
 """
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax
