@@ -105,6 +105,22 @@ def test_streamed_dispatch_stays_off_cpu():
     np.testing.assert_allclose(np.asarray(out)[0, 0, 0], 1.0, atol=1e-6)
 
 
+def test_streamed_rx_kron_matches_dense():
+    """_rx_kron must equal the dense kron power of RX(theta) split into
+    planar real/imag parts (the streamed kernel's kick inputs)."""
+    from dtc_tpu.ops.pallas_streamed import _rx_kron
+
+    theta = 0.97 * np.pi
+    rx = np.array([[np.cos(theta / 2), -1j * np.sin(theta / 2)],
+                   [-1j * np.sin(theta / 2), np.cos(theta / 2)]])
+    dense = np.array([[1.0]], complex)
+    for _ in range(3):
+        dense = np.kron(dense, rx)
+    ur, ui = _rx_kron(jnp.float32(theta), 3)
+    np.testing.assert_allclose(np.asarray(ur), dense.real, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ui), dense.imag, atol=1e-6)
+
+
 def test_resident_echo_rejects_bad_L():
     from dtc_tpu.ops.pallas_resident import resident_echo_batch
 
