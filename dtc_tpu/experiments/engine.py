@@ -144,7 +144,10 @@ def _resident_dispatch(angles, *, has_y, K, L, q, T, dtype_name, engine,
     ang_np = np.asarray(angles)
     x_only = bool(np.all(ang_np[:, :, 1] == 0.0))
     time_independent = x_only and bool(np.all(ang_np == ang_np[0]))
-    ok = (engine in ("auto", "resident") and x_only
+    # 'streamed' names the fast-kernel family too: at L <= 21 the resident
+    # kernel IS that family's member, so an explicit request must not
+    # silently fall to the sigma engine (ADVICE r1)
+    ok = (engine in ("auto", "resident", "streamed") and x_only
           and 14 <= L <= max_L and q < 14 and dtype_name == "complex64"
           and (time_independent or T <= 256)
           and jax.default_backend() != "cpu")
@@ -159,7 +162,7 @@ def _general_dispatch(angles, *, K, L, q, T, dtype_name, engine, max_L=21,
     limit) and the echo kernel 2*T*K <= 1024 (max_steps=512)."""
     if isinstance(angles, jax.core.Tracer):
         return False
-    return (engine in ("auto", "resident", "general")
+    return (engine in ("auto", "resident", "general", "streamed")
             and 14 <= L <= max_L and q < 14 and dtype_name == "complex64"
             and T * K <= max_steps and jax.default_backend() != "cpu")
 

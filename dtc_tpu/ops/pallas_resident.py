@@ -653,6 +653,15 @@ def resident_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
     # _make_kernel). Grouping lets Mosaic overlap one chain's dots with
     # another's elementwise work at the cost of nb x the VMEM working set.
     nb = int(_os.environ.get("DTC_TPU_RESIDENT_NB", "1"))
+    if nb < 1:
+        raise ValueError(f"DTC_TPU_RESIDENT_NB={nb}: must be >= 1")
+    if nb * T > 1024:
+        # params SMEM window is (1, nb, T, 128) double-buffered against the
+        # 1 MB SMEM cap: nb*T <= 1024 rows. nb and T are individually
+        # bounded elsewhere, but their product is the binding limit.
+        raise ValueError(
+            f"DTC_TPU_RESIDENT_NB={nb} with T={T} overflows the 1 MB "
+            f"double-buffered params SMEM window (need nb*T <= 1024)")
 
     def per_instance(h, ph, ks):
         n_traj = ks.shape[0]

@@ -323,6 +323,13 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
         raise ValueError("streamed kernel supports 22 <= L <= 26")
     if T > 1024:
         raise ValueError("streamed kernel supports T <= 1024")
+    if q >= 14:
+        # pass B computes A(t) by shifting zq through the 14 low column
+        # bits; q >= 14 would silently return zq=1 everywhere
+        raise ValueError("streamed kernel requires probe qubit q < 14")
+    # NOTE schedule constancy is a dispatch-side contract: only
+    # angles[0, 0, 0] is read (constant x-kick). engine._forward_batch
+    # only routes time-independent x drives here.
     R = 1 << (L - 14)
     CS = max(128, (1 << 20) // R)   # pass-B slab: 8 MB planar, CS <= 8192
     b0 = 0 if initial_state == "vacuum" else neel_index(L)

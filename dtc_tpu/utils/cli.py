@@ -217,7 +217,11 @@ def main(argv=None) -> int:
             for k in keys:
                 if k in c:
                     return c["time"], c[k]
-            k = next(k for k in c if k != "time")
+            k = next((k for k in c if k != "time"), None)
+            if k is None:
+                raise ValueError(
+                    f"{path}: no data column besides 'time' "
+                    f"(columns: {sorted(c)})")
             return c["time"], c[k]
 
         csv0 = args.csv[0]
