@@ -25,6 +25,7 @@ import numpy as np
 from dtc_tpu.experiments.engine import _forward_batch
 from dtc_tpu.io.disorder import generate_disorder
 from dtc_tpu.models.drives import build_kick_schedule
+from dtc_tpu.utils.profiling import effective_hbm_gbps
 
 
 def run_case(L, T, p, n_traj, n_rep=3, n_groups=5, g=0.97):
@@ -55,16 +56,29 @@ def run_case(L, T, p, n_traj, n_rep=3, n_groups=5, g=0.97):
             a = run(gi * n_rep + i + 1)
         group_dts.append((time.perf_counter() - t0) / n_rep)
         check(a)
-    return (T * n_traj) / float(np.median(group_dts))
+    dt = float(np.median(group_dts))
+    return (T * n_traj) / dt, dt
+
+
+# Measured DMA throughput of this chip's HBM<->VMEM path (median of
+# in-kernel-repeated double-buffered copies, benchmarks/dma_probe.py).
+# The VMEM-resident kernel's whole point is to beat this: its state never
+# leaves VMEM, so its equivalent gate-apply bandwidth may exceed 1.0x.
+DMA_ROOFLINE_GBPS = 326.0
 
 
 def main():
-    cycles_per_sec = run_case(L=20, T=50, p=0.05, n_traj=32)
+    L, T, n_traj = 20, 50, 32
+    cycles_per_sec, dt = run_case(L=L, T=T, p=0.05, n_traj=n_traj)
+    hbm_gbps = effective_hbm_gbps(L, n_cycles=T, n_states=n_traj, seconds=dt)
     print(json.dumps({
         "metric": "noisy Floquet cycles/sec (L=20 trajectory ensemble, p=0.05, validated)",
         "value": round(cycles_per_sec, 1),
         "unit": "cycles/s",
         "vs_baseline": round(cycles_per_sec / 1000.0, 2),
+        "gate_apply_gbps": round(hbm_gbps, 1),
+        "dma_roofline_gbps": DMA_ROOFLINE_GBPS,
+        "dma_roofline_frac": round(hbm_gbps / DMA_ROOFLINE_GBPS, 2),
     }))
 
 
