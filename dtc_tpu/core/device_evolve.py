@@ -223,7 +223,7 @@ def _device_presample(key, model_p1, model_p2, epk, T, L):
     from dtc_tpu.core.sigma_evolve import _masks_from_codes
 
     k1, k2, k3 = jax.random.split(key, 3)
-    u1 = jax.random.uniform(k1, (T, epk, L))
+    u1 = jax.random.uniform(k1, (T, epk, L), dtype=jnp.float32)
     q1 = 0.25 * jnp.broadcast_to(model_p1, (L,))
     c1 = (u1 >= (1.0 - 3.0 * q1)).astype(jnp.int32) * (
         1 + jnp.floor((u1 - (1.0 - 3.0 * q1))
@@ -248,8 +248,8 @@ def _device_presample(key, model_p1, model_p2, epk, T, L):
         return codes
 
     p2 = jnp.broadcast_to(model_p2, (L - 1,))
-    ue = jax.random.uniform(k2, (T, (L - 1 + 1) // 2))
-    uo = jax.random.uniform(k3, (T, (L - 1) // 2))
+    ue = jax.random.uniform(k2, (T, (L - 1 + 1) // 2), dtype=jnp.float32)
+    uo = jax.random.uniform(k3, (T, (L - 1) // 2), dtype=jnp.float32)
     ce = bond_codes(ue, p2[0::2], 0)
     co = bond_codes(uo, p2[1::2], 1)
     xme, zme = _masks_from_codes(ce, L)          # (T,)

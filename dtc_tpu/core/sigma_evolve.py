@@ -80,7 +80,7 @@ def _masks_from_codes(codes, L):
 
 def presample_noise(key, p, n_events, L):
     """One PRNG call -> per-event (xmask, zmask, sigma_before, sigma_csum)."""
-    u = jax.random.uniform(key, (n_events, L))
+    u = jax.random.uniform(key, (n_events, L), dtype=jnp.float32)
     codes = _codes_from_uniform(u, p)
     xm, zm = _masks_from_codes(codes, L)
     csum = jax.lax.associative_scan(jnp.bitwise_xor, xm)
@@ -351,7 +351,7 @@ def sigma_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
 
         def one(key, t_value):
             if p > 0.0:
-                u = jax.random.uniform(key, (2 * T, K, L))
+                u = jax.random.uniform(key, (2 * T, K, L), dtype=jnp.float32)
                 codes = _codes_from_uniform(u, p)
                 step = jnp.arange(2 * T)
                 active = (step < 2 * t_value)[:, None, None]

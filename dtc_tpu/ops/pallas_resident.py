@@ -537,7 +537,7 @@ def resident_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
             fwd = step_i < t_value
             inv = (step_i >= t_value) & (step_i < 2 * t_value)
             if p > 0.0:
-                u = jax.random.uniform(key, (T2, 1, L))
+                u = jax.random.uniform(key, (T2, 1, L), dtype=jnp.float32)
                 codes = _codes_from_uniform(u, p)
                 codes = jnp.where((fwd | inv)[:, None, None], codes, 0)
                 xm, zm = _masks_from_codes(codes, L)
@@ -612,7 +612,9 @@ def resident_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                 pltpu.VMEM((2, TOP, _C), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                # HIGHEST-precision dots need ~107M at L=21 (the parity
+                # harness); 110M is still under the ~122M practical max
+                vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
         )(u7r, u7i, utr, uti, tiles)
         val = a_raw.reshape(n_pairs, 1024)[:, 0].reshape(ks.shape[0], n_ts)

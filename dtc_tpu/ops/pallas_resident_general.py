@@ -353,7 +353,7 @@ def general_forward_batch(hs, phis, angles, keys, *, L, T, K, p, q,
 
         def tiles_one(key):
             if p > 0.0:
-                u = jax.random.uniform(key, (S, L))
+                u = jax.random.uniform(key, (S, L), dtype=jnp.float32)
                 codes = _codes_from_uniform(u, p)
                 xm, zm = _masks_from_codes(codes, L)
             else:
@@ -428,7 +428,7 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
             fwd = kstep < t_value
             inv = (kstep >= t_value) & (kstep < 2 * t_value)
             if p > 0.0:
-                u = jax.random.uniform(key, (2 * T, K, L))
+                u = jax.random.uniform(key, (2 * T, K, L), dtype=jnp.float32)
                 codes = _codes_from_uniform(u, p)
                 codes = jnp.where((fwd | inv)[:, None, None], codes, 0)
                 xm, zm = _masks_from_codes(codes, L)  # (2T, K)
@@ -496,7 +496,7 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((2, TOP, _C), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
         )(tiles)
         val = a_raw.reshape(n_pairs, 1024)[:, 0].reshape(ks.shape[0], n_ts)

@@ -149,7 +149,7 @@ def test_sigma_echo_k2_matches_lab_frame_per_trajectory(pol):
         keys, ts, L=L, T=T, K=K, p=p, q=L // 2, initial_state="vacuum",
         dtype_name="complex64", ancilla_factor=af, has_y=True))
     for traj in range(ntraj):
-        u = jax.random.uniform(keys[0, traj], (2 * T, K, L))
+        u = jax.random.uniform(keys[0, traj], (2 * T, K, L), dtype=jnp.float32)
         codes_all = np.asarray(_codes_from_uniform(u, p))
         for t in range(T):
             codes = np.where((np.arange(2 * T) < 2 * t)[:, None, None],
@@ -174,7 +174,7 @@ def test_sigma_forward_k2_matches_lab_frame_per_trajectory():
         keys, L=L, T=T, K=K, p=p, q=L // 2, initial_state="vacuum",
         dtype_name="complex64", ancilla_factor=af, has_y=True))
     for traj in range(ntraj):
-        u = jax.random.uniform(keys[0, traj], (T * K, L))
+        u = jax.random.uniform(keys[0, traj], (T * K, L), dtype=jnp.float32)
         codes = _codes_from_uniform(u, p)
         xm, zm = _masks_from_codes(codes, L)
         want = lab_forward(L, T, K, angles, hs[0, :L], phis[0, :L - 1],
