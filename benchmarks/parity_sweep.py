@@ -1,0 +1,196 @@
+"""Recorded parity artifact: kernels vs complex128 reference (BASELINE ≤1e-6).
+
+Two phases:
+
+1. ``kernel`` (this process, real TPU): resident forward/echo kernels at
+   DTC_TPU_KERNEL_PRECISION=highest for L=14..21 (and optionally the
+   streamed kernel at L=22 with --streamed), fixed keys, inputs pinned to
+   float32. Inputs + outputs saved to an npz.
+2. ``reference`` (fresh CPU subprocess, x64): the factored sigma engine at
+   complex128 on the SAME float32 inputs — trajectory sampling is pinned to
+   float32 uniforms everywhere (core/sigma_evolve.presample_noise), so both
+   phases see bit-identical presampled Pauli strings — plus exact
+   density-matrix cross-checks at L=10..12 (core/density.py, an independent
+   superoperator formulation): noiseless DM vs c128 sigma deterministically,
+   and noisy DM vs the trajectory mean in sigma units.
+
+Writes benchmarks/parity_results.json and prints the PARITY.md table rows.
+
+Usage:  python benchmarks/parity_sweep.py [--streamed] [--phase kernel|reference]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+os.environ.setdefault("DTC_TPU_KERNEL_PRECISION", "highest")
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+NPZ = os.path.join(_ROOT, "benchmarks", "parity_kernel_outputs.npz")
+RESULTS = os.path.join(_ROOT, "benchmarks", "parity_results.json")
+
+T = 50
+N_TRAJ = 4
+ECHO_TS = (1, 25, 50)
+P = 0.05
+G = 0.97
+
+
+def _case_inputs(L, seed=7):
+    import numpy as np
+
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.models.drives import build_kick_schedule
+
+    hs, phis = generate_disorder(L, 1, seed=seed)
+    sched = build_kick_schedule("x", G, T)
+    return (np.asarray(hs[:, :L], np.float32),
+            np.asarray(phis[:, :L - 1], np.float32),
+            np.asarray(sched.angles, np.float32))
+
+
+def phase_kernel(streamed: bool) -> None:
+    assert os.environ["DTC_TPU_KERNEL_PRECISION"] == "highest"
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dtc_tpu.ops.pallas_resident import (
+        resident_echo_batch,
+        resident_forward_batch,
+    )
+
+    out = {}
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(3), N_TRAJ))[None]
+    ts = jnp.asarray(ECHO_TS)
+    for L in range(14, 22):
+        hs, phis, angles = _case_inputs(L)
+        fwd = np.asarray(resident_forward_batch(
+            jnp.asarray(hs), jnp.asarray(phis), jnp.asarray(angles),
+            jnp.asarray(keys), L=L, T=T, p=P, q=L // 2))
+        ech = np.asarray(resident_echo_batch(
+            jnp.asarray(hs), jnp.asarray(phis), jnp.asarray(angles),
+            jnp.asarray(keys), ts, L=L, T=T, p=P, q=L // 2))
+        assert np.all(np.isfinite(fwd)) and np.all(np.isfinite(ech))
+        out[f"fwd_{L}"] = fwd
+        out[f"ech_{L}"] = ech
+        print(f"kernel L={L}: fwd[0,0,:3]={fwd[0, 0, :3].round(6)}",
+              flush=True)
+    if streamed:
+        from dtc_tpu.ops.pallas_streamed import streamed_forward_batch
+
+        for L in (22,):
+            hs, phis, angles = _case_inputs(L)
+            fwd = np.asarray(streamed_forward_batch(
+                jnp.asarray(hs), jnp.asarray(phis), jnp.asarray(angles),
+                jnp.asarray(keys), L=L, T=T, p=P, q=L // 2))
+            assert np.all(np.isfinite(fwd))
+            out[f"fwd_{L}"] = fwd
+            print(f"kernel L={L} (streamed) done", flush=True)
+    out["keys"] = keys
+    np.savez(NPZ, **out)
+    print(f"kernel outputs -> {NPZ}", flush=True)
+
+
+def phase_reference() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dtc_tpu.core.sigma_evolve import sigma_echo_batch, sigma_forward_batch
+
+    data = np.load(NPZ)
+    keys = jnp.asarray(data["keys"])
+    ts = jnp.asarray(ECHO_TS)
+    results = {"precision": "highest", "T": T, "n_traj": N_TRAJ, "p": P,
+               "rows": []}
+    kw = dict(T=T, K=1, p=P, initial_state="vacuum",
+              dtype_name="complex128", ancilla_factor=1.0, has_y=False)
+    for L in range(14, 23):
+        if f"fwd_{L}" not in data:
+            continue
+        hs, phis, angles = _case_inputs(L)
+        ref_f = np.asarray(sigma_forward_batch(
+            jnp.asarray(hs), jnp.asarray(phis), jnp.asarray(angles), keys,
+            L=L, q=L // 2, **kw))
+        err_f = float(np.max(np.abs(data[f"fwd_{L}"] - ref_f)))
+        err_e = None
+        if f"ech_{L}" in data:
+            ref_e = np.asarray(sigma_echo_batch(
+                jnp.asarray(hs), jnp.asarray(phis), jnp.asarray(angles),
+                keys, ts, L=L, q=L // 2, **kw))
+            err_e = float(np.max(np.abs(data[f"ech_{L}"] - ref_e)))
+        results["rows"].append({"L": L, "err_forward": err_f,
+                                "err_echo": err_e})
+        efmt = f"{err_e:.2e}" if err_e is not None else "—"
+        print(f"| {L} | {err_f:.2e} | {efmt} |", flush=True)
+
+    # exact-DM cross-checks (independent superoperator formulation)
+    from dtc_tpu.core.density import dm_autocorr_forward_run
+
+    dm_rows = []
+    for L in (10, 11, 12):
+        hs, phis, angles = _case_inputs(L)
+        t_dm = 20
+        # deterministic: noiseless DM vs noiseless c128 sigma
+        a_dm0 = np.asarray(dm_autocorr_forward_run(
+            jnp.asarray(hs), jnp.asarray(phis), jnp.asarray(angles),
+            L=L, T=t_dm, K=1, p=0.0, q=L // 2, dtype_name="complex128"))
+        k0 = jnp.asarray(
+            np.asarray(jax.random.split(jax.random.PRNGKey(0), 1))[None])
+        a_sv0 = np.asarray(sigma_forward_batch(
+            jnp.asarray(hs), jnp.asarray(phis), jnp.asarray(angles), k0,
+            L=L, q=L // 2, **{**kw, "T": t_dm, "p": 0.0}))[0, 0]
+        err0 = float(np.max(np.abs(a_dm0 - a_sv0)))
+        # statistical: noisy DM vs trajectory mean, in sigma units
+        a_dm = np.asarray(dm_autocorr_forward_run(
+            jnp.asarray(hs), jnp.asarray(phis), jnp.asarray(angles),
+            L=L, T=t_dm, K=1, p=P, q=L // 2, dtype_name="complex128"))
+        n = 4096
+        kz = jnp.asarray(np.asarray(jax.random.split(
+            jax.random.PRNGKey(11), n))[None])
+        a_tr = np.asarray(sigma_forward_batch(
+            jnp.asarray(hs), jnp.asarray(phis), jnp.asarray(angles), kz,
+            L=L, q=L // 2, **{**kw, "T": t_dm}))[0]
+        mean, sd = a_tr.mean(axis=0), a_tr.std(axis=0) / np.sqrt(n)
+        z = float(np.max(np.abs(mean - a_dm) / np.maximum(sd, 1e-12)))
+        dm_rows.append({"L": L, "noiseless_err": err0, "noisy_max_z": z})
+        print(f"| DM L={L} | noiseless {err0:.2e} | noisy max|z| {z:.2f} |",
+              flush=True)
+    results["dm_rows"] = dm_rows
+    with open(RESULTS, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"results -> {RESULTS}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=("kernel", "reference", "all"),
+                    default="all")
+    ap.add_argument("--streamed", action="store_true",
+                    help="include the HBM-streamed kernel at L=22 "
+                         "(first compile ~3-10 min)")
+    args = ap.parse_args()
+    if args.phase in ("kernel", "all"):
+        phase_kernel(args.streamed)
+    if args.phase == "reference":
+        phase_reference()
+    elif args.phase == "all":
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)  # child pins cpu via jax.config
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--phase", "reference"],
+            env=env, cwd=_ROOT).returncode
+        sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()

@@ -116,6 +116,37 @@ def fit_energy_envelope(t, y, maxfev: int = 20000) -> FitResult:
         return FitResult({k: np.nan for k in names}, False, model="energy_envelope")
 
 
+def min_energy_analysis(sources, L=None) -> dict:
+    """Per-source and overall minimum-energy report.
+
+    Mirrors draw-energy-all.py:208-250: for every energy trace report the
+    minimum energy, its per-qubit value, and the cycle where it occurs,
+    then the overall minimum across all sources (absolute and per-qubit).
+    """
+    per_source = {}
+    for label, (t, e) in sources.items():
+        t = np.asarray(t, dtype=float)
+        e = np.asarray(e, dtype=float)
+        i = int(np.argmin(e))
+        per_source[label] = {
+            "min_energy": float(e[i]),
+            "min_energy_per_qubit": float(e[i] / L) if L else float(e[i]),
+            "t_min": float(t[i]),
+        }
+    if not per_source:
+        return {"per_source": {}}
+    overall = min(per_source, key=lambda k: per_source[k]["min_energy"])
+    overall_pq = min(per_source,
+                     key=lambda k: per_source[k]["min_energy_per_qubit"])
+    return {
+        "per_source": per_source,
+        "overall_min": per_source[overall]["min_energy"],
+        "overall_min_source": overall,
+        "overall_min_per_qubit": per_source[overall_pq]["min_energy_per_qubit"],
+        "overall_min_per_qubit_source": overall_pq,
+    }
+
+
 def fit_grid(records, t_key="time", y_key="av_autocorr", fit=fit_sincos_decay,
              **meta_keys) -> list[dict]:
     """Apply a fitter over a list of (metadata, columns) records, producing

@@ -173,12 +173,27 @@ def plot_energy_comparison(sources, out_png, *, per_qubit=False, L=None,
                             (t[-1], e[-1]), fontsize=7)
         imin = int(np.argmin(e))
         ax.plot(t[imin], e[imin], "v", ms=7, alpha=0.6)
+    # min-energy analysis across all sources (draw-energy-all.py:208-250)
+    from dtc_tpu.analysis.fits import min_energy_analysis
+
+    scaled = {lab: (np.asarray(t, float),
+                    np.asarray(e, float) / (L if per_qubit and L else 1))
+              for lab, (t, e) in sources.items()}
+    report = min_energy_analysis(scaled, L=L)
+    if report["per_source"]:
+        row = report["per_source"][report["overall_min_source"]]
+        ax.annotate(
+            f"min {row['min_energy']:.3f} @ t={row['t_min']:.0f}\n"
+            f"({report['overall_min_source']})",
+            (row["t_min"], row["min_energy"]), fontsize=7,
+            xytext=(5, -12), textcoords="offset points")
     ax.set_xlabel("Floquet cycle t")
     ax.set_ylabel("E/L" if per_qubit else "E")
     ax.grid(alpha=0.3)
     ax.legend(fontsize=8)
     ax.set_title(title)
-    return _save(fig, out_png)
+    path = _save(fig, out_png)
+    return {"path": path, "min_energy": report}
 
 
 def plot_energy_with_echo_inset(energy_sources, echo_sources, out_png, *,

@@ -26,6 +26,23 @@ from dtc_tpu.utils.profiling import phase_timer
 DEFAULT_NPROBS = (0.0, 0.001, 0.01, 0.1)
 
 
+def apply_estimator_noise(values: np.ndarray, shots: int,
+                          seed: int = 0) -> np.ndarray:
+    """Estimator shot-precision emulation: E -> E + N(0, 1/sqrt(shots)).
+
+    The reference's hardware energy runners evaluate <H> with
+    `BackendEstimatorV2(..., precision=1/sqrt(1024))`
+    (autocorr-delta-a-single-ibm-energy.py:228-231,
+    autocorr-delta-a-single-iqm-energy.py), so every recorded energy value
+    carries gaussian sampling noise with that standard error. shots=0
+    returns the exact expectations unchanged.
+    """
+    if not shots:
+        return values
+    rng = np.random.default_rng(seed)
+    return values + rng.normal(0.0, 1.0 / np.sqrt(shots), np.shape(values))
+
+
 import functools
 
 
@@ -119,6 +136,10 @@ def run_energy(cfg, hs=None, phis=None, *, nprobs=DEFAULT_NPROBS, component="ful
             if journal is not None:
                 journal.put(jkey, e)
                 journal.put(jkey + "_z", zs)
+        # per-(instance, t) estimator sampling noise, like one estimator job
+        # per circuit in the reference's hardware loop
+        e = apply_estimator_noise(e, cfg.estimator_shots,
+                                  seed=cfg.seed * 1000003 + int(p * 1e6))
         av = e.mean(axis=0)
         data[f"energy_p_{_fmt(p)}"] = av / cfg.L if per_qubit_norm else av
         z_data[float(p)] = zs.mean(axis=0)  # (T, L)
@@ -141,8 +162,10 @@ def run_ham_comparison(cfg, hs=None, phis=None, *, components=("full", "z_only",
         hs, phis = get_disorder(cfg, disorder_dir)
     p = cfg.noise_p if nprob is None else nprob
     data = {"time": np.arange(cfg.tf)}
-    for comp in components:
+    for ci, comp in enumerate(components):
         e, _ = _energy_single_noise(cfg, hs, phis, float(p), comp)
+        e = apply_estimator_noise(e, cfg.estimator_shots,
+                                  seed=cfg.seed * 1000003 + ci)
         data[f"energy_{comp}"] = e.mean(axis=0) / cfg.L
     if write:
         folder = out_dir or f"energy-data_L{cfg.L}-ham-comparison"

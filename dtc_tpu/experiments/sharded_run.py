@@ -138,7 +138,10 @@ def run_energy_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
                            jnp.asarray(float(terms.x_coeff)), keys)
                 acc_e += np.asarray(e)
                 acc_z += np.asarray(zs)
-        av = acc_e / cfg.inst
+        from dtc_tpu.experiments.energy import apply_estimator_noise
+
+        av = apply_estimator_noise(acc_e / cfg.inst, cfg.estimator_shots,
+                                   seed=cfg.seed * 1000003 + int(p * 1e6))
         pkey = str(int(p)) if p == int(p) else str(p)
         data[f"energy_p_{pkey}"] = av / cfg.L if per_qubit_norm else av
         z_data[float(p)] = acc_z / cfg.inst

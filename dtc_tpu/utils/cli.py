@@ -100,6 +100,12 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "shots":
             p.add_argument("--shots_list", type=str,
                            default="100,1000,10000,100000,1000000")
+        if name in ("energy", "ham-comparison"):
+            # BackendEstimatorV2 precision=1/sqrt(shots) emulation
+            # (autocorr-delta-a-single-ibm-energy.py:228-231)
+            p.add_argument("--estimator_shots", type=int, default=None,
+                           help="gaussian estimator sampling noise with "
+                                "sigma = 1/sqrt(shots); 0 = exact")
         if name == "energy":
             p.add_argument("--nprobs", type=str, default="0,0.001,0.01,0.1")
             p.add_argument("--checkpoint", type=str, default=None,
@@ -241,10 +247,20 @@ def main(argv=None) -> int:
                 for k in ecols:
                     label = k if len(args.csv) == 1 else f"{stem(path)}:{k}"
                     sources[label] = (c["time"], c[k])
-            plots.plot_energy_comparison(
+            r = plots.plot_energy_comparison(
                 sources, out, per_qubit=args.per_qubit, L=meta_L,
                 with_envelope_fit=(args.kind == "energy-all"),
                 with_power_law=(args.kind == "power-law"))
+            rep = r["min_energy"]
+            for lab, row in rep.get("per_source", {}).items():
+                print(f"{lab}: min energy = {row['min_energy']:.6f}, "
+                      f"per qubit = {row['min_energy_per_qubit']:.6f} "
+                      f"at t = {row['t_min']:.0f}")
+            if rep.get("per_source"):
+                print(f"OVERALL MINIMUM: {rep['overall_min']:.6f} "
+                      f"({rep['overall_min_source']}); per qubit "
+                      f"{rep['overall_min_per_qubit']:.6f} "
+                      f"({rep['overall_min_per_qubit_source']})")
         elif args.kind == "sub-echo":
             # draw-energy-all-sub-echo.py:264-369
             energy_sources = {stem(p): series(p, ("energy", "energy_p_0.05"))

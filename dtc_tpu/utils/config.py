@@ -36,6 +36,10 @@ class SimConfig:
     use_fakebackend: int = 0    # device-noise import mode (FakeBrisbane analogue)
     n_trajectories: int = 256   # Pauli-twirl trajectories per instance
     shots: int = 0              # 0 = analytic expectation; >0 = Bernoulli shot sampling
+    estimator_shots: int = 0    # 0 = exact estimator; >0 = gaussian sampling noise
+                                # with sigma = 1/sqrt(shots) on each energy estimate
+                                # (BackendEstimatorV2 precision=1/sqrt(1024) emulation,
+                                # autocorr-delta-a-single-ibm-energy.py:228-231)
     seed: int = 0
 
     # Adaptive-g control (autocorr-delta-a-single-qiskit-fast-g-optimization.py:104-111)

@@ -73,10 +73,15 @@ def test_plots_render(tmp_path):
     p2, res = plots.plot_sincos_fit(cols, str(tmp_path / "b.png"))
     p3 = plots.plot_fft_subharmonics(cols, str(tmp_path / "c.png"))
     p4 = plots.plot_with_envelopes(cols, str(tmp_path / "d.png"))
-    p5 = plots.plot_energy_comparison(
+    r5 = plots.plot_energy_comparison(
         {"p=0": (t, -2 + 0.5 * np.log(t + 1)),
          "p=0.05": (t, -1.5 + 0.4 * np.log(t + 1))},
         str(tmp_path / "e.png"), with_power_law=True)
+    p5 = r5["path"]
+    # min-energy analysis (draw-energy-all.py:208-250): both traces are
+    # increasing, so the minimum is at t=1 and p=0 is the overall minimum
+    assert r5["min_energy"]["overall_min_source"] == "p=0"
+    assert r5["min_energy"]["per_source"]["p=0"]["t_min"] == t[0]
     p6 = plots.plot_xy_cycle_comparison(
         {"xy_cycle": (t, np.cos(np.pi * t)), "x": (t, 0.9 * np.cos(np.pi * t))},
         str(tmp_path / "f.png"))

@@ -156,3 +156,38 @@ def test_xy_cycle_comparison(tmp_path):
     # and differ afterwards (Y cycles kick in)
     assert np.abs(np.asarray(r["av_autocorr_x"][6:])
                   - np.asarray(r["av_autocorr_xy_cycle"][6:])).max() > 1e-3
+
+
+def test_estimator_shot_noise(tmp_path):
+    """BackendEstimatorV2 precision emulation: gaussian sigma=1/sqrt(shots)
+    per (instance, t) energy estimate, deterministic under a fixed seed
+    (autocorr-delta-a-single-ibm-energy.py:228-231)."""
+    from dtc_tpu.experiments.energy import apply_estimator_noise
+
+    vals = np.zeros((4, 2000))
+    noisy = apply_estimator_noise(vals, 1024, seed=1)
+    sd = noisy.std()
+    assert abs(sd - 1 / np.sqrt(1024)) < 0.1 / np.sqrt(1024)
+    # shots=0 = exact passthrough; same seed = same draw
+    assert apply_estimator_noise(vals, 0, seed=1) is vals
+    np.testing.assert_array_equal(noisy, apply_estimator_noise(vals, 1024, seed=1))
+
+    cfg = CFG.replace(use_noise=0, inst=1, estimator_shots=1024)
+    hs, phis = generate_disorder(cfg.L, cfg.inst, seed=5)
+    r_noisy = run_energy(cfg, hs, phis, nprobs=(0.0,), out_dir=str(tmp_path))
+    r_exact = run_energy(cfg.replace(estimator_shots=0), hs, phis,
+                         nprobs=(0.0,), out_dir=str(tmp_path))
+    d = np.asarray(r_noisy["energy_p_0"]) - np.asarray(r_exact["energy_p_0"])
+    assert 0 < np.max(np.abs(d)) < 6 / np.sqrt(1024) / cfg.L + 1e-12
+
+
+def test_min_energy_analysis():
+    from dtc_tpu.analysis.fits import min_energy_analysis
+
+    t = np.arange(10, dtype=float)
+    rep = min_energy_analysis(
+        {"a": (t, -(10 - t) ** 0.5), "b": (t, t - 20.0)}, L=4)
+    assert rep["per_source"]["b"]["t_min"] == 0.0
+    assert rep["overall_min_source"] == "b"
+    assert rep["overall_min"] == -20.0
+    assert rep["overall_min_per_qubit"] == -5.0
