@@ -79,6 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
         ("xy-cycle", "XY-alternating vs pure-X comparison"),
         ("adaptive", "real-time adaptive-g control loop"),
         ("adaptive-batch", "batch (non-causal) adaptive-g control"),
+        ("campaign", "hardware campaign: QASM export -> ingest -> CSV, "
+                     "resumable"),
     ]:
         p = sub.add_parser(name, help=hlp)
         add_common_flags(p)
@@ -86,6 +88,18 @@ def build_parser() -> argparse.ArgumentParser:
             add_adaptive_flags(p)
             p.add_argument("--realtime_csv", action="store_true",
                            help="append+flush per completed timestep")
+        if name == "campaign":
+            p.add_argument("--job_dir", type=str, required=True,
+                           help="folder for exported QASM jobs + manifests")
+            p.add_argument("--results_dir", type=str, default=None,
+                           help="folder the external runner drops raw "
+                                "job-record JSONs into (default "
+                                "<job_dir>/results)")
+            p.add_argument("--campaign_shots", type=int, default=1024)
+            p.add_argument("--simulate", action="store_true",
+                           help="execute the manifests on the dtc_tpu "
+                                "engines instead of real hardware")
+            p.add_argument("--measurement_key", type=str, default="c_1_0_0")
         if name == "autocorr":
             p.add_argument("--with_envelopes", action="store_true")
             p.add_argument("--method", type=str, default="trajectories",
@@ -418,6 +432,19 @@ def main(argv=None) -> int:
 
         r = run_adaptive_batch(cfg, out_dir=args.out_dir, disorder_dir=ddir)
         print(f"wrote {r['csv_path']}")
+    elif cmd == "campaign":
+        from dtc_tpu.experiments.campaign import run_hardware_campaign
+
+        r = run_hardware_campaign(
+            cfg, job_dir=args.job_dir, results_dir=args.results_dir,
+            out_dir=args.out_dir, shots=args.campaign_shots,
+            simulate=args.simulate, measurement_key=args.measurement_key,
+            disorder_dir=ddir)
+        c = r["completed"]
+        print(f"export: {r['export']}")
+        print(f"completed: forward {c['forward']}/{c['total_per_kind']}, "
+              f"echo {c['echo']}/{c['total_per_kind']}")
+        print(f"rows on disk: {r['rows_on_disk']}/{cfg.tf} -> {r['csv_path']}")
     else:
         raise SystemExit(f"unknown command {cmd}")
     return 0

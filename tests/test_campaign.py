@@ -1,0 +1,86 @@
+"""Hardware-campaign driver: export -> execute -> ingest -> CSV, resumable.
+
+The reference's hardware loop (submit per-(inst, t), block, append realtime
+CSV, decode raw records post-hoc) as ONE resumable command
+(autocorr-delta-a-single-qiskit-fast-ibm.py:222-224,295-316).
+"""
+
+import json
+import os
+
+import numpy as np
+
+from dtc_tpu.experiments.campaign import run_hardware_campaign
+from dtc_tpu.io import csvio
+from dtc_tpu.io.disorder import generate_disorder
+from dtc_tpu.utils.config import SimConfig
+
+CFG = SimConfig(L=4, g=0.84, inst=2, tf=5, noise_prob=0.05, use_noise=1,
+                n_trajectories=128, seed=3)
+
+
+def test_campaign_closed_loop(tmp_path):
+    hs, phis = generate_disorder(CFG.L, CFG.inst, seed=5)
+    r = run_hardware_campaign(
+        CFG, hs, phis, job_dir=str(tmp_path / "jobs"),
+        out_dir=str(tmp_path / "out"), shots=4096, simulate=True)
+    # export wrote one QASM per (instance, t) per kind + manifest
+    for kind in ("forward", "echo"):
+        kdir = tmp_path / "jobs" / kind
+        manifest = json.load(open(kdir / "manifest.json"))
+        assert len(manifest["jobs"]) == CFG.inst * CFG.tf
+        assert all((kdir / j["qasm"]).exists() for j in manifest["jobs"])
+    assert r["completed"]["forward"] == CFG.inst * CFG.tf
+    assert r["rows_on_disk"] == CFG.tf
+    cols = csvio.read_columns(r["csv_path"])
+    assert list(cols) == ["time", "av_autocorr", "av_autocorr_echo",
+                          "sqrt_av_autocorr_echo"]
+    # sampled A(0) must sit near (1-p)^6 (shot noise ~ 1/sqrt(4096*inst))
+    af = (1 - CFG.noise_prob) ** 6
+    assert abs(cols["av_autocorr"][0] - af) < 5 / np.sqrt(4096 * CFG.inst)
+    assert abs(cols["av_autocorr_echo"][0] - af) < 5 / np.sqrt(4096 * CFG.inst)
+
+
+def test_campaign_partial_batch_recovery(tmp_path):
+    """Incomplete jobs hold back their time rows; a later run with the
+    missing results appends ONLY the remaining rows (realtime semantics)."""
+    hs, phis = generate_disorder(CFG.L, CFG.inst, seed=5)
+    job_dir, out_dir = str(tmp_path / "jobs"), str(tmp_path / "out")
+    r1 = run_hardware_campaign(
+        CFG, hs, phis, job_dir=job_dir, out_dir=out_dir, shots=512,
+        simulate=True, simulate_fail_fraction=0.3)
+    assert r1["completed"]["forward"] < CFG.inst * CFG.tf
+    assert r1["rows_on_disk"] < CFG.tf
+    # job 0 (inst 0, t=0) is marked queued by the failure pattern -> no rows
+    assert r1["rows_on_disk"] == 0
+    # hardware finishes the failed jobs: re-simulate with no failures
+    r2 = run_hardware_campaign(
+        CFG, hs, phis, job_dir=job_dir, out_dir=out_dir, shots=512,
+        simulate=True)
+    assert r2["export"] == {"forward": "existing", "echo": "existing"}
+    assert r2["completed"]["forward"] == CFG.inst * CFG.tf
+    assert r2["rows_on_disk"] == CFG.tf
+    cols = csvio.read_columns(r2["csv_path"])
+    assert len(cols["time"]) == CFG.tf
+
+
+def test_campaign_ingest_reference_style_records(tmp_path):
+    """Records WITHOUT instance/t metadata (bare reference-style dumps) are
+    grouped positionally after timestamp sort (autocorr-iqm-data-fix.py)."""
+    cfg = CFG.replace(inst=1, tf=3)
+    hs, phis = generate_disorder(cfg.L, cfg.inst, seed=5)
+    job_dir = str(tmp_path / "jobs")
+    results = tmp_path / "res" / "forward"
+    results.mkdir(parents=True)
+    for t, a in enumerate((1.0, -1.0, 1.0)):
+        n0 = 8 if a > 0 else 0
+        rec = {"created": f"2024-01-01T00:00:{t:02d}",
+               "status": "completed",
+               "measurements": {"c_1_0_0": [[0]] * n0 + [[1]] * (8 - n0)}}
+        with open(results / f"job{t}.json", "w") as f:
+            json.dump(rec, f)
+    r = run_hardware_campaign(
+        cfg, hs, phis, job_dir=job_dir, results_dir=str(tmp_path / "res"),
+        out_dir=str(tmp_path / "out"), shots=8)
+    np.testing.assert_allclose(r["forward"][0], [1.0, -1.0, 1.0])
+    assert r["rows_on_disk"] == 3  # echo columns NaN-tolerant
