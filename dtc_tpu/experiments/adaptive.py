@@ -212,6 +212,100 @@ class AdaptiveStepper:
                                      angles_full, key, jnp.asarray(t_next)))
 
 
+class KernelAdaptiveStepper:
+    """Schedule-sweep stepper on the whole-trajectory kernel batchers.
+
+    Same public API as AdaptiveStepper, but `states` is just the number of
+    applied cycles: every query re-evolves from t=0 through the accumulated
+    per-cycle g schedule via experiments.engine's _forward_batch/_echo_batch,
+    which dispatch to the per-cycle-schedule VMEM-resident Pallas kernels on
+    TPU (11.2k cycles/s forward, 15k masked steps/s echo with per-pair
+    dynamic trip counts at L=20 — docs/PERFORMANCE.md). Total work is
+    O(T^2) cycle applications like the reference's rebuild-per-step loop
+    (g-optimization.py:497-623), but each application runs ~30-80x faster
+    than the carried-state stepper's deopted in-scan path, which nets
+    >=5x end-to-end at L=20 (measured in benchmarks/adaptive_probe.py).
+
+    Noise trajectories ride FIXED per-instance keys (common random numbers):
+    every optimizer candidate g sees the same presampled Pauli strings, so
+    the echo objective is deterministic in g — smoother to minimize than the
+    carried stepper's per-call resampling.
+    """
+
+    def __init__(self, cfg, hs_row, phis_row, *, n_traj=None, key=None):
+        self.cfg = cfg
+        self.T = cfg.tf
+        self.K = n_kick_slots(cfg.polarization)
+        self.p = NoiseSpec(p=cfg.noise_p).p
+        self.af = NoiseSpec(p=cfg.noise_p).ancilla_factor if self.p > 0 else 1.0
+        self.n_traj = n_traj or (cfg.n_trajectories if self.p > 0 else 1)
+        key = jax.random.PRNGKey(cfg.seed) if key is None else key
+        kf, ke = jax.random.split(key)
+        self._keys_f = jax.random.split(kf, self.n_traj)[None]
+        self._keys_e = jax.random.split(ke, self.n_traj)[None]
+        self._h = jnp.asarray(np.asarray(hs_row)[: cfg.L])[None]
+        self._ph = jnp.asarray(np.asarray(phis_row)[: cfg.L - 1])[None]
+        self._g = np.full(self.T + 1, cfg.g, dtype=float)
+        self._kw = dict(L=cfg.L, T=self.T + 1, K=self.K, p=self.p,
+                        q=cfg.probe_qubit, initial_state=cfg.initial_state,
+                        dtype_name=cfg.dtype, ancilla_factor=self.af,
+                        has_y=cfg.polarization != "x")
+
+    def _angles(self, g_schedule):
+        sched = build_kick_schedule(
+            self.cfg.polarization, jnp.asarray(g_schedule), self.T + 1,
+            circular_frequency=self.cfg.circular_frequency,
+            xy_cycle_period=self.cfg.xy_cycle_period)
+        return np.asarray(sched.angles)  # concrete: kernel dispatch inspects
+
+    # public API (AdaptiveStepper-compatible) ------------------------------
+    def reset(self):
+        self._g[:] = self.cfg.g
+        return 0
+
+    def advance(self, states, g_value, time_step, key):
+        self._g[time_step] = g_value
+        return states + 1
+
+    def forward_value(self, states) -> float:
+        from dtc_tpu.experiments.engine import _forward_batch
+
+        vals = _forward_batch(self._h, self._ph, self._angles(self._g),
+                              self._keys_f, **self._kw)
+        return float(jnp.mean(vals[0, :, states]))
+
+    def echo_value(self, states_prev, g_schedule, g_last, t_next, key) -> float:
+        from dtc_tpu.experiments.engine import _echo_batch
+
+        g_full = np.array(self._g)
+        g_full[: len(g_schedule)] = g_schedule
+        g_full[t_next - 1] = g_last
+        vals = _echo_batch(self._h, self._ph, self._angles(g_full),
+                           self._keys_e, jnp.asarray([t_next]), **self._kw)
+        return float(jnp.mean(vals[0, :, 0]))
+
+
+def make_stepper(cfg, hs_row, phis_row, *, n_traj=None, key=None):
+    """Pick the stepper implementation for this config/platform.
+
+    DTC_TPU_ADAPTIVE=carried|kernel forces one; 'auto' takes the kernel
+    path whenever the resident kernels' dispatch window applies (TPU,
+    14 <= L <= 21, q < 14, complex64, T+1 <= 256 per-cycle schedule cap).
+    """
+    mode = os.environ.get("DTC_TPU_ADAPTIVE", "auto")
+    use_kernel = mode == "kernel" or (
+        mode == "auto"
+        and jax.default_backend() != "cpu"
+        and 14 <= cfg.L <= 21
+        and cfg.probe_qubit < 14
+        and cfg.dtype == "complex64"
+        and cfg.tf + 1 <= 256)
+    if use_kernel:
+        return KernelAdaptiveStepper(cfg, hs_row, phis_row, n_traj=n_traj,
+                                     key=key)
+    return AdaptiveStepper(cfg, hs_row, phis_row, n_traj=n_traj)
+
+
 # ---------------------------------------------------------------------------
 # optimizers (g-optimization.py:359-427)
 
@@ -292,9 +386,9 @@ def run_adaptive_realtime(cfg, hs=None, phis=None, *, out_dir=None,
                 os.path.join(folder, f"adaptive_realtime_inst{i+1}_"
                              + naming.adaptive_csv_name(cfg)),
                 ["time", "g", "forward", "echo"])
-        stepper = AdaptiveStepper(cfg, hs[i], phis[i])
-        states_prev = stepper.reset()
         key = jax.random.PRNGKey(cfg.seed + 101 * i)
+        stepper = make_stepper(cfg, hs[i], phis[i], key=key)
+        states_prev = stepper.reset()
         g_schedule = np.full(T, cfg.g)
         current_g = cfg.g
         fwd, ech, ghist = [], [], []
@@ -372,22 +466,41 @@ def run_adaptive_realtime(cfg, hs=None, phis=None, *, out_dir=None,
 
 
 def run_fixed_g(cfg, hs, phis, g_value=None) -> dict:
-    """Fixed-g forward+echo with the t+1-cycle row convention."""
+    """Fixed-g forward+echo with the t+1-cycle row convention.
+
+    Whole-sweep engine batcher calls (one forward scan + one echo sweep per
+    instance) instead of T carried steps — the schedule is constant, so the
+    O(T) scan covers every row at once.
+    """
+    from dtc_tpu.experiments.engine import _echo_batch, _forward_batch
+
     g = cfg.g if g_value is None else g_value
     T = cfg.tf
+    noise = NoiseSpec(p=cfg.noise_p)
+    p = noise.p
+    af = noise.ancilla_factor if p > 0 else 1.0
+    n_traj = cfg.n_trajectories if p > 0 else 1
+    sched = build_kick_schedule(
+        cfg.polarization, g, T + 1,
+        circular_frequency=cfg.circular_frequency,
+        xy_cycle_period=cfg.xy_cycle_period)
+    kw = dict(L=cfg.L, T=T + 1, K=sched.K, p=p, q=cfg.probe_qubit,
+              initial_state=cfg.initial_state, dtype_name=cfg.dtype,
+              ancilla_factor=af, has_y=cfg.polarization != "x")
     fwd = np.zeros((cfg.inst, T))
     ech = np.zeros((cfg.inst, T))
     for i in range(cfg.inst):
-        stepper = AdaptiveStepper(cfg.replace(g=g), hs[i], phis[i])
-        states_prev = stepper.reset()
-        key = jax.random.PRNGKey(cfg.seed + 977 * i)
-        sched = np.full(T, g)
-        for t in range(T):
-            k_adv, k_echo, key = jax.random.split(key, 3)
-            states = stepper.advance(states_prev, g, t, k_adv)
-            fwd[i, t] = stepper.forward_value(states)
-            ech[i, t] = stepper.echo_value(states_prev, sched, g, t + 1, k_echo)
-            states_prev = states
+        h = jnp.asarray(np.asarray(hs[i])[: cfg.L])[None]
+        ph = jnp.asarray(np.asarray(phis[i])[: cfg.L - 1])[None]
+        kf, ke = jax.random.split(jax.random.PRNGKey(cfg.seed + 977 * i))
+        keys_f = jax.random.split(kf, n_traj)[None]
+        keys_e = jax.random.split(ke, n_traj)[None]
+        f = np.asarray(_forward_batch(h, ph, sched.angles, keys_f,
+                                      **kw)).mean(axis=1)[0]
+        fwd[i] = f[1:]  # row t = A(t+1)
+        e = np.asarray(_echo_batch(h, ph, sched.angles, keys_e,
+                                   jnp.arange(1, T + 1), **kw)).mean(axis=1)[0]
+        ech[i] = e
     return {"forward": fwd, "echo": ech}
 
 

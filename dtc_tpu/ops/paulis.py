@@ -96,7 +96,7 @@ def sample_depolarizing_codes(key, p, shape):
     """
     import jax
 
-    u = jax.random.uniform(key, shape)
+    u = jax.random.uniform(key, shape, dtype=jnp.float32)
     # thresholds: [0, 1-3p/4) -> I; then thirds of the remaining 3p/4.
     # p may be a scalar or a per-qubit vector broadcastable to `shape`
     # (device-noise calibrations); guard the divide for p=0 entries.

@@ -11,10 +11,20 @@ index bits, so device a of the 'amp' axis holds global indices
 - a 1q gate on a GLOBAL qubit g is one nearest-pair `lax.ppermute` (shard a
   exchanges with a XOR 2^(g-(L-k))) + a 2-term local combine — the statevector
   analogue of halo exchange;
-- a sampled Pauli string is: one unconditional pair exchange per global bit
-  (selected by the string's x-mask, which is a traced value identical on all
-  'amp' shards), a local XOR gather, and a locally computed source-index
-  phase;
+- a sampled Pauli string costs NOTHING at all in the autocorr/echo paths:
+  noise is presampled outside the scan (one PRNG call per trajectory) and
+  the X-part is deferred into a carried XOR frame sigma exactly as in
+  core.sigma_evolve — the frame covers the SHARD-ID bits too, so a sampled
+  X on a global qubit requires no ppermute, no gather, nothing; Z-signs and
+  the diagonal's sigma-correction fold into the next kick's kron-group
+  columns (local bits), into the global kicks' 2x2 column scalings (shard
+  bits), and into tiny per-shard bond factors. The scan body is
+  loop-invariant apart from small folded factors — the same deopt-avoiding
+  discipline as the single-chip sigma engine (docs/PERFORMANCE.md);
+- the observables path (which measures off-diagonal <X_q> every cycle and
+  therefore cannot ride a deferred frame) still applies strings eagerly:
+  one unconditional pair exchange per global x-bit + a local XOR gather,
+  with its noise presampled outside the scan;
 - expectations are local partial reductions + `psum` over 'amp';
 - trajectories shard over 'traj' with no intra-step comms (the final mean is
   one scalar psum), so 'traj' may span DCN while 'amp' stays on ICI.
@@ -73,16 +83,160 @@ def _sharded_pauli_string(state, xmask, zmask, n_y, *, offset, local_size,
     return state * (phase * sign.astype(state.real.dtype))
 
 
+def _sharded_kick_factored(state, theta_x, theta_y, sigma, pend_zm, diag_sig,
+                           exp_h, exp_p, *, L, local_bits, n_amp, dtype,
+                           has_y, inverse=False):
+    """Sigma-conjugated kick on a sharded local state with all pending noise
+    Z-signs and diagonal sigma-corrections folded in.
+
+    Local bits ride the kron-group machinery of core.sigma_evolve (column
+    factors on the group matmuls, (4,) broadcasts for in-local straddle
+    bonds); shard-id bits get their per-qubit factors folded into the
+    ppermute 2x2's columns, the local/global boundary bond a (2,) broadcast
+    on the local top-bit axis selected by shard bit 0, and global-global
+    bonds a per-shard scalar. No full-plane per-cycle masks anywhere.
+    """
+    from dtc_tpu.core.sigma_evolve import (
+        _bits,
+        _group_column_factors,
+        _group_starts,
+        _sigma_signs,
+        _straddle_factor,
+    )
+    from dtc_tpu.ops.kick import kron_power
+    from dtc_tpu.ops.precision import gate_precision
+
+    k_bits = L - local_bits
+    M = 1 << local_bits
+    make = slot_unitary_inverse if inverse else slot_unitary
+    sig_bits = _bits(diag_sig, L)
+    zm_bits = _bits(pend_zm, L)
+    aidx = jax.lax.axis_index("amp")
+    one = jnp.ones((), dtype)
+
+    # ---- pre-kick diagonal factors on bonds outside the local kron groups
+    starts = _group_starts(local_bits)
+    for q0, k in starts[:-1]:
+        b = q0 + k - 1
+        if b < local_bits - 1:
+            state = _straddle_factor(state, b, diag_sig, exp_p, L, dtype)
+    if k_bits > 0 and local_bits >= 1:
+        # boundary bond (local top bit, shard bit 0)
+        b = local_bits - 1
+        flip = (sig_bits[b] ^ sig_bits[b + 1]) == 1
+        g = jnp.where(flip, exp_p[b], one)
+        sb = (aidx & 1) == 0
+        vec2 = jnp.where(sb, jnp.stack([g, jnp.conj(g)]),
+                         jnp.stack([jnp.conj(g), g]))
+        s = state.reshape(*state.shape[:-1], 2, M >> 1)
+        state = (s * vec2[:, None]).reshape(state.shape)
+    for b in range(local_bits, L - 1):
+        # bond between two shard bits: a per-shard scalar
+        gb, gb1 = b - local_bits, b + 1 - local_bits
+        flip = (sig_bits[b] ^ sig_bits[b + 1]) == 1
+        equal = ((aidx >> gb) & 1) == ((aidx >> gb1) & 1)
+        g = jnp.where(flip,
+                      jnp.where(equal, exp_p[b], jnp.conj(exp_p[b])), one)
+        state = state * g
+
+    # ---- local kron-group kicks with folded column factors
+    if has_y:
+        s_all = _sigma_signs(sigma, L, jnp.asarray(theta_y).dtype)
+    for q0, k in starts:
+        if has_y:
+            us = jax.vmap(lambda sq: make(theta_x, sq * theta_y, dtype))(
+                s_all[q0 : q0 + k])
+            uk = us[k - 1]
+            for jq in range(k - 2, -1, -1):
+                uk = jnp.kron(uk, us[jq])
+        else:
+            u1 = make(theta_x, theta_y, dtype)
+            uk = kron_power(u1, k) if k > 1 else u1
+        cols = _group_column_factors(q0, k, pend_zm, diag_sig, exp_h, exp_p,
+                                     L, dtype)
+        uk = uk * cols[None, :]
+        high = M >> (q0 + k)
+        s2 = state.reshape(*state.shape[:-1], high, 1 << k, 1 << q0)
+        s2 = jnp.einsum("ab,...hbl->...hal", uk, s2,
+                        precision=gate_precision())
+        state = s2.reshape(state.shape)
+
+    # ---- global (shard-bit) kicks: per-qubit factors ride the 2x2 columns
+    for gb in range(k_bits):
+        qq = local_bits + gb
+        if has_y:
+            u1 = make(theta_x, s_all[qq] * theta_y, dtype)
+        else:
+            u1 = make(theta_x, theta_y, dtype)
+        f0 = jnp.where(sig_bits[qq] == 1, exp_h[qq], one)
+        f1 = jnp.where(sig_bits[qq] == 1, jnp.conj(exp_h[qq]), one)
+        f1 = f1 * jnp.where(zm_bits[qq] == 1, -one, one)
+        u1 = u1 * jnp.stack([f0, f1])[None, :]
+        state = _global_1q(state, u1, gb, n_amp)
+    return state
+
+
+def _sharded_forward_cycle(state, pending, ang, ev, d0, exp_h, exp_p, *, L,
+                           local_bits, n_amp, K, p, dtype, has_y):
+    """Sharded counterpart of core.sigma_evolve.forward_cycle_fac."""
+    kw = dict(L=L, local_bits=local_bits, n_amp=n_amp, dtype=dtype)
+    pend_zm, pend_sig = pending
+    if p <= 0.0:
+        for k in range(K):
+            state = _sharded_kick_factored(
+                state, ang[k, 0], ang[k, 1], jnp.uint32(0), jnp.uint32(0),
+                jnp.uint32(0), exp_h, exp_p, has_y=False, **kw)
+        return state * d0, pending
+    zm, sig_b, sig_after = ev
+    for k in range(K):
+        state = _sharded_kick_factored(
+            state, ang[k, 0], ang[k, 1], sig_b[k], pend_zm, pend_sig,
+            exp_h, exp_p, has_y=has_y, **kw)
+        pend_zm, pend_sig = zm[k], jnp.uint32(0)
+    return state * d0, (pend_zm, sig_after)
+
+
+def _sharded_inverse_cycle(state, pending, ang, ev, d0c, exp_hc, exp_pc, *, L,
+                           local_bits, n_amp, K, p, dtype, has_y):
+    """Sharded counterpart of core.sigma_evolve.inverse_cycle_fac (same
+    turnaround rule: D0c's correction rides the FIRST inverse kick only,
+    XOR-composed with any pending correction)."""
+    kw = dict(L=L, local_bits=local_bits, n_amp=n_amp, dtype=dtype)
+    pend_zm, pend_sig = pending
+    if p <= 0.0:
+        state = state * d0c
+        for k in range(K - 1, -1, -1):
+            state = _sharded_kick_factored(
+                state, ang[k, 0], ang[k, 1], jnp.uint32(0), jnp.uint32(0),
+                jnp.uint32(0), exp_hc, exp_pc, has_y=False, inverse=True, **kw)
+        return state, pending
+    zm, sig_b, sig_after = ev
+    state = state * d0c
+    for j in range(K):
+        slot = K - 1 - j
+        dsig = (sig_b[0] ^ pend_sig) if j == 0 else jnp.uint32(0)
+        state = _sharded_kick_factored(
+            state, ang[slot, 0], ang[slot, 1], sig_b[j], pend_zm, dsig,
+            exp_hc, exp_pc, has_y=has_y, inverse=True, **kw)
+        pend_zm, pend_sig = zm[j], jnp.uint32(0)
+    return state, (pend_zm, pend_sig)
+
+
 def make_sharded_autocorr_forward(
     mesh, *, L, T, K, p, q, initial_state="vacuum", dtype=jnp.complex64,
-    ancilla_factor=None,
+    ancilla_factor=None, has_y=False,
 ):
-    """Build a jitted sharded forward-autocorrelator.
+    """Build a jitted sharded forward-autocorrelator (sigma-frame factored).
 
     Returns fn(angles (T,K,2), hs (L,), phis (L-1,), keys (n_traj, 2))
     -> A (T,) trajectory-averaged, replicated on all devices.
-    `n_traj` must be a multiple of mesh.shape['traj'].
+    `n_traj` must be a multiple of mesh.shape['traj']. Noise is presampled
+    per trajectory outside the scan and its X-part deferred into the XOR
+    frame (shard-id bits included), so the scan body carries no PRNG, no
+    gathers, and no per-string collectives.
     """
+    from dtc_tpu.core.sigma_evolve import presample_noise
+
     n_amp = mesh.shape["amp"]
     n_traj_dev = mesh.shape["traj"]
     k_bits = int(np.log2(n_amp))
@@ -92,42 +246,46 @@ def make_sharded_autocorr_forward(
     M = 1 << local_bits
     af = ((1.0 - p) ** 6 if p > 0 else 1.0) if ancilla_factor is None else ancilla_factor
     init_idx = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((init_idx >> q) & 1) == 0 else -1.0
+    ckw = dict(L=L, local_bits=local_bits, n_amp=n_amp, K=K, p=p, dtype=dtype,
+               has_y=has_y)
 
     def local_fn(angles, hs, phis, keys):
         offset = (jax.lax.axis_index("amp") * M).astype(jnp.uint32)
-        diag = zz_z_phase_mask(hs, phis, L, offset=offset, size=M, dtype=dtype)
-        zq = z_sign_mask(q, L, offset=offset, size=M)
+        d0 = zz_z_phase_mask(hs, phis, L, offset=offset, size=M, dtype=dtype)
+        zq = z_sign_mask(q, L, offset=offset, size=M).astype(jnp.float32)
         gidx = jnp.arange(M, dtype=jnp.uint32) + offset
-        psi = (gidx == jnp.uint32(init_idx)).astype(dtype)
-        state0 = jnp.stack([psi, psi * zq.astype(dtype)])  # (2, M)
-
-        def fwd_cycle(state, ang, key):
-            for kk in range(K):
-                u = slot_unitary(ang[kk, 0], ang[kk, 1], dtype)
-                state = apply_uniform_1q_layer(state, u, local_bits)
-                for gb in range(k_bits):
-                    state = _global_1q(state, u, gb, n_amp)
-                if p > 0.0:
-                    codes = sample_depolarizing_codes(
-                        jax.random.fold_in(key, kk), p, (L,))
-                    xm, zm, ny = pauli_string_masks(codes)
-                    state = _sharded_pauli_string(
-                        state, xm, zm, ny, offset=offset, local_size=M,
-                        local_bits=local_bits, n_shards=n_amp)
-            return state * diag
+        state0 = (gidx == jnp.uint32(init_idx)).astype(dtype)
+        exp_h = jnp.exp(1j * hs.astype(jnp.float32)).astype(dtype)
+        exp_p = jnp.exp(1j * phis.astype(jnp.float32)).astype(dtype)
 
         def one_traj(key):
-            keys_t = jax.random.split(key, T)
+            if p > 0.0:
+                xm, zm, sig_b, csum = presample_noise(key, p, T * K, L)
+                zm = zm.reshape(T, K)
+                sig_b = sig_b.reshape(T, K)
+                sig_after = csum.reshape(T, K)[:, -1]
+                sig_at_start = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.uint32), sig_after[:-1]])
+            else:
+                zm = sig_b = jnp.zeros((T, K), jnp.uint32)
+                sig_after = sig_at_start = jnp.zeros((T,), jnp.uint32)
 
             def body(carry, inp):
-                ang, k_t = inp
-                part = jnp.real(
-                    jnp.sum(jnp.conj(carry[0]) * zq.astype(dtype) * carry[1]))
-                a_t = af * jax.lax.psum(part, "amp")
-                carry = fwd_cycle(carry, ang, k_t)
-                return carry, a_t
+                st, pend = carry
+                ang, ev, sig0 = inp
+                sq = (1 - 2 * ((sig0 >> q) & jnp.uint32(1)).astype(
+                    jnp.int32)).astype(jnp.float32)
+                part = jnp.sum(
+                    (jnp.real(st) ** 2 + jnp.imag(st) ** 2) * zq)
+                a_t = af * s0 * sq * jax.lax.psum(part, "amp")
+                st, pend = _sharded_forward_cycle(
+                    st, pend, ang, ev, d0, exp_h, exp_p, **ckw)
+                return (st, pend), a_t
 
-            _, a = jax.lax.scan(body, state0, (angles, keys_t))
+            _, a = jax.lax.scan(
+                body, (state0, (jnp.uint32(0), jnp.uint32(0))),
+                (angles, (zm, sig_b, sig_after), sig_at_start))
             return a
 
         a_local = jax.vmap(one_traj)(keys)  # (local_traj, T)
@@ -147,12 +305,16 @@ def make_sharded_autocorr_forward(
 
 def make_sharded_echo(
     mesh, *, L, T, K, p, q, initial_state="vacuum", dtype=jnp.complex64,
-    ancilla_factor=None,
+    ancilla_factor=None, has_y=False,
 ):
-    """Sharded echo A0(t): fixed-length masked scan (forward t, inverse t).
+    """Sharded echo A0(t): fixed-length masked scan (forward t, inverse t),
+    sigma-frame factored like the forward path (presampled noise with
+    inactive-step codes zeroed; no in-scan PRNG/gathers/string collectives).
 
     Returns fn(angles, hs, phis, keys (n_traj,2), t_value) -> scalar echo.
     """
+    from dtc_tpu.core.sigma_evolve import _codes_from_uniform, _masks_from_codes
+
     n_amp = mesh.shape["amp"]
     n_traj_dev = mesh.shape["traj"]
     k_bits = int(np.log2(n_amp))
@@ -160,50 +322,68 @@ def make_sharded_echo(
     M = 1 << local_bits
     af = ((1.0 - p) ** 6 if p > 0 else 1.0) if ancilla_factor is None else ancilla_factor
     init_idx = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((init_idx >> q) & 1) == 0 else -1.0
+    ckw = dict(L=L, local_bits=local_bits, n_amp=n_amp, K=K, p=p, dtype=dtype,
+               has_y=has_y)
 
     def local_fn(angles, hs, phis, keys, t_value):
         offset = (jax.lax.axis_index("amp") * M).astype(jnp.uint32)
-        diag = zz_z_phase_mask(hs, phis, L, offset=offset, size=M, dtype=dtype)
-        zq = z_sign_mask(q, L, offset=offset, size=M)
+        d0 = zz_z_phase_mask(hs, phis, L, offset=offset, size=M, dtype=dtype)
+        d0c = jnp.conj(d0)
+        zq = z_sign_mask(q, L, offset=offset, size=M).astype(jnp.float32)
         gidx = jnp.arange(M, dtype=jnp.uint32) + offset
-        psi = (gidx == jnp.uint32(init_idx)).astype(dtype)
-        state0 = jnp.stack([psi, psi * zq.astype(dtype)])
-        eye = jnp.eye(2, dtype=dtype)
+        state0 = (gidx == jnp.uint32(init_idx)).astype(dtype)
+        exp_h = jnp.exp(1j * hs.astype(jnp.float32)).astype(dtype)
+        exp_p = jnp.exp(1j * phis.astype(jnp.float32)).astype(dtype)
+        exp_hc, exp_pc = jnp.conj(exp_h), jnp.conj(exp_p)
+        eye_ang = jnp.zeros((K, 2), dtype=angles.dtype)
+        one = jnp.ones((), dtype)
 
         def one_traj(key):
-            keys_t = jax.random.split(key, 2 * T)
+            if p > 0.0:
+                u = jax.random.uniform(key, (2 * T, K, L), dtype=jnp.float32)
+                codes = _codes_from_uniform(u, p)
+                step = jnp.arange(2 * T)
+                active = (step < 2 * t_value)[:, None, None]
+                codes = jnp.where(active, codes, 0)
+                xm, zm = _masks_from_codes(codes, L)
+                flat = xm.reshape(-1)
+                csum = jax.lax.associative_scan(jnp.bitwise_xor, flat)
+                sig_b = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.uint32), csum[:-1]]).reshape(2 * T, K)
+                sig_after = csum.reshape(2 * T, K)[:, -1]
+            else:
+                zm = sig_b = jnp.zeros((2 * T, K), jnp.uint32)
+                sig_after = jnp.zeros((2 * T,), jnp.uint32)
 
             def body(carry, inp):
-                kstep, key_k = inp
+                st, pend = carry
+                kstep, ev = inp
                 fwd = kstep < t_value
                 inv = (kstep >= t_value) & (kstep < 2 * t_value)
-                active = fwd | inv
-                idx = jnp.where(fwd, kstep, jnp.clip(2 * t_value - 1 - kstep, 0, T - 1))
-                ang = angles[idx]
-                state = jnp.where(inv, jnp.conj(diag), jnp.ones((), dtype)) * carry
-                for pos in range(K):
-                    th_f = ang[pos]
-                    th_i = ang[K - 1 - pos]
-                    u_f = slot_unitary(th_f[0], th_f[1], dtype)
-                    u_i = slot_unitary_inverse(th_i[0], th_i[1], dtype)
-                    u = jnp.where(fwd, u_f, jnp.where(inv, u_i, eye))
-                    state = apply_uniform_1q_layer(state, u, local_bits)
-                    for gb in range(k_bits):
-                        state = _global_1q(state, u, gb, n_amp)
-                    if p > 0.0:
-                        codes = sample_depolarizing_codes(
-                            jax.random.fold_in(key_k, pos), p, (L,))
-                        codes = jnp.where(active, codes, 0)
-                        xm, zm, ny = pauli_string_masks(codes)
-                        state = _sharded_pauli_string(
-                            state, xm, zm, ny, offset=offset, local_size=M,
-                            local_bits=local_bits, n_shards=n_amp)
-                state = jnp.where(fwd, diag, jnp.ones((), dtype)) * state
-                return state, None
+                i = jnp.where(fwd, kstep,
+                              jnp.clip(2 * t_value - 1 - kstep, 0, T - 1))
+                ang = angles[i]
+                st_f, pend_f = _sharded_forward_cycle(
+                    st, pend, jnp.where(fwd, ang, eye_ang), ev,
+                    jnp.where(fwd, d0, one), exp_h, exp_p, **ckw)
+                st_i, pend_i = _sharded_inverse_cycle(
+                    st, pend, jnp.where(inv, ang, eye_ang), ev,
+                    jnp.where(inv, d0c, one), exp_hc, exp_pc, **ckw)
+                st2 = jnp.where(fwd, st_f, jnp.where(inv, st_i, st))
+                pend2 = tuple(
+                    jnp.where(fwd, a, jnp.where(inv, b, c))
+                    for a, b, c in zip(pend_f, pend_i, pend))
+                return (st2, pend2), None
 
-            state, _ = jax.lax.scan(body, state0, (jnp.arange(2 * T), keys_t))
-            part = jnp.real(jnp.sum(jnp.conj(state[0]) * zq.astype(dtype) * state[1]))
-            return af * jax.lax.psum(part, "amp")
+            xs = (jnp.arange(2 * T), (zm, sig_b, sig_after))
+            (st, _), _ = jax.lax.scan(
+                body, (state0, (jnp.uint32(0), jnp.uint32(0))), xs)
+            sigma_fin = sig_after[-1]
+            sq = (1 - 2 * ((sigma_fin >> q) & jnp.uint32(1)).astype(
+                jnp.int32)).astype(jnp.float32)
+            part = jnp.sum((jnp.real(st) ** 2 + jnp.imag(st) ** 2) * zq)
+            return af * s0 * sq * jax.lax.psum(part, "amp")
 
         e_local = jax.vmap(one_traj)(keys)
         total = jax.lax.psum(jnp.sum(e_local), "traj")
@@ -252,16 +432,19 @@ def make_sharded_observables(
         init_idx = 0 if initial_state == "vacuum" else neel_index(L)
         psi0 = (gidx == jnp.uint32(init_idx)).astype(dtype)
 
-        def fwd_cycle(state, ang, key):
+        def fwd_cycle(state, ang, codes_t):
+            # codes_t: (K, L) presampled Pauli codes for this cycle — the
+            # scan body does no PRNG (one sample_depolarizing_codes call per
+            # trajectory outside the scan); eager string application stays
+            # because <X_q> is measured every cycle (off-diagonal — a
+            # deferred XOR frame cannot cancel its pending phases)
             for kk in range(K):
                 u = slot_unitary(ang[kk, 0], ang[kk, 1], dtype)
                 state = apply_uniform_1q_layer(state, u, local_bits)
                 for gb in range(k_bits):
                     state = _global_1q(state, u, gb, n_amp)
                 if p > 0.0:
-                    codes = sample_depolarizing_codes(
-                        jax.random.fold_in(key, kk), p, (L,))
-                    xm, zm, ny = pauli_string_masks(codes)
+                    xm, zm, ny = pauli_string_masks(codes_t[kk])
                     state = _sharded_pauli_string(
                         state, xm, zm, ny, offset=offset, local_size=M,
                         local_bits=local_bits, n_shards=n_amp)
@@ -299,15 +482,18 @@ def make_sharded_observables(
             return e, zs
 
         def one_traj(key):
-            keys_t = jax.random.split(key, T)
+            if p > 0.0:
+                codes = sample_depolarizing_codes(key, p, (T, K, L))
+            else:
+                codes = jnp.zeros((T, K, L), jnp.int32)
 
             def body(carry, inp):
-                ang, k_t = inp
+                ang, codes_t = inp
                 out = measure(carry)
-                carry = fwd_cycle(carry, ang, k_t)
+                carry = fwd_cycle(carry, ang, codes_t)
                 return carry, out
 
-            _, (e, zs) = jax.lax.scan(body, psi0, (angles, keys_t))
+            _, (e, zs) = jax.lax.scan(body, psi0, (angles, codes))
             return e, zs
 
         e_l, zs_l = jax.vmap(one_traj)(keys)

@@ -138,3 +138,62 @@ def test_run_adaptive_batch(tmp_path):
     assert r["g_history"].shape == (1, 4)
     # noisy echo < 1 -> batch feedback raises g after t=0
     assert np.all(r["g_history"][0][1:] >= cfg.g)
+
+
+def test_kernel_stepper_matches_carried_noiseless():
+    """KernelAdaptiveStepper (engine-batcher path, sigma fallback on CPU)
+    reproduces the carried stepper exactly in the noiseless case."""
+    from dtc_tpu.experiments.adaptive import KernelAdaptiveStepper
+
+    hs, phis = generate_disorder(CFG.L, 1, seed=20)
+    ks = KernelAdaptiveStepper(CFG, hs[0], phis[0])
+    cs = AdaptiveStepper(CFG, hs[0], phis[0])
+    k_states, c_states = ks.reset(), cs.reset()
+    key = jax.random.PRNGKey(0)
+    g_sched = np.full(CFG.tf, CFG.g)
+    for t in range(CFG.tf):
+        k, key = jax.random.split(key)
+        c_prev = c_states
+        k_states = ks.advance(k_states, CFG.g, t, k)
+        c_states = cs.advance(c_states, CFG.g, t, k)
+        np.testing.assert_allclose(ks.forward_value(k_states),
+                                   cs.forward_value(c_states), atol=1e-7)
+        np.testing.assert_allclose(
+            ks.echo_value(t, g_sched, CFG.g, t + 1, k), 1.0, atol=1e-6)
+
+
+def test_kernel_stepper_noisy_echo_vs_exact_dm():
+    from dtc_tpu.experiments.adaptive import KernelAdaptiveStepper
+
+    cfg = CFG.replace(noise_prob=0.1, use_noise=1, n_trajectories=3000,
+                      dtype="complex64")
+    hs, phis = generate_disorder(cfg.L, 1, seed=21)
+    ks = KernelAdaptiveStepper(cfg, hs[0], phis[0])
+    ks.reset()
+    g_sched = np.full(cfg.tf, cfg.g)
+
+    diag = zz_z_phase_mask(jnp.asarray(hs[0]), jnp.asarray(phis[0]), cfg.L,
+                           dtype=jnp.complex128)
+    psi0 = initial_statevector(cfg.L, "vacuum", dtype=jnp.complex128)
+    sched = build_kick_schedule("x", cfg.g, cfg.tf)
+    for t in range(2):
+        est = ks.echo_value(t, g_sched, cfg.g, t + 1, None)
+        exact = float(dm_autocorr_echo(
+            psi0, sched.angles, diag, jnp.asarray(t + 1),
+            L=cfg.L, T=cfg.tf, K=1, p=cfg.noise_prob, q=cfg.L // 2))
+        assert abs(est - exact) < 0.05, (t, est, exact)
+
+
+def test_make_stepper_selection(monkeypatch):
+    from dtc_tpu.experiments import adaptive as ad
+
+    hs, phis = generate_disorder(CFG.L, 1, seed=20)
+    # CPU default -> carried
+    assert isinstance(ad.make_stepper(CFG, hs[0], phis[0]),
+                      ad.AdaptiveStepper)
+    monkeypatch.setenv("DTC_TPU_ADAPTIVE", "kernel")
+    assert isinstance(ad.make_stepper(CFG, hs[0], phis[0]),
+                      ad.KernelAdaptiveStepper)
+    monkeypatch.setenv("DTC_TPU_ADAPTIVE", "carried")
+    assert isinstance(ad.make_stepper(CFG, hs[0], phis[0]),
+                      ad.AdaptiveStepper)

@@ -170,3 +170,54 @@ def test_run_energy_sharded_driver(tmp_path):
     import os
 
     assert os.path.exists(res["csv_path"])
+
+
+def test_sharded_sigma_frame_matches_sigma_engine_per_trajectory():
+    """Sharded forward/echo now presample with core.sigma_evolve, so with
+    identical keys they must match the unsharded sigma engine trajectory-
+    for-trajectory (not just statistically) at every mesh split."""
+    from dtc_tpu.core.sigma_evolve import sigma_echo_batch, sigma_forward_batch
+
+    hs, phis, sched = _setup(36)
+    p = 0.12
+    keys = jax.random.split(jax.random.PRNGKey(9), 8)
+    want = np.asarray(sigma_forward_batch(
+        hs[None], phis[None], sched.angles, keys[None], L=L, T=T, K=1, p=p,
+        q=L // 2, initial_state="vacuum", dtype_name="complex128",
+        ancilla_factor=(1 - p) ** 6, has_y=False)).mean(axis=1)[0]
+    for n_amp, n_traj in ((1, 8), (4, 2), (8, 1)):
+        mesh = make_mesh(n_amp=n_amp, n_traj=n_traj)
+        fn = make_sharded_autocorr_forward(
+            mesh, L=L, T=T, K=1, p=p, q=L // 2, dtype=DT)
+        got = np.asarray(fn(sched.angles, hs, phis, keys))
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+    want_e = np.asarray(sigma_echo_batch(
+        hs[None], phis[None], sched.angles, keys[None], jnp.asarray([3]),
+        L=L, T=T, K=1, p=p, q=L // 2, initial_state="vacuum",
+        dtype_name="complex128", ancilla_factor=(1 - p) ** 6,
+        has_y=False)).mean(axis=1)[0, 0]
+    fe = make_sharded_echo(make_mesh(n_amp=4, n_traj=2), L=L, T=T, K=1, p=p,
+                           q=L // 2, dtype=DT)
+    got_e = float(fe(sched.angles, hs, phis, keys, jnp.asarray(3)))
+    np.testing.assert_allclose(got_e, want_e, atol=1e-10)
+
+
+def test_sharded_sigma_frame_has_y():
+    """y-polarized drives through the sharded sigma frame (sigma-conjugated
+    kicks on local AND shard-id bits) vs the unsharded sigma engine."""
+    from dtc_tpu.core.sigma_evolve import sigma_forward_batch
+
+    hs, phis, _ = _setup(37)
+    sched = build_kick_schedule("y", 0.9, T)
+    p = 0.1
+    keys = jax.random.split(jax.random.PRNGKey(10), 8)
+    want = np.asarray(sigma_forward_batch(
+        hs[None], phis[None], sched.angles, keys[None], L=L, T=T, K=1, p=p,
+        q=L // 2, initial_state="vacuum", dtype_name="complex128",
+        ancilla_factor=1.0, has_y=True)).mean(axis=1)[0]
+    fn = make_sharded_autocorr_forward(
+        make_mesh(n_amp=8, n_traj=1), L=L, T=T, K=1, p=p, q=L // 2, dtype=DT,
+        ancilla_factor=1.0, has_y=True)
+    got = np.asarray(fn(sched.angles, hs, phis, keys))
+    np.testing.assert_allclose(got, want, atol=1e-10)
