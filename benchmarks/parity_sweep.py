@@ -138,6 +138,7 @@ def phase_reference() -> None:
     dm_rows = []
     for L in (10, 11, 12):
         hs, phis, angles = _case_inputs(L)
+        hs, phis = hs[0], phis[0]
         t_dm = 20
         # deterministic: noiseless DM vs noiseless c128 sigma
         a_dm0 = np.asarray(dm_autocorr_forward_run(
@@ -146,7 +147,8 @@ def phase_reference() -> None:
         k0 = jnp.asarray(
             np.asarray(jax.random.split(jax.random.PRNGKey(0), 1))[None])
         a_sv0 = np.asarray(sigma_forward_batch(
-            jnp.asarray(hs), jnp.asarray(phis), jnp.asarray(angles), k0,
+            jnp.asarray(hs)[None], jnp.asarray(phis)[None],
+            jnp.asarray(angles), k0,
             L=L, q=L // 2, **{**kw, "T": t_dm, "p": 0.0}))[0, 0]
         err0 = float(np.max(np.abs(a_dm0 - a_sv0)))
         # statistical: noisy DM vs trajectory mean, in sigma units
@@ -157,7 +159,8 @@ def phase_reference() -> None:
         kz = jnp.asarray(np.asarray(jax.random.split(
             jax.random.PRNGKey(11), n))[None])
         a_tr = np.asarray(sigma_forward_batch(
-            jnp.asarray(hs), jnp.asarray(phis), jnp.asarray(angles), kz,
+            jnp.asarray(hs)[None], jnp.asarray(phis)[None],
+            jnp.asarray(angles), kz,
             L=L, q=L // 2, **{**kw, "T": t_dm}))[0]
         mean, sd = a_tr.mean(axis=0), a_tr.std(axis=0) / np.sqrt(n)
         z = float(np.max(np.abs(mean - a_dm) / np.maximum(sd, 1e-12)))

@@ -27,13 +27,79 @@ def linear_with_ancilla_coupling(L: int, probe_qubit: int | None = None):
     return L + 1, edges
 
 
+def _heavy_hex_rows(row_cols):
+    """Row-major heavy-hex graph from a list of per-row column lists.
+
+    Even entries are long rows (consecutive columns -> chain edges), odd
+    entries are connector rows (each qubit bonds to the same column in the
+    long rows above/below when present). Returns (n, edges, coords) with
+    coords {qubit: (col, row)}.
+    """
+    coords = {}
+    rows = []
+    idx = 0
+    for r, cols in enumerate(row_cols):
+        row = {}
+        for c in cols:
+            coords[idx] = (c, r)
+            row[c] = idx
+            idx += 1
+        rows.append(row)
+    edges = []
+    for r, row in enumerate(rows):
+        if r % 2 == 0:
+            cols = sorted(row)
+            for a, b in zip(cols, cols[1:]):
+                if b == a + 1:
+                    edges.append((row[a], row[b]))
+        else:
+            for c, qq in row.items():
+                if r - 1 >= 0 and c in rows[r - 1]:
+                    edges.append((rows[r - 1][c], qq))
+                if r + 1 < len(rows) and c in rows[r + 1]:
+                    edges.append((qq, rows[r + 1][c]))
+    return idx, edges, coords
+
+
+_A = list(range(0, 13, 4))   # connector columns {0,4,8,12}
+_B = list(range(2, 15, 4))   # connector columns {2,6,10,14}
+_FULL = list(range(15))
+
+
+def eagle_coupling():
+    """EXACT IBM Eagle 127-qubit graph (Brisbane/Sherbrooke), IBM numbering.
+
+    Row structure from the reference's own coordinate table
+    (garnet-normal-layout.py:8-155 / brisbane-normal-layout.py:7-155):
+    row 0 = cols 0..13, rows 2..10 = cols 0..14, row 12 = cols 1..14;
+    connector rows alternate {0,4,8,12} / {2,6,10,14}.
+    """
+    return _heavy_hex_rows([
+        list(range(14)), _A, _FULL, _B, _FULL, _A, _FULL, _B, _FULL, _A,
+        _FULL, _B, list(range(1, 15)),
+    ])
+
+
+def heron_coupling():
+    """EXACT IBM Heron-r1 133-qubit graph (Torino), IBM numbering.
+
+    Row structure from the reference's coordinate table
+    (torino-autocorr-layout.py:7-156): seven full 15-column rows and SEVEN
+    connector rows — unlike Eagle, the end rows are full width and there is
+    a trailing connector row 13 at columns {0,4,8,12}.
+    """
+    return _heavy_hex_rows([
+        _FULL, _A, _FULL, _B, _FULL, _A, _FULL, _B, _FULL, _A, _FULL, _B,
+        _FULL, _A,
+    ])
+
+
 def heavy_hex_coupling(long_rows: int = 7, width: int = 15):
-    """Heavy-hex lattice in the IBM Eagle arrangement.
+    """Generic heavy-hex lattice generator (parameterized; for exact device
+    graphs in IBM numbering use eagle_coupling()/heron_coupling()).
 
     `long_rows` rows of `width` qubits (first and last rows are width-1),
-    bridged by 4-qubit connector rows. Defaults give the 127-qubit
-    Brisbane/Eagle graph; heavy_hex_coupling(7, 16) gives a 133-qubit
-    Heron-class (Torino-scale) graph.
+    bridged by 4-qubit connector rows.
     """
     rows = []
     idx = 0
@@ -76,55 +142,116 @@ def heavy_hex_coupling(long_rows: int = 7, width: int = 15):
     return n, edges, coords
 
 
+# EXACT IQM Garnet 20-qubit crystal: the reference's explicit connection
+# list (1-indexed there) and rotated-grid coordinates
+# (garnet-normal-layout.py:181-201,215-245 — identical in garnet-echo-layout.py).
+_GARNET_EDGES_1IDX = (
+    (1, 2), (1, 4), (2, 5), (3, 4), (3, 8), (4, 5), (4, 9), (5, 6), (5, 10),
+    (6, 7), (6, 11), (7, 12), (8, 9), (8, 13), (9, 10), (9, 14), (10, 11),
+    (10, 15), (11, 12), (11, 16), (12, 17), (13, 14), (14, 15), (14, 18),
+    (15, 16), (15, 19), (16, 17), (16, 20), (18, 19), (19, 20),
+)
+_GARNET_COORDS = (
+    (6, 4), (5, 5), (6, 2), (5, 3), (4, 4), (3, 5), (2, 6), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (2, 0),
+    (1, 1), (0, 2),
+)
+
+
 def garnet_coupling():
-    """IQM Garnet-style 20-qubit square-lattice 'crystal' (diamond shape)."""
-    # diamond rows of widths 2,4,4,4,4,2 on a rotated square grid
-    rows = [2, 3, 4, 4, 4, 3]
-    coords = {}
-    idx = 0
-    grid = {}
-    layout = [
-        (0, [1, 2]),
-        (1, [0, 1, 2]),
-        (2, [0, 1, 2, 3]),
-        (3, [0, 1, 2, 3]),
-        (4, [0, 1, 2, 3]),
-        (5, [1, 2, 3]),
-    ]
-    for r, cols in layout:
-        for c in cols:
-            coords[idx] = (c + (0.5 if r % 2 else 0.0), r)
-            grid[(r, c)] = idx
-            idx += 1
-    n = idx
-    edges = []
-    for (r, c), q in grid.items():
-        # rotated-square neighbors: (r+1, c) and (r+1, c +/- 1) depending on parity
-        for dc in (0, 1) if r % 2 else (-1, 0):
-            if (r + 1, c + dc) in grid:
-                edges.append((q, grid[(r + 1, c + dc)]))
-    return n, edges, coords
+    """EXACT IQM Garnet 20-qubit square-lattice 'crystal', IQM numbering."""
+    edges = [(a - 1, b - 1) for a, b in _GARNET_EDGES_1IDX]
+    coords = {i: (float(x), float(y)) for i, (x, y) in enumerate(_GARNET_COORDS)}
+    return 20, edges, coords
+
+
+# ---------------------------------------------------------------------------
+# the reference's shipped snake layouts (compatibility contract — these exact
+# index lists produced the on-disk hardware datasets)
+
+REFERENCE_SNAKES = {
+    # L=132 Torino autocorr: entry 0 = ancilla, 1.. = chain
+    # (autocorr-delta-a-single-qiskit-fast-ibm.py:179-185, duplicated at
+    # torino-autocorr-layout.py:169-175)
+    "torino_autocorr": [
+        74, 20, 19, 15, 0, 1, 2, 3, 4, 16, 5, 6, 7, 8, 17, 9, 10, 11, 12, 13,
+        14, 18, 31, 32, 33, 37, 52, 51, 50, 56, 49, 48, 47, 36, 29, 30, 28,
+        27, 26, 25, 35, 24, 23, 22, 21, 34, 40, 41, 39, 38, 53, 57, 58, 59,
+        72, 60, 61, 62, 54, 42, 43, 44, 45, 46, 55, 65, 64, 66, 67, 68, 69,
+        70, 71, 75, 90, 89, 88, 94, 87, 86, 85, 84, 93, 83, 82, 73, 63, 81,
+        80, 92, 79, 78, 77, 76, 91, 95, 96, 97, 110, 98, 99, 100, 101, 111,
+        102, 103, 104, 105, 112, 106, 107, 108, 109, 113, 128, 127, 126, 132,
+        125, 124, 123, 122, 131, 121, 120, 119, 118, 130, 117, 116, 115, 114,
+        129,
+    ],
+    # L=127 Brisbane energy chain (no ancilla)
+    # (brisbane-normal-layout.py:176-197; autocorr-delta-a-single-ibm-energy.py:181-202)
+    "brisbane_energy": [
+        19, 18, 14, 0, 1, 2, 3, 4, 15, 5, 6, 7, 8, 16, 9, 10, 11, 12, 13,
+        17, 30, 31, 32, 36, 51, 50, 49, 55, 48, 47, 46, 35, 28, 29, 27, 26,
+        25, 24, 34, 23, 22, 21, 20, 33, 39, 40, 38, 37, 52, 56, 57, 58, 71,
+        59, 60, 61, 53, 41, 42, 43, 44, 45, 54, 63, 64, 65, 66, 73, 67, 68,
+        69, 70, 74, 89, 88, 87, 93, 86, 85, 84, 83, 92, 82, 81, 72, 62, 80,
+        79, 91, 78, 77, 76, 75, 90, 94, 95, 96, 109, 97, 98, 99, 100, 110,
+        101, 102, 103, 104, 111, 105, 106, 107, 108, 112, 126, 125, 124, 123,
+        122, 121, 120, 119, 118, 117, 116, 115, 114, 113,
+    ],
+    # L=19 Garnet autocorr: entry 0 = ancilla at physical 14, 1.. = chain
+    # (autocorr-delta-a-single-iqm.py:178-201)
+    "garnet_autocorr": [
+        14, 0, 1, 4, 5, 6, 11, 16, 15, 19, 18, 17, 13, 12, 7, 2, 3, 8, 9, 10,
+    ],
+}
+
+
+def validate_snake(path, n, edges, *, distinct=True):
+    """Check a snake layout against a coupling graph.
+
+    Returns {"n_hops": number of non-adjacent consecutive pairs,
+    "hops": the offending pairs, "in_range": all indices valid,
+    "distinct": no repeats} — the reference's own renderers mark
+    non-adjacent snake steps with purple arrows (brisbane-normal-layout.py
+    renderer), so n_hops quantifies layout quality.
+    """
+    eset = {frozenset(e) for e in edges}
+    hops = [(a, b) for a, b in zip(path, path[1:])
+            if frozenset((a, b)) not in eset]
+    return {
+        "n_hops": len(hops),
+        "hops": hops,
+        "in_range": all(0 <= x < n for x in path),
+        "distinct": len(set(path)) == len(path) or not distinct,
+    }
 
 
 # ---------------------------------------------------------------------------
 # snake path search
 
 
-def find_snake_path(n: int, edges, length: int, start: int | None = None,
-                    max_steps: int = 2_000_000):
-    """Longest-path (backtracking DFS, fewest-free-neighbors-first heuristic)
-    covering `length` nodes; returns the node sequence or None."""
+def _adjacency(n, edges):
     adj = {i: set() for i in range(n)}
     for a, b in edges:
         adj[a].add(b)
         adj[b].add(a)
+    return adj
+
+
+def find_snake_path(n: int, edges, length: int, start: int | None = None,
+                    max_steps: int = 2_000_000, best_effort: bool = False):
+    """Longest-path (backtracking DFS, fewest-free-neighbors-first heuristic)
+    covering `length` nodes; returns the node sequence, or None — unless
+    `best_effort`, which returns the longest path found within the budget."""
+    adj = _adjacency(n, edges)
     starts = [start] if start is not None else sorted(
-        range(n), key=lambda v: len(adj[v]))
+        (v for v in adj), key=lambda v: len(adj[v]))
     steps = 0
+    best: list = []
 
     def dfs(path, used):
-        nonlocal steps
+        nonlocal steps, best
         steps += 1
+        if len(path) > len(best):
+            best = list(path)
         if steps > max_steps:
             return None
         if len(path) == length:
@@ -147,7 +274,41 @@ def find_snake_path(n: int, edges, length: int, start: int | None = None,
         r = dfs([s], {s})
         if r is not None:
             return r
-    return None
+    return best if best_effort else None
+
+
+def find_segmented_snake(n: int, edges, length: int,
+                         max_steps: int = 400_000):
+    """Snake layout allowing non-adjacent hops between maximal segments.
+
+    Some device graphs admit no full-length hop-free path at all — on the
+    exact Heron 133q graph the four trailing row-13 connectors have degree
+    one, so any path contains at most two of them and a 132-node path is
+    impossible; the reference's own hand layouts carry such hops (rendered
+    as purple arrows, brisbane-normal-layout.py:207-383). This search finds
+    maximal hop-free segments greedily and stitches them, preferring the
+    next segment to start adjacent to unused neighbors of the previous
+    segment tail. Returns (path, n_hops).
+    """
+    adj = _adjacency(n, edges)
+    path: list = []
+    used: set = set()
+    n_hops = 0
+    while len(path) < length:
+        remaining_nodes = [v for v in adj if v not in used]
+        sub_edges = [(a, b) for a, b in edges
+                     if a not in used and b not in used]
+        # longest segment within the remaining subgraph (best effort)
+        seg = find_snake_path(n, sub_edges, length - len(path),
+                              max_steps=max_steps, best_effort=True)
+        seg = [v for v in seg if v not in used] if seg else []
+        if not seg:
+            seg = [remaining_nodes[0]]
+        if path:
+            n_hops += 1
+        path.extend(seg[: length - len(path)])
+        used.update(seg)
+    return path, n_hops
 
 
 def snake_layout(cfg_or_L, device: str = "brisbane", with_ancilla: bool = True):
@@ -158,9 +319,9 @@ def snake_layout(cfg_or_L, device: str = "brisbane", with_ancilla: bool = True):
     """
     L = getattr(cfg_or_L, "L", cfg_or_L)
     if device == "brisbane":
-        n, edges, coords = heavy_hex_coupling(7, 15)
+        n, edges, coords = eagle_coupling()
     elif device == "torino":
-        n, edges, coords = heavy_hex_coupling(7, 16)
+        n, edges, coords = heron_coupling()
     elif device == "garnet":
         n, edges, coords = garnet_coupling()
     elif device == "linear":
@@ -172,7 +333,10 @@ def snake_layout(cfg_or_L, device: str = "brisbane", with_ancilla: bool = True):
         raise ValueError(f"unknown device {device!r}")
 
     path = find_snake_path(n, edges, L)
+    n_hops = 0
     if path is None:
+        path, n_hops = find_segmented_snake(n, edges, L)
+    if len(path) < L:
         raise ValueError(f"no length-{L} snake on {device} ({n} qubits)")
     anc = None
     if with_ancilla:
@@ -184,7 +348,7 @@ def snake_layout(cfg_or_L, device: str = "brisbane", with_ancilla: bool = True):
         free = adj[probe] - set(path)
         anc = min(free) if free else None
     return {"path": path, "ancilla": anc, "n": n, "edges": edges,
-            "coords": coords}
+            "coords": coords, "n_hops": n_hops}
 
 
 def render_layout(layout: dict, out_png: str, title: str = ""):
