@@ -496,6 +496,69 @@ def _make_echo_kernel(L: int, T2: int, q: int, b0: int, has_top: bool,
     return kernel
 
 
+def echo_pair_tiles(key, t_value, h, ph, *, L, T, p):
+    """(2*2T, 128) interleaved (pre, post) compact step tiles for one
+    (trajectory, t) echo pair, plus the final sigma.
+
+    Shared by the VMEM-resident and HBM-streamed echo kernels. pre tile:
+    inverse diagonal D0* x conj-correction at the CURRENT sigma (= sigma
+    before this step's event) — unlike sigma_evolve.inverse_cycle_fac there
+    is no pending-XOR cancellation here: the kernels' forward postdiag
+    applies its D0 sigma-correction eagerly (not deferred into the next
+    kick), so at the turnaround the inverse must conj-correct it back.
+    Lanes: 124 = per-pair trip count (2t), 125 = imag sign (inverse kicks),
+    126 = step active, 127 = kick-matrix index (per-cycle schedules).
+    """
+    from dtc_tpu.core.sigma_evolve import (
+        _codes_from_uniform,
+        _masks_from_codes,
+    )
+
+    T2 = 2 * T
+    zeros_h = jnp.zeros_like(h)
+    zeros_p = jnp.zeros_like(ph)
+    step_i = jnp.arange(T2)
+    fwd = step_i < t_value
+    inv = (step_i >= t_value) & (step_i < 2 * t_value)
+    if p > 0.0:
+        u = jax.random.uniform(key, (T2, 1, L), dtype=jnp.float32)
+        codes = _codes_from_uniform(u, p)
+        codes = jnp.where((fwd | inv)[:, None, None], codes, 0)
+        xm, zm = _masks_from_codes(codes, L)
+        xm, zm = xm[:, 0], zm[:, 0]
+        csum = jax.lax.associative_scan(jnp.bitwise_xor, xm)
+        sig_b = jnp.concatenate(
+            [jnp.zeros((1,), jnp.uint32), csum[:-1]])
+    else:
+        zm = sig_b = csum = jnp.zeros((T2,), jnp.uint32)
+    dsig = sig_b
+
+    def one_step(zm_k, csum_k, dsig_k, fwd_k, inv_k, aidx_k):
+        pre = (pack_cycle_params_compact(jnp.uint32(0), dsig_k,
+                                         -h, -ph, L)
+               * inv_k.astype(jnp.float32))
+        post = (pack_cycle_params_compact(zm_k, csum_k, h, ph, L)
+                * fwd_k.astype(jnp.float32)
+                + pack_cycle_params_compact(zm_k, jnp.uint32(0),
+                                            zeros_h, zeros_p, L)
+                * inv_k.astype(jnp.float32))
+        imag_sign = jnp.where(inv_k, -1.0, 1.0)
+        active = (fwd_k | inv_k).astype(jnp.float32)
+        pre = (pre.at[125].set(imag_sign).at[126].set(active)
+               .at[127].set(aidx_k.astype(jnp.float32)))
+        return jnp.stack([pre, post])
+
+    # kick-matrix index per step (forward i = k, inverse i = 2t-1-k,
+    # cf. sigma_echo_batch); constant-schedule kernels ignore it
+    aidx = jnp.where(fwd, step_i,
+                     jnp.clip(2 * t_value - 1 - step_i, 0, T - 1))
+    tiles = jax.vmap(one_step)(zm, csum, dsig, fwd, inv, aidx)
+    tiles = tiles.reshape(2 * T2, 128)
+    # per-pair dynamic trip count (active steps = first 2t)
+    tiles = tiles.at[0, 124].set((2 * t_value).astype(jnp.float32))
+    return tiles, csum[-1]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("L", "T", "p", "q", "initial_state", "ancilla_factor",
@@ -523,66 +586,11 @@ def resident_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
     n_ts = ts.shape[0]
 
     def per_instance(h, ph, ks):
-        zeros_h = jnp.zeros_like(h)
-        zeros_p = jnp.zeros_like(ph)
-
-        def tiles_one(key, t_value):
-            """(2*T2, 8, 128) interleaved (pre, post) tiles + final sigma."""
-            from dtc_tpu.core.sigma_evolve import (
-                _codes_from_uniform,
-                _masks_from_codes,
-            )
-
-            step_i = jnp.arange(T2)
-            fwd = step_i < t_value
-            inv = (step_i >= t_value) & (step_i < 2 * t_value)
-            if p > 0.0:
-                u = jax.random.uniform(key, (T2, 1, L), dtype=jnp.float32)
-                codes = _codes_from_uniform(u, p)
-                codes = jnp.where((fwd | inv)[:, None, None], codes, 0)
-                xm, zm = _masks_from_codes(codes, L)
-                xm, zm = xm[:, 0], zm[:, 0]
-                csum = jax.lax.associative_scan(jnp.bitwise_xor, xm)
-                sig_b = jnp.concatenate(
-                    [jnp.zeros((1,), jnp.uint32), csum[:-1]])
-            else:
-                zm = sig_b = csum = jnp.zeros((T2,), jnp.uint32)
-            # pre tile: inverse diagonal D0* x conj-correction at the
-            # CURRENT sigma (= sigma before this step's event). Unlike
-            # sigma_evolve.inverse_cycle_fac there is no pending-XOR
-            # cancellation here: the forward postdiag applies its D0
-            # sigma-correction eagerly (not deferred into the next kick),
-            # so at the turnaround the inverse must conj-correct it back.
-            dsig = sig_b
-
-            def one_step(zm_k, csum_k, dsig_k, fwd_k, inv_k, aidx_k):
-                pre = (pack_cycle_params_compact(jnp.uint32(0), dsig_k,
-                                                 -h, -ph, L)
-                       * inv_k.astype(jnp.float32))
-                post = (pack_cycle_params_compact(zm_k, csum_k, h, ph, L)
-                        * fwd_k.astype(jnp.float32)
-                        + pack_cycle_params_compact(zm_k, jnp.uint32(0),
-                                                    zeros_h, zeros_p, L)
-                        * inv_k.astype(jnp.float32))
-                imag_sign = jnp.where(inv_k, -1.0, 1.0)
-                active = (fwd_k | inv_k).astype(jnp.float32)
-                pre = (pre.at[125].set(imag_sign).at[126].set(active)
-                       .at[127].set(aidx_k.astype(jnp.float32)))
-                return jnp.stack([pre, post])
-
-            # kick-matrix index per step (forward i = k, inverse i = 2t-1-k,
-            # cf. sigma_echo_batch); constant-schedule kernels ignore it
-            aidx = jnp.where(fwd, step_i,
-                             jnp.clip(2 * t_value - 1 - step_i, 0, T - 1))
-            tiles = jax.vmap(one_step)(zm, csum, dsig, fwd, inv, aidx)
-            tiles = tiles.reshape(2 * T2, 128)
-            # per-pair dynamic trip count (active steps = first 2t)
-            tiles = tiles.at[0, 124].set((2 * t_value).astype(jnp.float32))
-            return tiles, csum[-1]  # (2*T2, 128)
-
         # (c, n_ts) pairs -> flat grid
         tiles, sig_fin = jax.vmap(
-            lambda k: jax.vmap(lambda t: tiles_one(k, t))(ts))(ks)
+            lambda k: jax.vmap(
+                lambda t: echo_pair_tiles(k, t, h, ph, L=L, T=T, p=p))(ts)
+        )(ks)
         n_pairs = ks.shape[0] * n_ts
         tiles = tiles.reshape(n_pairs, 2 * T2, 128)
 

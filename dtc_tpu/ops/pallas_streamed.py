@@ -293,6 +293,293 @@ def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int):  # noqa: C9
     return kernel
 
 
+def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int):  # noqa: C901
+    """HBM-streamed echo kernel: one grid step = one (trajectory, t) pair.
+
+    Runs the pair's first 2t steps of a 2T-step masked schedule (per-pair
+    dynamic trip count, resident-echo tile lane 124). Each step is a full
+    cycle — two double-buffered DMA sweeps exactly like the forward kernel
+    — with the resident echo's (pre, post) diagonal folds: pre (inverse
+    diagonal at the running sigma) scales contraction INPUTS, post (forward
+    diagonal + noise signs) contraction OUTPUTS. Column operators (bits
+    0..13) commute with row operators (bits 14..), so the A-then-B pass
+    order serves forward AND inverse steps; the mixed straddle bonds are
+    ordered explicitly (pre-s13 at the top of pass A, pre-s20 at the top of
+    pass B — both before any kick touching their bits). A terminal
+    read-only sweep accumulates the |v|^2 z_q measurement.
+    """
+    R = 1 << (L - 14)
+    R2 = R // 128
+    NA = R // _RS
+    NB = _C // CS
+
+    def kernel(u7r_ref, u7i_ref, u21r_ref, u21i_ref, par_ref, st_in_ref,
+               a_out_ref, st_hbm, aslab, bslab, acc, sems):
+        del st_in_ref
+        arow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        alane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        apos = arow * 128 + alane
+
+        # loop-invariant z tables (rows AND columns of each dot axis)
+        l7o = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        z7o = [(1 - 2 * ((l7o >> k) & 1)).astype(jnp.float32)
+               for k in range(7)]
+        l7c = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        z7c = [(1 - 2 * ((l7c >> k) & 1)).astype(jnp.float32)
+               for k in range(7)]
+        lci = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
+        zz67 = (1 - 2 * (((lci >> 6) ^ (lci >> 7)) & 1)).astype(jnp.float32)
+        z13c = (1 - 2 * ((lci >> 13) & 1)).astype(jnp.float32)
+        r2i = jax.lax.broadcasted_iota(jnp.int32, (R2, 1), 0)
+        z21 = (1 - 2 * (r2i & 1)).astype(jnp.float32)
+        zr2 = [(1 - 2 * ((r2i >> k) & 1)).astype(jnp.float32)
+               for k in range(L - 21)]
+        r2c = jax.lax.broadcasted_iota(jnp.int32, (1, R2), 1)
+        z21c = (1 - 2 * (r2c & 1)).astype(jnp.float32)
+        zr2c = [(1 - 2 * ((r2c >> k) & 1)).astype(jnp.float32)
+                for k in range(L - 21)]
+        # pass-A row parity = bit 14 (RS = 64 even, so absolute LSB = local)
+        ra = jax.lax.broadcasted_iota(jnp.int32, (_RS, 1), 0)
+        z14a = (1 - 2 * (ra & 1)).astype(jnp.float32)
+        # pass-B m-axis z14 and pass-B raw-slab z20*z21 row mask
+        m3 = jax.lax.broadcasted_iota(jnp.int32, (1, 128, 1), 1)
+        z14m = (1 - 2 * (m3 & 1)).astype(jnp.float32)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        z2021 = (1 - 2 * (((rr >> 6) ^ (rr >> 7)) & 1)).astype(jnp.float32)
+        csl = jax.lax.broadcasted_iota(jnp.int32, (1, CS), 1)
+
+        def loadA(slot, i):
+            return pltpu.make_async_copy(
+                st_hbm.at[:, pl.ds(i * _RS, _RS), :], aslab.at[slot],
+                sems.at[slot])
+
+        def storeA(slot, i):
+            return pltpu.make_async_copy(
+                aslab.at[slot], st_hbm.at[:, pl.ds(i * _RS, _RS), :],
+                sems.at[2 + slot])
+
+        def loadB(slot, j):
+            return pltpu.make_async_copy(
+                st_hbm.at[:, :, pl.ds(j * CS, CS)], bslab.at[slot],
+                sems.at[4 + slot])
+
+        def storeB(slot, j):
+            return pltpu.make_async_copy(
+                bslab.at[slot], st_hbm.at[:, :, pl.ds(j * CS, CS)],
+                sems.at[6 + slot])
+
+        # init sweep: basis state b0
+        r_b0 = b0 >> 14
+        c_b0 = b0 & (_C - 1)
+        rloc = jax.lax.broadcasted_iota(jnp.int32, (_RS, _C), 0)
+        cloc = jax.lax.broadcasted_iota(jnp.int32, (_RS, _C), 1)
+
+        def init_body(i, _):
+            slot = i % 2
+
+            @pl.when(i >= 2)
+            def _():
+                storeA(slot, i - 2).wait()
+
+            aslab[slot, 0] = jnp.where(
+                (rloc + i * _RS == r_b0) & (cloc == c_b0), 1.0, 0.0)
+            aslab[slot, 1] = jnp.zeros((_RS, _C), jnp.float32)
+            storeA(slot, i).start()
+            return _
+
+        jax.lax.fori_loop(0, NA, init_body, None)
+        storeA((NA - 2) % 2, NA - 2).wait()
+        storeA((NA - 1) % 2, NA - 1).wait()
+
+        # compact tile readers ((pre, post) interleaved rows)
+        def cz(ti, qq):
+            return (par_ref[0, ti, 3 * L - 1 + qq]
+                    * (par_ref[0, ti, L + qq] - 0.5)
+                    - _HALF_PI * par_ref[0, ti, qq])
+
+        def cb(ti, jj):
+            return (par_ref[0, ti, 4 * L - 1 + jj]
+                    * (par_ref[0, ti, 2 * L + jj] - 0.5))
+
+        def angle7(ti, base, bias, zt):
+            th = bias + jnp.zeros_like(zt[0])
+            for k in range(7):
+                th = th + cz(ti, base + k) * zt[k]
+                if k > 0:
+                    th = th + cb(ti, base + k - 1) * (zt[k - 1] * zt[k])
+            return th
+
+        def angle_c(ti, zt):
+            th = jnp.zeros_like(zt[0])
+            for k in range(L - 21):
+                th = th + cz(ti, 21 + k) * zt[k]
+                if k > 0:
+                    th = th + cb(ti, 20 + k) * (zt[k - 1] * zt[k])
+            return th
+
+        def step(k, _):
+            pre = 2 * k
+            post = 2 * k + 1
+            imag_sign = par_ref[0, pre, 125]
+            c0p = _HALF_PI * sum(par_ref[0, pre, qq] for qq in range(L))
+            c0q = _HALF_PI * sum(par_ref[0, post, qq] for qq in range(L))
+
+            u7rt = u7r_ref[0].T
+            u7it = u7i_ref[0].T * imag_sign
+
+            def scaled(base, bias_p, bias_q):
+                th = (angle7(pre, base, bias_p, z7c)
+                      + angle7(post, base, bias_q, z7o))
+                dr = jnp.cos(th)
+                di = jnp.sin(th)
+                return u7rt * dr - u7it * di, u7rt * di + u7it * dr
+
+            b1r, b1i = scaled(0, c0p, c0q)
+            b2r, b2i = scaled(7, 0.0, 0.0)
+            # pass-B b14: output rows (post th_B) x input columns (pre th_B)
+            th14 = (angle7(post, 14, 0.0, z7c) + angle7(pre, 14, 0.0, z7o))
+            d14r = jnp.cos(th14)
+            d14i = jnp.sin(th14)
+            u7k = u7r_ref[0]
+            u7ki = u7i_ref[0] * imag_sign
+            b14r = u7k * d14r - u7ki * d14i
+            b14i = u7k * d14i + u7ki * d14r
+            th_cq = angle_c(post, zr2)    # (R2, 1) output rows
+            th_cp = angle_c(pre, zr2c)    # (1, R2) input columns
+            s20p, s20q = cb(pre, 20), cb(post, 20)
+            s13p, s13q = cb(pre, 13), cb(post, 13)
+            s6p, s6q = cb(pre, 6), cb(post, 6)
+
+            # ---------------- pass A ----------------
+            def a_body(i, _):
+                s = i % 2
+                nxt = (i + 1) % 2
+                loadA(s, i).wait()
+                mr = aslab[s, 0]
+                mi = aslab[s, 1]
+                # pre straddles: bond 13 (z13 col x z14 row), bond 6
+                mr, mi = _cmul(mr, mi, jnp.cos(s13p),
+                               (z13c * z14a) * jnp.sin(s13p))
+                mr, mi = _cmul(mr, mi, jnp.cos(s6p), zz67 * jnp.sin(s6p))
+                mr = mr.reshape(_RS * 128, 128)
+                mi = mi.reshape(_RS * 128, 128)
+                mr, mi = _kara_right(mr, mi, b1r, b1i)
+                mr = jnp.swapaxes(mr.reshape(_RS, 128, 128), 1, 2).reshape(
+                    _RS * 128, 128)
+                mi = jnp.swapaxes(mi.reshape(_RS, 128, 128), 1, 2).reshape(
+                    _RS * 128, 128)
+                mr, mi = _kara_right(mr, mi, b2r, b2i)
+                mr = jnp.swapaxes(mr.reshape(_RS, 128, 128), 1, 2).reshape(
+                    _RS, _C)
+                mi = jnp.swapaxes(mi.reshape(_RS, 128, 128), 1, 2).reshape(
+                    _RS, _C)
+                mr, mi = _cmul(mr, mi, jnp.cos(s6q), zz67 * jnp.sin(s6q))
+                aslab[s, 0] = mr
+                aslab[s, 1] = mi
+                storeA(s, i).start()
+
+                @pl.when(i + 1 < NA)
+                def _():
+                    @pl.when(i >= 1)
+                    def _():
+                        storeA(nxt, i - 1).wait()
+
+                    loadA(nxt, i + 1).start()
+
+                return _
+
+            loadA(0, 0).start()
+            jax.lax.fori_loop(0, NA, a_body, None)
+            storeA((NA - 2) % 2, NA - 2).wait()
+            storeA((NA - 1) % 2, NA - 1).wait()
+
+            # ---------------- pass B ----------------
+            def b_body(j, _):
+                s = j % 2
+                nxt = (j + 1) % 2
+                loadB(s, j).wait()
+                pr = bslab[s, 0]
+                pi_ = bslab[s, 1]
+                # pre bond-20 straddle on the raw slab rows (bits 20, 21)
+                pr, pi_ = _cmul(pr, pi_, jnp.cos(s20p),
+                                z2021 * jnp.sin(s20p))
+                mr = jnp.swapaxes(pr.reshape(R2, 128, CS), 0,
+                                  1).reshape(128, R2 * CS)
+                mi = jnp.swapaxes(pi_.reshape(R2, 128, CS), 0,
+                                  1).reshape(128, R2 * CS)
+                p1 = _dot_f32(b14r, mr)
+                p2 = _dot_f32(b14i, mi)
+                p3 = _dot_f32(b14r + b14i, mr + mi)
+                mr, mi = p1 - p2, p3 - p1 - p2
+                mr = jnp.swapaxes(mr.reshape(128, R2, CS), 0, 1)
+                mi = jnp.swapaxes(mi.reshape(128, R2, CS), 0, 1)
+                halves = []
+                for sgn, sl in ((1.0, slice(0, 64)), (-1.0, slice(64, 128))):
+                    th = th_cq + sgn * s20q * z21 + th_cp
+                    dr = jnp.cos(th)
+                    di = jnp.sin(th)
+                    u21i_s = u21i_ref[0] * imag_sign
+                    gr = u21r_ref[0] * dr - u21i_s * di
+                    gi = u21r_ref[0] * di + u21i_s * dr
+                    hr = mr[:, sl, :].reshape(R2, 64 * CS)
+                    hi_ = mi[:, sl, :].reshape(R2, 64 * CS)
+                    q1 = _dot_f32(gr, hr)
+                    q2 = _dot_f32(gi, hi_)
+                    q3 = _dot_f32(gr + gi, hr + hi_)
+                    halves.append(((q1 - q2).reshape(R2, 64, CS),
+                                   (q3 - q1 - q2).reshape(R2, 64, CS)))
+                mr = jnp.concatenate([halves[0][0], halves[1][0]], axis=1)
+                mi = jnp.concatenate([halves[0][1], halves[1][1]], axis=1)
+                z13 = jnp.where(j * CS < _C // 2, 1.0, -1.0)
+                mr, mi = _cmul(mr, mi, jnp.cos(s13q),
+                               (z13 * z14m) * jnp.sin(s13q))
+                bslab[s, 0] = mr.reshape(R, CS)
+                bslab[s, 1] = mi.reshape(R, CS)
+                storeB(s, j).start()
+
+                @pl.when(j + 1 < NB)
+                def _():
+                    @pl.when(j >= 1)
+                    def _():
+                        storeB(nxt, j - 1).wait()
+
+                    loadB(nxt, j + 1).start()
+
+                return _
+
+            loadB(0, 0).start()
+            jax.lax.fori_loop(0, NB, b_body, None)
+            storeB((NB - 2) % 2, NB - 2).wait()
+            storeB((NB - 1) % 2, NB - 1).wait()
+            return _
+
+        n_active = par_ref[0, 0, 124].astype(jnp.int32)
+        jax.lax.fori_loop(0, n_active, step, None)
+
+        # terminal measurement sweep (read-only): raw sum |v|^2 z_q
+        acc[0] = 0.0
+        zq_m = (1 - 2 * ((cloc >> q) & 1)).astype(jnp.float32)
+
+        def meas_body(i, _):
+            s = i % 2
+            loadA(s, i).wait()
+
+            @pl.when(i + 1 < NA)
+            def _():
+                loadA((i + 1) % 2, i + 1).start()
+
+            mr = aslab[s, 0]
+            mi = aslab[s, 1]
+            acc[0] = acc[0] + jnp.sum((mr * mr + mi * mi) * zq_m)
+            return _
+
+        loadA(0, 0).start()
+        jax.lax.fori_loop(0, NA, meas_body, None)
+        a_out_ref[0] = jnp.where(apos == 0, acc[0], 0.0)
+
+    return kernel
+
+
 def _rx_kron(theta, nbits):
     c = jnp.cos(theta / 2).astype(jnp.float32)
     s = jnp.sin(theta / 2).astype(jnp.float32)
@@ -303,6 +590,99 @@ def _rx_kron(theta, nbits):
         ur, ui = (jnp.kron(ur, kr) - jnp.kron(ui, ki),
                   jnp.kron(ur, ki) + jnp.kron(ui, kr))
     return ur, ui
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "p", "q", "initial_state", "ancilla_factor",
+                     "interpret"),
+)
+def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
+                        initial_state="vacuum", ancilla_factor=1.0,
+                        interpret=False):
+    """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2), (n_ts,) -> (inst, c, n_ts).
+
+    HBM-streamed echo A0(t) for 22 <= L <= 26 (constant x drive, q < 14):
+    per (trajectory, t) pair the kernel runs the first 2t steps of a
+    2T-step masked schedule (per-pair dynamic trip count) with the state in
+    HBM and two double-buffered DMA sweeps per step — the streamed
+    counterpart of ops.pallas_resident.resident_echo_batch, matching
+    core.sigma_evolve.sigma_echo_batch event-for-event (identical
+    presampled uniforms -> identical trajectories). Echo semantics:
+    autocorr-delta-a-single-qiskit-fast.py:140-147.
+    """
+    if not (22 <= L <= 26):
+        raise ValueError("streamed kernel supports 22 <= L <= 26")
+    if T > 512:
+        raise ValueError("streamed echo supports T <= 512 (2T-step tiles)")
+    if q >= 14:
+        raise ValueError("streamed kernel requires probe qubit q < 14")
+    from dtc_tpu.ops.pallas_resident import echo_pair_tiles
+
+    R = 1 << (L - 14)
+    CS = max(128, (1 << 20) // R)
+    b0 = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
+    T2 = 2 * T
+    theta = angles[0, 0, 0]
+    u7r, u7i = _rx_kron(theta, 7)
+    u21r, u21i = _rx_kron(theta, L - 21)
+    n_ts = ts.shape[0]
+
+    def per_instance(h, ph, ks):
+        tiles, sig_fin = jax.vmap(
+            lambda k: jax.vmap(
+                lambda t: echo_pair_tiles(k, t, h, ph, L=L, T=T, p=p))(ts)
+        )(ks)
+        n_pairs = ks.shape[0] * n_ts
+        tiles = tiles.reshape(n_pairs, 2 * T2, 128)
+        tile_mem = (pltpu.SMEM if 2 * T2 * 512 * 2 <= 1024 * 1024
+                    else pltpu.VMEM)
+
+        state0 = jnp.zeros((2, R, _C), jnp.float32)
+        a_raw, _ = pl.pallas_call(
+            _make_streamed_echo_kernel(L, T2, q, b0, CS),
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pairs, 8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((2, R, _C), jnp.float32),  # state
+            ],
+            grid=(n_pairs,),
+            in_specs=[
+                pl.BlockSpec((1, 128, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # u7r
+                pl.BlockSpec((1, 128, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # u7i
+                pl.BlockSpec((1, R // 128, R // 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # u21r
+                pl.BlockSpec((1, R // 128, R // 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # u21i
+                pl.BlockSpec((1, 2 * T2, 128), lambda i: (i, 0, 0),
+                             memory_space=tile_mem),    # step tiles
+                pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
+            ],
+            input_output_aliases={5: 1},
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, _RS, _C), jnp.float32),    # pass-A slabs
+                pltpu.VMEM((2, 2, R, CS), jnp.float32),      # pass-B slabs
+                pltpu.SMEM((1,), jnp.float32),               # measurement
+                pltpu.SemaphoreType.DMA((8,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=122 * 1024 * 1024),
+            interpret=interpret,
+        )(u7r[None], u7i[None], u21r[None], u21i[None], tiles, state0)
+        val = a_raw.reshape(n_pairs, 1024)[:, 0].reshape(ks.shape[0], n_ts)
+
+        sq = (1 - 2 * ((sig_fin >> q) & jnp.uint32(1)).astype(jnp.int32)
+              ).astype(jnp.float32)
+        return ancilla_factor * s0 * sq * val
+
+    return jax.vmap(per_instance)(hs, phis, keys)
 
 
 @functools.partial(

@@ -172,3 +172,43 @@ def test_resident_dispatch_logic():
     assert not ok  # per-cycle matrices too large past T=256
     ok, _ = _resident_dispatch(const, **{**kw, "L": 12})
     assert not ok
+
+
+def test_streamed_echo_rejects_bad_args():
+    import pytest
+
+    from dtc_tpu.ops.pallas_streamed import streamed_echo_batch
+
+    hs = jnp.zeros((1, 21))
+    phis = jnp.zeros((1, 20))
+    ang = jnp.zeros((4, 1, 2))
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)[None]
+    ts = jnp.asarray([1, 2])
+    with pytest.raises(ValueError, match="22 <= L <= 26"):
+        streamed_echo_batch(hs, phis, ang, keys, ts, L=21, T=4, p=0.05, q=5)
+    with pytest.raises(ValueError, match="q < 14"):
+        streamed_echo_batch(jnp.zeros((1, 22)), jnp.zeros((1, 21)), ang,
+                            keys, ts, L=22, T=4, p=0.05, q=14)
+
+
+def test_echo_pair_tiles_shared_builder():
+    """The (pre, post) tile builder shared by resident and streamed echo:
+    trip count lane, imag signs, and final sigma are consistent."""
+    from dtc_tpu.ops.pallas_resident import echo_pair_tiles
+
+    L, T, p = 4, 5, 0.3
+    h = jnp.linspace(-1, 1, L)
+    ph = jnp.linspace(-2, -1, L - 1)
+    key = jax.random.PRNGKey(2)
+    tiles, sig_fin = echo_pair_tiles(key, jnp.asarray(3), h, ph, L=L, T=T,
+                                     p=p)
+    tiles = np.asarray(tiles)
+    assert tiles.shape == (2 * 2 * T, 128)
+    assert tiles[0, 124] == 6.0  # trip count = 2t
+    # steps 0..2 forward (imag +1), 3..5 inverse (-1), rest inactive
+    signs = tiles[0::2, 125]
+    # imag sign lane defaults to 0 on inactive/forward pre-tiles scaled by
+    # inv flag; the kernel multiplies u7i by it only via pre lane 125
+    assert np.all(signs[3:6] == -1.0)
+    active = tiles[0::2, 126]
+    assert np.all(active[:6] == 1.0) and np.all(active[6:] == 0.0)
