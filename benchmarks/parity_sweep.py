@@ -96,7 +96,7 @@ def phase_kernel(streamed: bool) -> None:
     print(f"kernel outputs -> {NPZ}", flush=True)
 
 
-def phase_reference() -> None:
+def phase_reference(dm_only: bool = False) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -113,7 +113,7 @@ def phase_reference() -> None:
                "rows": []}
     kw = dict(T=T, K=1, p=P, initial_state="vacuum",
               dtype_name="complex128", ancilla_factor=1.0, has_y=False)
-    for L in range(14, 23):
+    for L in ([] if dm_only else range(14, 23)):
         if f"fwd_{L}" not in data:
             continue
         hs, phis, angles = _case_inputs(L)
@@ -140,6 +140,7 @@ def phase_reference() -> None:
         hs, phis, angles = _case_inputs(L)
         hs, phis = hs[0], phis[0]
         t_dm = 20
+        angles = angles[:t_dm]
         # deterministic: noiseless DM vs noiseless c128 sigma
         a_dm0 = np.asarray(dm_autocorr_forward_run(
             jnp.asarray(hs), jnp.asarray(phis), jnp.asarray(angles),
@@ -175,7 +176,7 @@ def phase_reference() -> None:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", choices=("kernel", "reference", "all"),
+    ap.add_argument("--phase", choices=("kernel", "reference", "dm", "all"),
                     default="all")
     ap.add_argument("--streamed", action="store_true",
                     help="include the HBM-streamed kernel at L=22 "
@@ -185,6 +186,8 @@ def main():
         phase_kernel(args.streamed)
     if args.phase == "reference":
         phase_reference()
+    elif args.phase == "dm":
+        phase_reference(dm_only=True)
     elif args.phase == "all":
         env = dict(os.environ)
         env.pop("JAX_PLATFORMS", None)  # child pins cpu via jax.config

@@ -699,8 +699,8 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
     (constant schedules; q < 14). Mirrors resident_forward_batch
     (ops/pallas_resident.py) above the VMEM limit.
     """
-    if not (22 <= L <= 26):
-        raise ValueError("streamed kernel supports 22 <= L <= 26")
+    if not (22 <= L <= 27):
+        raise ValueError("streamed kernel supports 22 <= L <= 27")
     if T > 1024:
         raise ValueError("streamed kernel supports T <= 1024")
     if q >= 14:
