@@ -144,7 +144,8 @@ def phase_reference(dm_only: bool = False) -> None:
         # deterministic: noiseless DM vs noiseless c128 sigma
         a_dm0 = np.asarray(dm_autocorr_forward_run(
             jnp.asarray(hs), jnp.asarray(phis), jnp.asarray(angles),
-            L=L, T=t_dm, K=1, p=0.0, q=L // 2, dtype_name="complex128"))
+            L=L, T=t_dm, K=1, p=0.0, q=L // 2, dtype_name="complex128",
+            ancilla_factor=1.0))
         k0 = jnp.asarray(
             np.asarray(jax.random.split(jax.random.PRNGKey(0), 1))[None])
         a_sv0 = np.asarray(sigma_forward_batch(
@@ -155,7 +156,8 @@ def phase_reference(dm_only: bool = False) -> None:
         # statistical: noisy DM vs trajectory mean, in sigma units
         a_dm = np.asarray(dm_autocorr_forward_run(
             jnp.asarray(hs), jnp.asarray(phis), jnp.asarray(angles),
-            L=L, T=t_dm, K=1, p=P, q=L // 2, dtype_name="complex128"))
+            L=L, T=t_dm, K=1, p=P, q=L // 2, dtype_name="complex128",
+            ancilla_factor=1.0))
         n = 4096
         kz = jnp.asarray(np.asarray(jax.random.split(
             jax.random.PRNGKey(11), n))[None])
@@ -164,7 +166,11 @@ def phase_reference(dm_only: bool = False) -> None:
             jnp.asarray(angles), kz,
             L=L, q=L // 2, **{**kw, "T": t_dm}))[0]
         mean, sd = a_tr.mean(axis=0), a_tr.std(axis=0) / np.sqrt(n)
-        z = float(np.max(np.abs(mean - a_dm) / np.maximum(sd, 1e-12)))
+        # skip t=0: every trajectory gives exactly A(0)=1 (sd = 0), and the
+        # DM agrees to machine precision there by construction
+        assert abs(mean[0] - a_dm[0]) < 1e-9, (mean[0], a_dm[0])
+        z = float(np.max(np.abs(mean[1:] - a_dm[1:])
+                         / np.maximum(sd[1:], 1e-12)))
         dm_rows.append({"L": L, "noiseless_err": err0, "noisy_max_z": z})
         print(f"| DM L={L} | noiseless {err0:.2e} | noisy max|z| {z:.2f} |",
               flush=True)
