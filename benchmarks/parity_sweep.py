@@ -111,6 +111,9 @@ def phase_reference(dm_only: bool = False) -> None:
     ts = jnp.asarray(ECHO_TS)
     results = {"precision": "highest", "T": T, "n_traj": N_TRAJ, "p": P,
                "rows": []}
+    if dm_only and os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            results["rows"] = json.load(f).get("rows", [])
     kw = dict(T=T, K=1, p=P, initial_state="vacuum",
               dtype_name="complex128", ancilla_factor=1.0, has_y=False)
     for L in ([] if dm_only else range(14, 23)):

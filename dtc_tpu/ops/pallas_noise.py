@@ -87,21 +87,26 @@ def pack_cycle_params(zm, sigma, hs, phis, L):
         [jnp.stack([zmb, sgb, flip, hrow, prow]), pad], axis=0)
 
 
-def pack_cycle_params_compact(zm, sigma, hs, phis, L):
-    """Per-cycle (128,) parameter ROW for the SMEM-resident forward kernel:
+def pack_cycle_params_compact(zm, sigma, hs, phis, L, width: int = 128):
+    """Per-cycle (width,) parameter ROW for the SMEM-resident kernels:
     lanes [0,L) noise-Z bits n_q, [L,2L) sigma bits, [2L,3L-1) bond flips,
-    [3L-1,4L-1) h_q, [4L-1,5L-2) phi_j  (5L-2 <= 128 for L <= 26).
+    [3L-1,4L-1) h_q, [4L-1,5L-2) phi_j  (5L-2 <= width; width=128 covers
+    L <= 26, the streamed kernels switch to width=256 past that — and the
+    echo tile builder needs 4 FLAG lanes at width-4..width-1, so echo rows
+    go wide already at L = 26).
 
     8x smaller than the (8, 128) tile — the SMEM input window (double
     buffered) capped the trajectories-per-grid-step batching at
     nb*T*8*128*4*2 <= 1 MB; compact rows lift that to nb*T <= 1024."""
+    if 5 * L - 2 > width:
+        raise ValueError(f"L={L} needs {5 * L - 2} lanes > width={width}")
     qs = jnp.arange(L, dtype=jnp.uint32)
     zmb = ((zm >> qs) & 1).astype(jnp.int32).astype(jnp.float32)
     sgb = ((sigma >> qs) & 1).astype(jnp.int32).astype(jnp.float32)
     flip = jnp.abs(sgb[: L - 1] - sgb[1:L])
     return jnp.concatenate([
         zmb, sgb, flip, hs.astype(jnp.float32), phis.astype(jnp.float32),
-        jnp.zeros((128 - (5 * L - 2),), jnp.float32)])
+        jnp.zeros((width - (5 * L - 2),), jnp.float32)])
 
 
 @functools.partial(jax.jit, static_argnames=("L", "interpret"))

@@ -496,8 +496,8 @@ def _make_echo_kernel(L: int, T2: int, q: int, b0: int, has_top: bool,
     return kernel
 
 
-def echo_pair_tiles(key, t_value, h, ph, *, L, T, p):
-    """(2*2T, 128) interleaved (pre, post) compact step tiles for one
+def echo_pair_tiles(key, t_value, h, ph, *, L, T, p, width: int = 128):
+    """(2*2T, width) interleaved (pre, post) compact step tiles for one
     (trajectory, t) echo pair, plus the final sigma.
 
     Shared by the VMEM-resident and HBM-streamed echo kernels. pre tile:
@@ -506,9 +506,16 @@ def echo_pair_tiles(key, t_value, h, ph, *, L, T, p):
     is no pending-XOR cancellation here: the kernels' forward postdiag
     applies its D0 sigma-correction eagerly (not deferred into the next
     kick), so at the turnaround the inverse must conj-correct it back.
-    Lanes: 124 = per-pair trip count (2t), 125 = imag sign (inverse kicks),
-    126 = step active, 127 = kick-matrix index (per-cycle schedules).
+    Flag lanes sit at the row tail (width-4 = per-pair trip count 2t,
+    width-3 = imag sign for inverse kicks, width-2 = step active,
+    width-1 = kick-matrix index for per-cycle schedules); at the default
+    width=128 those are lanes 124..127, which the resident kernels read.
+    Data lanes need 5L-2 <= width-4, so L >= 26 pairs must pass width=256
+    (the streamed echo does).
     """
+    if 5 * L - 2 > width - 4:
+        raise ValueError(
+            f"L={L} data lanes collide with the flag lanes at width={width}")
     from dtc_tpu.core.sigma_evolve import (
         _codes_from_uniform,
         _masks_from_codes,
@@ -535,17 +542,19 @@ def echo_pair_tiles(key, t_value, h, ph, *, L, T, p):
 
     def one_step(zm_k, csum_k, dsig_k, fwd_k, inv_k, aidx_k):
         pre = (pack_cycle_params_compact(jnp.uint32(0), dsig_k,
-                                         -h, -ph, L)
+                                         -h, -ph, L, width=width)
                * inv_k.astype(jnp.float32))
-        post = (pack_cycle_params_compact(zm_k, csum_k, h, ph, L)
+        post = (pack_cycle_params_compact(zm_k, csum_k, h, ph, L,
+                                          width=width)
                 * fwd_k.astype(jnp.float32)
                 + pack_cycle_params_compact(zm_k, jnp.uint32(0),
-                                            zeros_h, zeros_p, L)
+                                            zeros_h, zeros_p, L,
+                                            width=width)
                 * inv_k.astype(jnp.float32))
         imag_sign = jnp.where(inv_k, -1.0, 1.0)
         active = (fwd_k | inv_k).astype(jnp.float32)
-        pre = (pre.at[125].set(imag_sign).at[126].set(active)
-               .at[127].set(aidx_k.astype(jnp.float32)))
+        pre = (pre.at[width - 3].set(imag_sign).at[width - 2].set(active)
+               .at[width - 1].set(aidx_k.astype(jnp.float32)))
         return jnp.stack([pre, post])
 
     # kick-matrix index per step (forward i = k, inverse i = 2t-1-k,
@@ -553,9 +562,9 @@ def echo_pair_tiles(key, t_value, h, ph, *, L, T, p):
     aidx = jnp.where(fwd, step_i,
                      jnp.clip(2 * t_value - 1 - step_i, 0, T - 1))
     tiles = jax.vmap(one_step)(zm, csum, dsig, fwd, inv, aidx)
-    tiles = tiles.reshape(2 * T2, 128)
+    tiles = tiles.reshape(2 * T2, width)
     # per-pair dynamic trip count (active steps = first 2t)
-    tiles = tiles.at[0, 124].set((2 * t_value).astype(jnp.float32))
+    tiles = tiles.at[0, width - 4].set((2 * t_value).astype(jnp.float32))
     return tiles, csum[-1]
 
 

@@ -55,11 +55,19 @@ def _kara_right(xr, xi, br, bi):
     return p1 - p2, p3 - p1 - p2
 
 
-def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int):  # noqa: C901
+def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int,
+                          width: int = 128, NS: int = 4):  # noqa: C901
+    """NS = DMA slab slots per sweep. The original 2-slot schedule started
+    the next load only AFTER the current slab's compute, so the DMA engine
+    drained between slabs (L=22 measured 2.9x off its own roofline —
+    roadmap #1). With NS slots the prologue issues NS-1 loads back-to-back
+    and each body iteration prefetches one more slab ahead after retiring
+    the store that frees its slot: the engine streams the whole sweep."""
     R = 1 << (L - 14)
     R2 = R // 128
     NA = R // _RS
     NB = _C // CS
+    D = NS - 1
 
     def kernel(u7r_ref, u7i_ref, u21r_ref, u21i_ref, par_ref, st_in_ref,
                a_out_ref, st_hbm, aslab, bslab, acc, sems):
@@ -91,8 +99,9 @@ def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int):  # noqa: C9
         z14m = (1 - 2 * (m3 & 1)).astype(jnp.float32)
         csl = jax.lax.broadcasted_iota(jnp.int32, (1, CS), 1)
 
-        # DMA helpers (sem lanes: A loads 0/1, A stores 2/3, B loads 4/5,
-        # B stores 6/7; the init sweep borrows the A-store lanes)
+        # DMA helpers (sem lanes: A loads [0,NS), A stores [NS,2NS),
+        # B loads [2NS,3NS), B stores [3NS,4NS); the init sweep borrows the
+        # A-store lanes)
         def loadA(slot, i):
             return pltpu.make_async_copy(
                 st_hbm.at[:, pl.ds(i * _RS, _RS), :], aslab.at[slot],
@@ -101,17 +110,17 @@ def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int):  # noqa: C9
         def storeA(slot, i):
             return pltpu.make_async_copy(
                 aslab.at[slot], st_hbm.at[:, pl.ds(i * _RS, _RS), :],
-                sems.at[2 + slot])
+                sems.at[NS + slot])
 
         def loadB(slot, j):
             return pltpu.make_async_copy(
                 st_hbm.at[:, :, pl.ds(j * CS, CS)], bslab.at[slot],
-                sems.at[4 + slot])
+                sems.at[2 * NS + slot])
 
         def storeB(slot, j):
             return pltpu.make_async_copy(
                 bslab.at[slot], st_hbm.at[:, :, pl.ds(j * CS, CS)],
-                sems.at[6 + slot])
+                sems.at[3 * NS + slot])
 
         # ------------------------------------------------------------------
         # init sweep: write the basis state b0 slab by slab (store-only)
@@ -121,11 +130,11 @@ def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int):  # noqa: C9
         cloc = jax.lax.broadcasted_iota(jnp.int32, (_RS, _C), 1)
 
         def init_body(i, _):
-            slot = i % 2
+            slot = i % NS
 
-            @pl.when(i >= 2)
+            @pl.when(i >= NS)
             def _():
-                storeA(slot, i - 2).wait()
+                storeA(slot, i - NS).wait()
 
             aslab[slot, 0] = jnp.where(
                 (rloc + i * _RS == r_b0) & (cloc == c_b0), 1.0, 0.0)
@@ -134,8 +143,8 @@ def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int):  # noqa: C9
             return _
 
         jax.lax.fori_loop(0, NA, init_body, None)
-        storeA((NA - 2) % 2, NA - 2).wait()
-        storeA((NA - 1) % 2, NA - 1).wait()
+        for i in range(max(0, NA - NS), NA):
+            storeA(i % NS, i).wait()
 
         def cycle(cyc, _):
             # compact row reads (pack_cycle_params_compact layout)
@@ -182,8 +191,17 @@ def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int):  # noqa: C9
 
             # ---------------- pass A: row slabs ----------------
             def a_body(i, _):
-                s = i % 2
-                nxt = (i + 1) % 2
+                s = i % NS
+                pf = i + D
+
+                @pl.when(pf < NA)
+                def _():
+                    @pl.when(i >= 1)
+                    def _():
+                        storeA((i - 1) % NS, i - 1).wait()
+
+                    loadA(pf % NS, pf).start()
+
                 loadA(s, i).wait()
                 mr = aslab[s, 0].reshape(_RS * 128, 128)
                 mi = aslab[s, 1].reshape(_RS * 128, 128)
@@ -201,28 +219,29 @@ def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int):  # noqa: C9
                 aslab[s, 0] = mr
                 aslab[s, 1] = mi
                 storeA(s, i).start()
-
-                @pl.when(i + 1 < NA)
-                def _():
-                    @pl.when(i >= 1)
-                    def _():
-                        storeA(nxt, i - 1).wait()
-
-                    loadA(nxt, i + 1).start()
-
                 return _
 
-            loadA(0, 0).start()
+            for d in range(min(D, NA)):
+                loadA(d % NS, d).start()
             jax.lax.fori_loop(0, NA, a_body, None)
-            storeA((NA - 2) % 2, NA - 2).wait()
-            storeA((NA - 1) % 2, NA - 1).wait()
+            for i in range(max(0, NA - D - 1), NA):
+                storeA(i % NS, i).wait()
 
             # ---------------- pass B: column slabs ----------------
             acc[0] = 0.0
 
             def b_body(j, _):
-                s = j % 2
-                nxt = (j + 1) % 2
+                s = j % NS
+                pf = j + D
+
+                @pl.when(pf < NB)
+                def _():
+                    @pl.when(j >= 1)
+                    def _():
+                        storeB((j - 1) % NS, j - 1).wait()
+
+                    loadB(pf % NS, pf).start()
+
                 loadB(s, j).wait()
                 # (R, CS) -> (m, R2*CS) for the bits-14..20 contraction
                 mr = jnp.swapaxes(bslab[s, 0].reshape(R2, 128, CS), 0,
@@ -265,21 +284,13 @@ def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int):  # noqa: C9
                 bslab[s, 0] = mr.reshape(R, CS)
                 bslab[s, 1] = mi.reshape(R, CS)
                 storeB(s, j).start()
-
-                @pl.when(j + 1 < NB)
-                def _():
-                    @pl.when(j >= 1)
-                    def _():
-                        storeB(nxt, j - 1).wait()
-
-                    loadB(nxt, j + 1).start()
-
                 return _
 
-            loadB(0, 0).start()
+            for d in range(min(D, NB)):
+                loadB(d % NS, d).start()
             jax.lax.fori_loop(0, NB, b_body, None)
-            storeB((NB - 2) % 2, NB - 2).wait()
-            storeB((NB - 1) % 2, NB - 1).wait()
+            for j in range(max(0, NB - D - 1), NB):
+                storeB(j % NS, j).wait()
 
             @pl.when(cyc + 1 < T)
             def _():
@@ -293,7 +304,8 @@ def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int):  # noqa: C9
     return kernel
 
 
-def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int):  # noqa: C901
+def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int,
+                               width: int = 128):  # noqa: C901
     """HBM-streamed echo kernel: one grid step = one (trajectory, t) pair.
 
     Runs the pair's first 2t steps of a 2T-step masked schedule (per-pair
@@ -375,11 +387,11 @@ def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int):  # no
         cloc = jax.lax.broadcasted_iota(jnp.int32, (_RS, _C), 1)
 
         def init_body(i, _):
-            slot = i % 2
+            slot = i % NS
 
-            @pl.when(i >= 2)
+            @pl.when(i >= NS)
             def _():
-                storeA(slot, i - 2).wait()
+                storeA(slot, i - NS).wait()
 
             aslab[slot, 0] = jnp.where(
                 (rloc + i * _RS == r_b0) & (cloc == c_b0), 1.0, 0.0)
@@ -388,8 +400,8 @@ def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int):  # no
             return _
 
         jax.lax.fori_loop(0, NA, init_body, None)
-        storeA((NA - 2) % 2, NA - 2).wait()
-        storeA((NA - 1) % 2, NA - 1).wait()
+        for i in range(max(0, NA - NS), NA):
+            storeA(i % NS, i).wait()
 
         # compact tile readers ((pre, post) interleaved rows)
         def cz(ti, qq):
@@ -420,7 +432,7 @@ def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int):  # no
         def step(k, _):
             pre = 2 * k
             post = 2 * k + 1
-            imag_sign = par_ref[0, pre, 125]
+            imag_sign = par_ref[0, pre, width - 3]
             c0p = _HALF_PI * sum(par_ref[0, pre, qq] for qq in range(L))
             c0q = _HALF_PI * sum(par_ref[0, post, qq] for qq in range(L))
 
@@ -452,8 +464,17 @@ def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int):  # no
 
             # ---------------- pass A ----------------
             def a_body(i, _):
-                s = i % 2
-                nxt = (i + 1) % 2
+                s = i % NS
+                pf = i + D
+
+                @pl.when(pf < NA)
+                def _():
+                    @pl.when(i >= 1)
+                    def _():
+                        storeA((i - 1) % NS, i - 1).wait()
+
+                    loadA(pf % NS, pf).start()
+
                 loadA(s, i).wait()
                 mr = aslab[s, 0]
                 mi = aslab[s, 1]
@@ -495,8 +516,17 @@ def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int):  # no
 
             # ---------------- pass B ----------------
             def b_body(j, _):
-                s = j % 2
-                nxt = (j + 1) % 2
+                s = j % NS
+                pf = j + D
+
+                @pl.when(pf < NB)
+                def _():
+                    @pl.when(j >= 1)
+                    def _():
+                        storeB((j - 1) % NS, j - 1).wait()
+
+                    loadB(pf % NS, pf).start()
+
                 loadB(s, j).wait()
                 pr = bslab[s, 0]
                 pi_ = bslab[s, 1]
@@ -536,24 +566,16 @@ def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int):  # no
                 bslab[s, 0] = mr.reshape(R, CS)
                 bslab[s, 1] = mi.reshape(R, CS)
                 storeB(s, j).start()
-
-                @pl.when(j + 1 < NB)
-                def _():
-                    @pl.when(j >= 1)
-                    def _():
-                        storeB(nxt, j - 1).wait()
-
-                    loadB(nxt, j + 1).start()
-
                 return _
 
-            loadB(0, 0).start()
+            for d in range(min(D, NB)):
+                loadB(d % NS, d).start()
             jax.lax.fori_loop(0, NB, b_body, None)
-            storeB((NB - 2) % 2, NB - 2).wait()
-            storeB((NB - 1) % 2, NB - 1).wait()
+            for j in range(max(0, NB - D - 1), NB):
+                storeB(j % NS, j).wait()
             return _
 
-        n_active = par_ref[0, 0, 124].astype(jnp.int32)
+        n_active = par_ref[0, 0, width - 4].astype(jnp.int32)
         jax.lax.fori_loop(0, n_active, step, None)
 
         # terminal measurement sweep (read-only): raw sum |v|^2 z_q
@@ -602,7 +624,7 @@ def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                         interpret=False):
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2), (n_ts,) -> (inst, c, n_ts).
 
-    HBM-streamed echo A0(t) for 22 <= L <= 26 (constant x drive, q < 14):
+    HBM-streamed echo A0(t) for 22 <= L <= 27 (constant x drive, q < 14):
     per (trajectory, t) pair the kernel runs the first 2t steps of a
     2T-step masked schedule (per-pair dynamic trip count) with the state in
     HBM and two double-buffered DMA sweeps per step — the streamed
@@ -611,8 +633,8 @@ def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
     presampled uniforms -> identical trajectories). Echo semantics:
     autocorr-delta-a-single-qiskit-fast.py:140-147.
     """
-    if not (22 <= L <= 26):
-        raise ValueError("streamed kernel supports 22 <= L <= 26")
+    if not (22 <= L <= 27):
+        raise ValueError("streamed kernel supports 22 <= L <= 27")
     if T > 512:
         raise ValueError("streamed echo supports T <= 512 (2T-step tiles)")
     if q >= 14:
@@ -621,6 +643,7 @@ def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
 
     R = 1 << (L - 14)
     CS = max(128, (1 << 20) // R)
+    width = 128 if 5 * L - 2 <= 124 else 256  # flags ride lanes width-4..
     b0 = 0 if initial_state == "vacuum" else neel_index(L)
     s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
     T2 = 2 * T
@@ -632,16 +655,17 @@ def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
     def per_instance(h, ph, ks):
         tiles, sig_fin = jax.vmap(
             lambda k: jax.vmap(
-                lambda t: echo_pair_tiles(k, t, h, ph, L=L, T=T, p=p))(ts)
+                lambda t: echo_pair_tiles(k, t, h, ph, L=L, T=T, p=p,
+                                          width=width))(ts)
         )(ks)
         n_pairs = ks.shape[0] * n_ts
-        tiles = tiles.reshape(n_pairs, 2 * T2, 128)
-        tile_mem = (pltpu.SMEM if 2 * T2 * 512 * 2 <= 1024 * 1024
+        tiles = tiles.reshape(n_pairs, 2 * T2, width)
+        tile_mem = (pltpu.SMEM if 2 * T2 * width * 4 * 2 <= 1024 * 1024
                     else pltpu.VMEM)
 
         state0 = jnp.zeros((2, R, _C), jnp.float32)
         a_raw, _ = pl.pallas_call(
-            _make_streamed_echo_kernel(L, T2, q, b0, CS),
+            _make_streamed_echo_kernel(L, T2, q, b0, CS, width),
             out_shape=[
                 jax.ShapeDtypeStruct((n_pairs, 8, 128), jnp.float32),
                 jax.ShapeDtypeStruct((2, R, _C), jnp.float32),  # state
@@ -656,7 +680,7 @@ def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                              memory_space=pltpu.VMEM),  # u21r
                 pl.BlockSpec((1, R // 128, R // 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # u21i
-                pl.BlockSpec((1, 2 * T2, 128), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, 2 * T2, width), lambda i: (i, 0, 0),
                              memory_space=tile_mem),    # step tiles
                 pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
             ],
@@ -712,6 +736,8 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
     # only routes time-independent x drives here.
     R = 1 << (L - 14)
     CS = max(128, (1 << 20) // R)   # pass-B slab: 8 MB planar, CS <= 8192
+    width = 128 if 5 * L - 2 <= 128 else 256  # param-row lanes (L=27: 133)
+    NS = min(4, R // _RS, _C // CS)  # DMA slab slots per sweep
     b0 = 0 if initial_state == "vacuum" else neel_index(L)
     s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
     theta = angles[0, 0, 0]
@@ -724,19 +750,20 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
             def sample(key):
                 _, zm, _, csum = presample_noise(key, p, T, L)
                 return jax.vmap(
-                    lambda z, sg: pack_cycle_params_compact(z, sg, h, ph, L)
+                    lambda z, sg: pack_cycle_params_compact(
+                        z, sg, h, ph, L, width=width)
                 )(zm, csum), csum
 
-            params, sig_after = jax.vmap(sample)(ks)  # (c,T,128), (c,T)
+            params, sig_after = jax.vmap(sample)(ks)  # (c,T,width), (c,T)
         else:
             row = pack_cycle_params_compact(
-                jnp.uint32(0), jnp.uint32(0), h, ph, L)
-            params = jnp.broadcast_to(row, (n_traj, T, 128))
+                jnp.uint32(0), jnp.uint32(0), h, ph, L, width=width)
+            params = jnp.broadcast_to(row, (n_traj, T, width))
             sig_after = jnp.zeros((n_traj, T), jnp.uint32)
 
         state0 = jnp.zeros((2, R, _C), jnp.float32)
         a_raw, _ = pl.pallas_call(
-            _make_streamed_kernel(L, T, q, b0, CS),
+            _make_streamed_kernel(L, T, q, b0, CS, width, NS),
             out_shape=[
                 jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
                 jax.ShapeDtypeStruct((2, R, _C), jnp.float32),  # state
@@ -751,7 +778,7 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
                              memory_space=pltpu.VMEM),  # u21r
                 pl.BlockSpec((1, R // 128, R // 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # u21i
-                pl.BlockSpec((1, T, 128), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, T, width), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),  # compact params
                 pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
             ],
@@ -762,10 +789,10 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
             ],
             input_output_aliases={5: 1},
             scratch_shapes=[
-                pltpu.VMEM((2, 2, _RS, _C), jnp.float32),    # pass-A slabs
-                pltpu.VMEM((2, 2, R, CS), jnp.float32),      # pass-B slabs
+                pltpu.VMEM((NS, 2, _RS, _C), jnp.float32),   # pass-A slabs
+                pltpu.VMEM((NS, 2, R, CS), jnp.float32),     # pass-B slabs
                 pltpu.SMEM((1,), jnp.float32),               # A(t) partial
-                pltpu.SemaphoreType.DMA((8,)),
+                pltpu.SemaphoreType.DMA((4 * NS,)),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=122 * 1024 * 1024),
