@@ -1,5 +1,5 @@
 """HBM-streamed whole-trajectory Floquet kernel (x-polarized forward,
-22 <= L <= 26).
+22 <= L <= 29).
 
 Past L=21 the statevector (>= 32 MB planar) no longer fits VMEM, and the
 XLA scan alternative is deopted 15-30x by per-cycle traced operands
@@ -56,18 +56,23 @@ def _kara_right(xr, xi, br, bi):
 
 
 def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int,
-                          width: int = 128, NS: int = 4):  # noqa: C901
-    """NS = DMA slab slots per sweep. The original 2-slot schedule started
-    the next load only AFTER the current slab's compute, so the DMA engine
-    drained between slabs (L=22 measured 2.9x off its own roofline —
-    roadmap #1). With NS slots the prologue issues NS-1 loads back-to-back
-    and each body iteration prefetches one more slab ahead after retiring
-    the store that frees its slot: the engine streams the whole sweep."""
+                          width: int = 128, RS: int = 32, NSA: int = 4,
+                          NSB: int = 4):  # noqa: C901
+    """NSA/NSB = DMA slab slots per sweep (pass A / pass B). The original
+    2-slot schedule started the next load only AFTER the current slab's
+    compute, so the DMA engine drained between slabs (L=22 measured 2.9x
+    off its own roofline — roadmap #1). With NS slots the prologue issues
+    NS-1 loads back-to-back and each body iteration prefetches one more
+    slab ahead after retiring the store that frees its slot: the engine
+    streams the whole sweep. Slabs are half the original size (RS=32 rows /
+    half-width B columns) so 4 slots fit the original ~32 MB slab budget
+    (4x8 MB slots OOMed the 128 MB physical VMEM)."""
     R = 1 << (L - 14)
     R2 = R // 128
-    NA = R // _RS
+    NA = R // RS
     NB = _C // CS
-    D = NS - 1
+    DA = NSA - 1
+    DB = NSB - 1
 
     def kernel(u7r_ref, u7i_ref, u21r_ref, u21i_ref, par_ref, st_in_ref,
                a_out_ref, st_hbm, aslab, bslab, acc, sems):
@@ -99,52 +104,51 @@ def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int,
         z14m = (1 - 2 * (m3 & 1)).astype(jnp.float32)
         csl = jax.lax.broadcasted_iota(jnp.int32, (1, CS), 1)
 
-        # DMA helpers (sem lanes: A loads [0,NS), A stores [NS,2NS),
-        # B loads [2NS,3NS), B stores [3NS,4NS); the init sweep borrows the
-        # A-store lanes)
+        # DMA helpers (sem lanes: A loads [0,NSA), A stores [NSA,2NSA),
+        # B loads/stores after; the init sweep borrows the A-store lanes)
         def loadA(slot, i):
             return pltpu.make_async_copy(
-                st_hbm.at[:, pl.ds(i * _RS, _RS), :], aslab.at[slot],
+                st_hbm.at[:, pl.ds(i * RS, RS), :], aslab.at[slot],
                 sems.at[slot])
 
         def storeA(slot, i):
             return pltpu.make_async_copy(
-                aslab.at[slot], st_hbm.at[:, pl.ds(i * _RS, _RS), :],
-                sems.at[NS + slot])
+                aslab.at[slot], st_hbm.at[:, pl.ds(i * RS, RS), :],
+                sems.at[NSA + slot])
 
         def loadB(slot, j):
             return pltpu.make_async_copy(
                 st_hbm.at[:, :, pl.ds(j * CS, CS)], bslab.at[slot],
-                sems.at[2 * NS + slot])
+                sems.at[2 * NSA + slot])
 
         def storeB(slot, j):
             return pltpu.make_async_copy(
                 bslab.at[slot], st_hbm.at[:, :, pl.ds(j * CS, CS)],
-                sems.at[3 * NS + slot])
+                sems.at[2 * NSA + NSB + slot])
 
         # ------------------------------------------------------------------
         # init sweep: write the basis state b0 slab by slab (store-only)
         r_b0 = b0 >> 14
         c_b0 = b0 & (_C - 1)
-        rloc = jax.lax.broadcasted_iota(jnp.int32, (_RS, _C), 0)
-        cloc = jax.lax.broadcasted_iota(jnp.int32, (_RS, _C), 1)
+        rloc = jax.lax.broadcasted_iota(jnp.int32, (RS, _C), 0)
+        cloc = jax.lax.broadcasted_iota(jnp.int32, (RS, _C), 1)
 
         def init_body(i, _):
-            slot = i % NS
+            slot = i % NSA
 
-            @pl.when(i >= NS)
+            @pl.when(i >= NSA)
             def _():
-                storeA(slot, i - NS).wait()
+                storeA(slot, i - NSA).wait()
 
             aslab[slot, 0] = jnp.where(
-                (rloc + i * _RS == r_b0) & (cloc == c_b0), 1.0, 0.0)
-            aslab[slot, 1] = jnp.zeros((_RS, _C), jnp.float32)
+                (rloc + i * RS == r_b0) & (cloc == c_b0), 1.0, 0.0)
+            aslab[slot, 1] = jnp.zeros((RS, _C), jnp.float32)
             storeA(slot, i).start()
             return _
 
         jax.lax.fori_loop(0, NA, init_body, None)
-        for i in range(max(0, NA - NS), NA):
-            storeA(i % NS, i).wait()
+        for i in range(max(0, NA - NSA), NA):
+            storeA(i % NSA, i).wait()
 
         def cycle(cyc, _):
             # compact row reads (pack_cycle_params_compact layout)
@@ -191,56 +195,56 @@ def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int,
 
             # ---------------- pass A: row slabs ----------------
             def a_body(i, _):
-                s = i % NS
-                pf = i + D
+                s = i % NSA
+                pf = i + DA
 
                 @pl.when(pf < NA)
                 def _():
                     @pl.when(i >= 1)
                     def _():
-                        storeA((i - 1) % NS, i - 1).wait()
+                        storeA((i - 1) % NSA, i - 1).wait()
 
-                    loadA(pf % NS, pf).start()
+                    loadA(pf % NSA, pf).start()
 
                 loadA(s, i).wait()
-                mr = aslab[s, 0].reshape(_RS * 128, 128)
-                mi = aslab[s, 1].reshape(_RS * 128, 128)
+                mr = aslab[s, 0].reshape(RS * 128, 128)
+                mi = aslab[s, 1].reshape(RS * 128, 128)
                 mr, mi = _kara_right(mr, mi, b1r, b1i)
-                mr = jnp.swapaxes(mr.reshape(_RS, 128, 128), 1, 2).reshape(
-                    _RS * 128, 128)
-                mi = jnp.swapaxes(mi.reshape(_RS, 128, 128), 1, 2).reshape(
-                    _RS * 128, 128)
+                mr = jnp.swapaxes(mr.reshape(RS, 128, 128), 1, 2).reshape(
+                    RS * 128, 128)
+                mi = jnp.swapaxes(mi.reshape(RS, 128, 128), 1, 2).reshape(
+                    RS * 128, 128)
                 mr, mi = _kara_right(mr, mi, b2r, b2i)
-                mr = jnp.swapaxes(mr.reshape(_RS, 128, 128), 1, 2).reshape(
-                    _RS, _C)
-                mi = jnp.swapaxes(mi.reshape(_RS, 128, 128), 1, 2).reshape(
-                    _RS, _C)
+                mr = jnp.swapaxes(mr.reshape(RS, 128, 128), 1, 2).reshape(
+                    RS, _C)
+                mi = jnp.swapaxes(mi.reshape(RS, 128, 128), 1, 2).reshape(
+                    RS, _C)
                 mr, mi = _cmul(mr, mi, jnp.cos(s6), zz67 * jnp.sin(s6))
                 aslab[s, 0] = mr
                 aslab[s, 1] = mi
                 storeA(s, i).start()
                 return _
 
-            for d in range(min(D, NA)):
-                loadA(d % NS, d).start()
+            for d in range(min(DA, NA)):
+                loadA(d % NSA, d).start()
             jax.lax.fori_loop(0, NA, a_body, None)
-            for i in range(max(0, NA - D - 1), NA):
-                storeA(i % NS, i).wait()
+            for i in range(max(0, NA - DA - 1), NA):
+                storeA(i % NSA, i).wait()
 
             # ---------------- pass B: column slabs ----------------
             acc[0] = 0.0
 
             def b_body(j, _):
-                s = j % NS
-                pf = j + D
+                s = j % NSB
+                pf = j + DB
 
                 @pl.when(pf < NB)
                 def _():
                     @pl.when(j >= 1)
                     def _():
-                        storeB((j - 1) % NS, j - 1).wait()
+                        storeB((j - 1) % NSB, j - 1).wait()
 
-                    loadB(pf % NS, pf).start()
+                    loadB(pf % NSB, pf).start()
 
                 loadB(s, j).wait()
                 # (R, CS) -> (m, R2*CS) for the bits-14..20 contraction
@@ -286,11 +290,11 @@ def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int,
                 storeB(s, j).start()
                 return _
 
-            for d in range(min(D, NB)):
-                loadB(d % NS, d).start()
+            for d in range(min(DB, NB)):
+                loadB(d % NSB, d).start()
             jax.lax.fori_loop(0, NB, b_body, None)
-            for j in range(max(0, NB - D - 1), NB):
-                storeB(j % NS, j).wait()
+            for j in range(max(0, NB - DB - 1), NB):
+                storeB(j % NSB, j).wait()
 
             @pl.when(cyc + 1 < T)
             def _():
@@ -324,6 +328,14 @@ def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int,
     R2 = R // 128
     NA = R // _RS
     NB = _C // CS
+    # Echo keeps the original 2-slot double-buffered schedule for both
+    # sweeps (scratch (2, ...) slabs, 8 DMA semaphore lanes at fixed
+    # offsets 0/2/4/6): its per-(trajectory, t) grid already overlaps
+    # pairs, so the deeper forward-kernel prefetch buys little here.
+    NSA = 2
+    NSB = 2
+    DA = NSA - 1
+    DB = NSB - 1
 
     def kernel(u7r_ref, u7i_ref, u21r_ref, u21i_ref, par_ref, st_in_ref,
                a_out_ref, st_hbm, aslab, bslab, acc, sems):
@@ -387,11 +399,11 @@ def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int,
         cloc = jax.lax.broadcasted_iota(jnp.int32, (_RS, _C), 1)
 
         def init_body(i, _):
-            slot = i % NS
+            slot = i % NSA
 
-            @pl.when(i >= NS)
+            @pl.when(i >= NSA)
             def _():
-                storeA(slot, i - NS).wait()
+                storeA(slot, i - NSA).wait()
 
             aslab[slot, 0] = jnp.where(
                 (rloc + i * _RS == r_b0) & (cloc == c_b0), 1.0, 0.0)
@@ -400,8 +412,8 @@ def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int,
             return _
 
         jax.lax.fori_loop(0, NA, init_body, None)
-        for i in range(max(0, NA - NS), NA):
-            storeA(i % NS, i).wait()
+        for i in range(max(0, NA - NSA), NA):
+            storeA(i % NSA, i).wait()
 
         # compact tile readers ((pre, post) interleaved rows)
         def cz(ti, qq):
@@ -464,16 +476,16 @@ def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int,
 
             # ---------------- pass A ----------------
             def a_body(i, _):
-                s = i % NS
-                pf = i + D
+                s = i % NSA
+                pf = i + DA
 
                 @pl.when(pf < NA)
                 def _():
                     @pl.when(i >= 1)
                     def _():
-                        storeA((i - 1) % NS, i - 1).wait()
+                        storeA((i - 1) % NSA, i - 1).wait()
 
-                    loadA(pf % NS, pf).start()
+                    loadA(pf % NSA, pf).start()
 
                 loadA(s, i).wait()
                 mr = aslab[s, 0]
@@ -498,34 +510,26 @@ def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int,
                 aslab[s, 0] = mr
                 aslab[s, 1] = mi
                 storeA(s, i).start()
-
-                @pl.when(i + 1 < NA)
-                def _():
-                    @pl.when(i >= 1)
-                    def _():
-                        storeA(nxt, i - 1).wait()
-
-                    loadA(nxt, i + 1).start()
-
                 return _
 
-            loadA(0, 0).start()
+            for d in range(min(DA, NA)):
+                loadA(d % NSA, d).start()
             jax.lax.fori_loop(0, NA, a_body, None)
-            storeA((NA - 2) % 2, NA - 2).wait()
-            storeA((NA - 1) % 2, NA - 1).wait()
+            for i in range(max(0, NA - DA - 1), NA):
+                storeA(i % NSA, i).wait()
 
             # ---------------- pass B ----------------
             def b_body(j, _):
-                s = j % NS
-                pf = j + D
+                s = j % NSB
+                pf = j + DB
 
                 @pl.when(pf < NB)
                 def _():
                     @pl.when(j >= 1)
                     def _():
-                        storeB((j - 1) % NS, j - 1).wait()
+                        storeB((j - 1) % NSB, j - 1).wait()
 
-                    loadB(pf % NS, pf).start()
+                    loadB(pf % NSB, pf).start()
 
                 loadB(s, j).wait()
                 pr = bslab[s, 0]
@@ -568,11 +572,11 @@ def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int,
                 storeB(s, j).start()
                 return _
 
-            for d in range(min(D, NB)):
-                loadB(d % NS, d).start()
+            for d in range(min(DB, NB)):
+                loadB(d % NSB, d).start()
             jax.lax.fori_loop(0, NB, b_body, None)
-            for j in range(max(0, NB - D - 1), NB):
-                storeB(j % NS, j).wait()
+            for j in range(max(0, NB - DB - 1), NB):
+                storeB(j % NSB, j).wait()
             return _
 
         n_active = par_ref[0, 0, width - 4].astype(jnp.int32)
@@ -624,7 +628,7 @@ def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                         interpret=False):
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2), (n_ts,) -> (inst, c, n_ts).
 
-    HBM-streamed echo A0(t) for 22 <= L <= 27 (constant x drive, q < 14):
+    HBM-streamed echo A0(t) for 22 <= L <= 29 (constant x drive, q < 14):
     per (trajectory, t) pair the kernel runs the first 2t steps of a
     2T-step masked schedule (per-pair dynamic trip count) with the state in
     HBM and two double-buffered DMA sweeps per step — the streamed
@@ -633,8 +637,8 @@ def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
     presampled uniforms -> identical trajectories). Echo semantics:
     autocorr-delta-a-single-qiskit-fast.py:140-147.
     """
-    if not (22 <= L <= 27):
-        raise ValueError("streamed kernel supports 22 <= L <= 27")
+    if not (22 <= L <= 29):
+        raise ValueError("streamed kernel supports 22 <= L <= 29")
     if T > 512:
         raise ValueError("streamed echo supports T <= 512 (2T-step tiles)")
     if q >= 14:
@@ -719,12 +723,14 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
                            interpret=False):
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2) -> (inst, c, T).
 
-    HBM-streamed x-polarized forward autocorrelator for 22 <= L <= 26
+    HBM-streamed x-polarized forward autocorrelator for 22 <= L <= 29
     (constant schedules; q < 14). Mirrors resident_forward_batch
     (ops/pallas_resident.py) above the VMEM limit.
     """
-    if not (22 <= L <= 27):
-        raise ValueError("streamed kernel supports 22 <= L <= 27")
+    if not (22 <= L <= 29):
+        # L=30 would need a 128 MB pass-B slab pair (CS floors at the
+        # 128-lane width) — past physical VMEM; shard instead.
+        raise ValueError("streamed kernel supports 22 <= L <= 29")
     if T > 1024:
         raise ValueError("streamed kernel supports T <= 1024")
     if q >= 14:
@@ -735,9 +741,16 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
     # angles[0, 0, 0] is read (constant x-kick). engine._forward_batch
     # only routes time-independent x drives here.
     R = 1 << (L - 14)
-    CS = max(128, (1 << 20) // R)   # pass-B slab: 8 MB planar, CS <= 8192
+    # pass-B slabs are COLUMN slices: the DMA walks R strided rows of CS*4
+    # bytes, so small CS wrecks its efficiency — keep the full 8 MB slab
+    # (CS*4 = 16 KB row chunks at L=22) and run pass B with 2 slots; pass A
+    # slabs are contiguous row slices, so they can be small (4 MB) and deep
+    # (4 slots). Total slab budget 16 + 16 = 32 MB, same as round 1.
+    CS = max(128, (1 << 20) // R)
     width = 128 if 5 * L - 2 <= 128 else 256  # param-row lanes (L=27: 133)
-    NS = min(4, R // _RS, _C // CS)  # DMA slab slots per sweep
+    RS = 32                          # pass-A slab rows (4 MB planar)
+    NSA = min(4, R // RS)
+    NSB = min(2, _C // CS)
     b0 = 0 if initial_state == "vacuum" else neel_index(L)
     s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
     theta = angles[0, 0, 0]
@@ -763,7 +776,7 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
 
         state0 = jnp.zeros((2, R, _C), jnp.float32)
         a_raw, _ = pl.pallas_call(
-            _make_streamed_kernel(L, T, q, b0, CS, width, NS),
+            _make_streamed_kernel(L, T, q, b0, CS, width, RS, NSA, NSB),
             out_shape=[
                 jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
                 jax.ShapeDtypeStruct((2, R, _C), jnp.float32),  # state
@@ -789,10 +802,10 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
             ],
             input_output_aliases={5: 1},
             scratch_shapes=[
-                pltpu.VMEM((NS, 2, _RS, _C), jnp.float32),   # pass-A slabs
-                pltpu.VMEM((NS, 2, R, CS), jnp.float32),     # pass-B slabs
+                pltpu.VMEM((NSA, 2, RS, _C), jnp.float32),   # pass-A slabs
+                pltpu.VMEM((NSB, 2, R, CS), jnp.float32),    # pass-B slabs
                 pltpu.SMEM((1,), jnp.float32),               # A(t) partial
-                pltpu.SemaphoreType.DMA((4 * NS,)),
+                pltpu.SemaphoreType.DMA((2 * NSA + 2 * NSB,)),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=122 * 1024 * 1024),

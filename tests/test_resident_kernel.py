@@ -80,7 +80,7 @@ def test_streamed_rejects_bad_L():
     from dtc_tpu.ops.pallas_streamed import streamed_forward_batch
 
     keys = jax.random.split(jax.random.PRNGKey(0), 1)[None]
-    with pytest.raises(ValueError, match="22 <= L <= 27"):
+    with pytest.raises(ValueError, match="22 <= L <= 29"):
         streamed_forward_batch(
             jnp.ones((1, 8)), jnp.ones((1, 7)), jnp.zeros((2, 1, 2)), keys,
             L=8, T=2, p=0.0, q=4)
@@ -184,7 +184,7 @@ def test_streamed_echo_rejects_bad_args():
     ang = jnp.zeros((4, 1, 2))
     keys = jax.random.split(jax.random.PRNGKey(0), 2)[None]
     ts = jnp.asarray([1, 2])
-    with pytest.raises(ValueError, match="22 <= L <= 27"):
+    with pytest.raises(ValueError, match="22 <= L <= 29"):
         streamed_echo_batch(hs, phis, ang, keys, ts, L=21, T=4, p=0.05, q=5)
     with pytest.raises(ValueError, match="q < 14"):
         streamed_echo_batch(jnp.zeros((1, 22)), jnp.zeros((1, 21)), ang,
@@ -212,3 +212,65 @@ def test_echo_pair_tiles_shared_builder():
     assert np.all(signs[3:6] == -1.0)
     active = tiles[0::2, 126]
     assert np.all(active[:6] == 1.0) and np.all(active[6:] == 0.0)
+
+
+def test_all_kernel_entry_points_trace():
+    """jax.eval_shape every Pallas kernel entry point at every supported L.
+
+    The kernels only DISPATCH on TPU, so a refactor that breaks kernel
+    construction (free names, slot/semaphore mismatches) is invisible to
+    the rest of the CPU suite — this happened once: the streamed echo
+    kernel shipped with an unbound loop constant and only the TPU
+    harnesses could have caught it. eval_shape traces the full pallas_call
+    (kernel body included) without running the backend, so it is cheap on
+    CPU and fails on any structural breakage.
+    """
+    from dtc_tpu.ops.pallas_resident import (resident_echo_batch,
+                                             resident_forward_batch)
+    from dtc_tpu.ops.pallas_resident_general import (general_echo_batch,
+                                                     general_forward_batch)
+    from dtc_tpu.ops.pallas_streamed import (streamed_echo_batch,
+                                             streamed_forward_batch)
+
+    T = 4
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)[None]
+    ts = jnp.asarray([1, 2])
+
+    def args(L):
+        ang = jnp.zeros((T, 1, 2)).at[:, :, 0].set(0.97 * np.pi)
+        return jnp.zeros((1, L)), jnp.zeros((1, L - 1)), ang
+
+    for L in range(14, 22):
+        hs, phis, ang = args(L)
+        f = jax.eval_shape(
+            lambda *a, L=L: resident_forward_batch(*a, L=L, T=T, p=0.05,
+                                                   q=L // 2), hs, phis, ang,
+            keys)
+        assert f.shape == (1, 2, T)
+        e = jax.eval_shape(
+            lambda *a, L=L: resident_echo_batch(*a, L=L, T=T, p=0.05,
+                                                q=L // 2), hs, phis, ang,
+            keys, ts)
+        assert e.shape == (1, 2, 2)
+        g = jax.eval_shape(
+            lambda *a, L=L: general_forward_batch(*a, L=L, T=T, K=1, p=0.05,
+                                                  q=L // 2), hs, phis,
+            ang, keys)
+        assert g.shape == (1, 2, T)
+        ge = jax.eval_shape(
+            lambda *a, L=L: general_echo_batch(*a, L=L, T=T, K=1, p=0.05,
+                                               q=L // 2), hs, phis,
+            ang, keys, ts)
+        assert ge.shape == (1, 2, 2)
+
+    for L in range(22, 30):
+        hs, phis, ang = args(L)
+        f = jax.eval_shape(
+            lambda *a, L=L: streamed_forward_batch(*a, L=L, T=T, p=0.05,
+                                                   q=11), hs, phis, ang,
+            keys)
+        assert f.shape == (1, 2, T)
+        e = jax.eval_shape(
+            lambda *a, L=L: streamed_echo_batch(*a, L=L, T=T, p=0.05, q=11),
+            hs, phis, ang, keys, ts)
+        assert e.shape == (1, 2, 2)
