@@ -40,8 +40,11 @@ for L in Ls:
     print(f"  first call: {time.time() - t0:.0f}s", flush=True)
     assert np.all(np.isfinite(r)) and np.max(np.abs(r)) <= 1 + 1e-3
 
-    # parity on 2 trajectories vs the sigma engine (identical presampling)
-    k2 = keys[:, :2]
+    # parity vs the sigma engine (identical presampling); the sigma
+    # reference holds the full (traj, 2^L) complex64 batch, so cap it at
+    # one trajectory for L >= 28 (2 traj at L=29 is ~8 GB + temporaries
+    # on a 16 GB chip)
+    k2 = keys[:, :1] if L >= 28 else keys[:, :2]
     r2 = np.asarray(streamed_forward_batch(hs, phis, sched.angles, k2,
                                            L=L, T=T, p=P, q=q))
     s2 = np.asarray(sigma_forward_batch(

@@ -42,15 +42,41 @@ r = np.asarray(streamed_echo_batch(hs, phis, sched.angles, keys2, ts_sub,
 print(f"  first call (incl. compile): {time.time() - t0:.0f}s", flush=True)
 assert np.all(np.isfinite(r)) and np.max(np.abs(r)) <= 1 + 1e-3, r
 
-s = np.asarray(sigma_echo_batch(
-    hs, phis, sched.angles, keys2, ts_sub, L=L, T=T, K=1, p=P, q=q,
-    initial_state="vacuum", dtype_name="complex64", ancilla_factor=1.0,
-    has_y=False))
-err = float(np.max(np.abs(r - s)))
-print(f"  parity vs sigma engine: max|err| = {err:.2e}", flush=True)
-print(f"  streamed: {r[0, 0].round(5)}", flush=True)
-print(f"  sigma   : {s[0, 0].round(5)}", flush=True)
-assert err < 5e-4, err
+if L >= 28:
+    # The sigma cross-check engine cannot fit at L=28 on a 16 GB chip: its
+    # kick einsum materializes a (traj, 128, 128, 2^(L-14)) f32 transpose
+    # copy — 25 GB of HLO temps at 2 trajectories even one timepoint at a
+    # time (measured OOM). Validation here is the reference's own built-in
+    # self-check instead (SURVEY.md §4.1): noiseless echo must be exactly
+    # A0(t) = 1 for all t — this exercises the full 2t-step masked schedule,
+    # inverse ordering, and slab geometry at the L=28 shapes. Noise-handling
+    # parity is covered by the sigma cross-checks at L=22..27 (same code
+    # path, smaller slab count).
+    r0 = np.asarray(streamed_echo_batch(hs, phis, sched.angles, keys2,
+                                        ts_sub, L=L, T=T, p=0.0, q=q))
+    err = float(np.max(np.abs(r0 - 1.0)))
+    print(f"  noiseless echo==1 invariant: max|A0-1| = {err:.2e}", flush=True)
+    print(f"  noisy streamed: {r[0, 0].round(5)}", flush=True)
+    assert err < 5e-4, err
+else:
+    if L >= 26:
+        # the sigma reference holds a (traj, n_ts, 2^L) complex batch —
+        # evaluate it one t at a time past L=25
+        cols = [np.asarray(sigma_echo_batch(
+            hs, phis, sched.angles, keys2, ts_sub[i: i + 1], L=L, T=T, K=1,
+            p=P, q=q, initial_state="vacuum", dtype_name="complex64",
+            ancilla_factor=1.0, has_y=False)) for i in range(ts_sub.shape[0])]
+        s = np.concatenate(cols, axis=-1)
+    else:
+        s = np.asarray(sigma_echo_batch(
+            hs, phis, sched.angles, keys2, ts_sub, L=L, T=T, K=1, p=P, q=q,
+            initial_state="vacuum", dtype_name="complex64",
+            ancilla_factor=1.0, has_y=False))
+    err = float(np.max(np.abs(r - s)))
+    print(f"  parity vs sigma engine: max|err| = {err:.2e}", flush=True)
+    print(f"  streamed: {r[0, 0].round(5)}", flush=True)
+    print(f"  sigma   : {s[0, 0].round(5)}", flush=True)
+    assert err < 5e-4, err
 
 # timing: full echo sweep t = 1..T, 4 trajectories
 keys4 = jax.random.split(jax.random.PRNGKey(5), 4)[None]

@@ -84,7 +84,7 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
             initial_state=initial_state, ancilla_factor=ancilla_factor,
             time_dependent=not time_independent)
 
-    if (time_independent and 22 <= L <= 27 and q < 14
+    if (time_independent and 22 <= L <= 28 and q < 14
             and dtype_name == "complex64" and T <= 1024
             and engine in ("auto", "resident", "streamed")
             and jax.default_backend() != "cpu"):
@@ -200,7 +200,7 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
     if (not isinstance(angles, jax.core.Tracer) and not has_y and K == 1
             and bool(np.all(np.asarray(angles)[:, :, 1] == 0.0))
             and bool(np.all(np.asarray(angles) == np.asarray(angles)[0]))
-            and 22 <= L <= 27 and q < 14 and dtype_name == "complex64"
+            and 22 <= L <= 28 and q < 14 and dtype_name == "complex64"
             and T <= 512 and engine in ("auto", "streamed")
             and jax.default_backend() != "cpu"):
         # HBM-streamed echo kernel: per-(trajectory, t) dynamic trip counts

@@ -1,5 +1,5 @@
 """HBM-streamed whole-trajectory Floquet kernel (x-polarized forward,
-22 <= L <= 29).
+22 <= L <= 28).
 
 Past L=21 the statevector (>= 32 MB planar) no longer fits VMEM, and the
 XLA scan alternative is deopted 15-30x by per-cycle traced operands
@@ -628,7 +628,7 @@ def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                         interpret=False):
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2), (n_ts,) -> (inst, c, n_ts).
 
-    HBM-streamed echo A0(t) for 22 <= L <= 29 (constant x drive, q < 14):
+    HBM-streamed echo A0(t) for 22 <= L <= 28 (constant x drive, q < 14):
     per (trajectory, t) pair the kernel runs the first 2t steps of a
     2T-step masked schedule (per-pair dynamic trip count) with the state in
     HBM and two double-buffered DMA sweeps per step — the streamed
@@ -637,8 +637,8 @@ def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
     presampled uniforms -> identical trajectories). Echo semantics:
     autocorr-delta-a-single-qiskit-fast.py:140-147.
     """
-    if not (22 <= L <= 29):
-        raise ValueError("streamed kernel supports 22 <= L <= 29")
+    if not (22 <= L <= 28):
+        raise ValueError("streamed kernel supports 22 <= L <= 28")
     if T > 512:
         raise ValueError("streamed echo supports T <= 512 (2T-step tiles)")
     if q >= 14:
@@ -723,14 +723,16 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
                            interpret=False):
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2) -> (inst, c, T).
 
-    HBM-streamed x-polarized forward autocorrelator for 22 <= L <= 29
+    HBM-streamed x-polarized forward autocorrelator for 22 <= L <= 28
     (constant schedules; q < 14). Mirrors resident_forward_batch
     (ops/pallas_resident.py) above the VMEM limit.
     """
-    if not (22 <= L <= 29):
-        # L=30 would need a 128 MB pass-B slab pair (CS floors at the
-        # 128-lane width) — past physical VMEM; shard instead.
-        raise ValueError("streamed kernel supports 22 <= L <= 29")
+    if not (22 <= L <= 28):
+        # L=29 reproducibly SIGKILLs the shared Mosaic compile helper
+        # (64 MB pass-B slabs), L=30 would need a 128 MB slab pair — past
+        # physical VMEM either way; L >= 29 is the sharded engine's
+        # territory (docs/PERFORMANCE.md).
+        raise ValueError("streamed kernel supports 22 <= L <= 28")
     if T > 1024:
         raise ValueError("streamed kernel supports T <= 1024")
     if q >= 14:

@@ -80,7 +80,7 @@ def test_streamed_rejects_bad_L():
     from dtc_tpu.ops.pallas_streamed import streamed_forward_batch
 
     keys = jax.random.split(jax.random.PRNGKey(0), 1)[None]
-    with pytest.raises(ValueError, match="22 <= L <= 29"):
+    with pytest.raises(ValueError, match="22 <= L <= 28"):
         streamed_forward_batch(
             jnp.ones((1, 8)), jnp.ones((1, 7)), jnp.zeros((2, 1, 2)), keys,
             L=8, T=2, p=0.0, q=4)
@@ -184,7 +184,7 @@ def test_streamed_echo_rejects_bad_args():
     ang = jnp.zeros((4, 1, 2))
     keys = jax.random.split(jax.random.PRNGKey(0), 2)[None]
     ts = jnp.asarray([1, 2])
-    with pytest.raises(ValueError, match="22 <= L <= 29"):
+    with pytest.raises(ValueError, match="22 <= L <= 28"):
         streamed_echo_batch(hs, phis, ang, keys, ts, L=21, T=4, p=0.05, q=5)
     with pytest.raises(ValueError, match="q < 14"):
         streamed_echo_batch(jnp.zeros((1, 22)), jnp.zeros((1, 21)), ang,
@@ -263,7 +263,7 @@ def test_all_kernel_entry_points_trace():
             ang, keys, ts)
         assert ge.shape == (1, 2, 2)
 
-    for L in range(22, 30):
+    for L in range(22, 29):
         hs, phis, ang = args(L)
         f = jax.eval_shape(
             lambda *a, L=L: streamed_forward_batch(*a, L=L, T=T, p=0.05,
