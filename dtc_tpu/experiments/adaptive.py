@@ -36,6 +36,7 @@ from dtc_tpu.io.disorder import get_disorder
 from dtc_tpu.models.drives import build_kick_schedule, n_kick_slots, slot_unitary_inverse
 from dtc_tpu.models.noise import NoiseSpec
 from dtc_tpu.ops.diag import z_sign_mask, zz_z_phase_mask
+from dtc_tpu.utils.validation import guard
 from dtc_tpu.ops.kick import apply_uniform_1q_layer
 from dtc_tpu.core.evolve import _noise_layer
 
@@ -495,11 +496,12 @@ def run_fixed_g(cfg, hs, phis, g_value=None) -> dict:
         kf, ke = jax.random.split(jax.random.PRNGKey(cfg.seed + 977 * i))
         keys_f = jax.random.split(kf, n_traj)[None]
         keys_e = jax.random.split(ke, n_traj)[None]
-        f = np.asarray(_forward_batch(h, ph, sched.angles, keys_f,
-                                      **kw)).mean(axis=1)[0]
+        f = guard("fixed_g_forward", _forward_batch(
+            h, ph, sched.angles, keys_f, **kw)).mean(axis=1)[0]
         fwd[i] = f[1:]  # row t = A(t+1)
-        e = np.asarray(_echo_batch(h, ph, sched.angles, keys_e,
-                                   jnp.arange(1, T + 1), **kw)).mean(axis=1)[0]
+        e = guard("fixed_g_echo", _echo_batch(
+            h, ph, sched.angles, keys_e, jnp.arange(1, T + 1),
+            **kw)).mean(axis=1)[0]
         ech[i] = e
     return {"forward": fwd, "echo": ech}
 

@@ -20,6 +20,7 @@ from dtc_tpu.experiments.engine import build_context, resolve_dtype, traj_chunks
 from dtc_tpu.io import csvio, naming
 from dtc_tpu.io.disorder import get_disorder
 from dtc_tpu.models.hamiltonian import hamiltonian_terms
+from dtc_tpu.utils.validation import guard
 from dtc_tpu.ops.diag import zz_z_diag_energy
 from dtc_tpu.utils.profiling import phase_timer
 
@@ -102,8 +103,8 @@ def _energy_single_noise(cfg, hs, phis, p, component="full"):
         keys = jnp.stack([jax.random.split(jax.random.fold_in(k, done), c) for k in ki])
         e, zs = _observables_batch(hs_j, phis_j, term_hs, term_phis, x_coeff,
                                    sched.angles, keys, **kw)
-        acc_e += np.asarray(jnp.sum(e, axis=1))
-        acc_z += np.asarray(jnp.sum(zs, axis=1))
+        acc_e += guard("energy_batch", jnp.sum(e, axis=1))
+        acc_z += guard("perqubit_z_batch", jnp.sum(zs, axis=1), bound=float(c))
         done += c
     return acc_e / n_traj, acc_z / n_traj
 

@@ -25,6 +25,7 @@ from dtc_tpu.core.statevector import initial_statevector
 from dtc_tpu.models.drives import build_kick_schedule
 from dtc_tpu.models.noise import NoiseSpec
 from dtc_tpu.ops.diag import zz_z_phase_mask
+from dtc_tpu.utils.validation import guard
 
 
 DEFAULT_BATCH_BYTES = 2 << 30  # ~2 GB of live state per chunk
@@ -244,9 +245,9 @@ def forward_sweep(cfg, sched, params, noise, key) -> np.ndarray:
         c = min(chunk, n_traj - done)
         keys = _inst_keys(key, cfg.inst, done, c)
         vals = _forward_batch(hs, phis, sched.angles, keys, **kw)
-        acc += np.asarray(jnp.sum(vals, axis=1))
+        acc += guard("forward_batch", jnp.sum(vals, axis=1), bound=float(c))
         done += c
-    return acc / n_traj
+    return guard("forward_sweep", acc / n_traj, bound=1.0)
 
 
 def echo_sweep(cfg, sched, params, noise, key, *, t_chunk: int = 8) -> np.ndarray:
@@ -276,10 +277,10 @@ def echo_sweep(cfg, sched, params, noise, key, *, t_chunk: int = 8) -> np.ndarra
             c = min(chunk, n_traj - done)
             keys = _inst_keys(key, cfg.inst, 7919 + done, c)
             vals = _echo_batch(hs, phis, sched.angles, keys, ts_pad, **kw)
-            acc += np.asarray(jnp.sum(vals, axis=1))
+            acc += guard("echo_batch", jnp.sum(vals, axis=1), bound=float(c))
             done += c
         out[:, t0 : t0 + len(ts)] = (acc / n_traj)[:, : len(ts)]
-    return out
+    return guard("echo_sweep", out, bound=1.0)
 
 
 def apply_shot_noise(values: np.ndarray, shots: int, seed: int = 0) -> np.ndarray:
