@@ -18,6 +18,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import time
 
+# DTC_TPU_RESIDENT_NB=2 is +8% on this exact shape with bit-identical
+# outputs (benchmarks/nb_probe.py), but its first-time Mosaic compile is
+# minutes and UNBOUNDED under compile-server load (a 15+ min queue was
+# measured; an abandoned probe compile then clogs the server for the very
+# run that falls back) — so the bench stays on the ~5 s nb=1 compile
+# unless the caller opts in explicitly after warming the shape.
+# See docs/PERFORMANCE.md "Compile caching on the tunneled backend".
+
 import jax
 import jax.numpy as jnp
 import numpy as np
