@@ -32,14 +32,18 @@ g_sched = np.full(TF, CFG.g)
 T_EVAL = TF  # echo at the deepest cycle (worst case)
 
 
-def timed(fn, reps=5):
+def timed(fn, reps=3, groups=5):
+    """Median over timing groups (CLAUDE.md: single TPU readings swing
+    ~40% under transient contention — never report a lone mean)."""
     fn()  # warm
-    t0 = time.time()
-    for _ in range(reps):
-        out = fn()
-    dt = (time.time() - t0) / reps
+    dts = []
+    for _ in range(groups):
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn()
+        dts.append((time.time() - t0) / reps)
     assert np.isfinite(out), out
-    return out, dt
+    return out, float(np.median(dts))
 
 
 print("kernel stepper (per-cycle resident kernels):", flush=True)

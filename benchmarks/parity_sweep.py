@@ -109,11 +109,18 @@ def phase_reference(dm_only: bool = False) -> None:
     data = np.load(NPZ)
     keys = jnp.asarray(data["keys"])
     ts = jnp.asarray(ECHO_TS)
-    results = {"precision": "highest", "T": T, "n_traj": N_TRAJ, "p": P,
-               "rows": []}
-    if dm_only and os.path.exists(RESULTS):
+    # update the existing artifact in place: other harnesses record their
+    # own keys here (validate_streamed_echo.py -> streamed_rows/_note), and
+    # regeneration must not destroy them
+    results = {}
+    if os.path.exists(RESULTS):
         with open(RESULTS) as f:
-            results["rows"] = json.load(f).get("rows", [])
+            results = json.load(f)
+    results.update({"precision": "highest", "T": T, "n_traj": N_TRAJ, "p": P})
+    if not dm_only:
+        results["rows"] = []
+    else:
+        results.setdefault("rows", [])
     kw = dict(T=T, K=1, p=P, initial_state="vacuum",
               dtype_name="complex128", ancilla_factor=1.0, has_y=False)
     for L in ([] if dm_only else range(14, 23)):

@@ -29,13 +29,18 @@ keys = jax.random.split(jax.random.PRNGKey(3), NTRAJ)
 af = (1 - P) ** 6
 
 
-def timed(fn, reps=3):
-    out = np.asarray(fn())
+def timed(fn, reps=3, groups=5):
+    """Median over timing groups (CLAUDE.md: single TPU readings swing
+    ~40% under transient contention — never report a lone mean)."""
+    out = np.asarray(fn())  # warm + validate
     assert np.all(np.isfinite(out)) and np.max(np.abs(out)) <= 1 + 1e-3
-    t0 = time.time()
-    for _ in range(reps):
-        out = np.asarray(fn())
-    return out, (time.time() - t0) / reps
+    dts = []
+    for _ in range(groups):
+        t0 = time.time()
+        for _ in range(reps):
+            out = np.asarray(fn())
+        dts.append((time.time() - t0) / reps)
+    return out, float(np.median(dts))
 
 
 mesh = make_mesh(n_amp=1, n_traj=1, devices=jax.devices()[:1])

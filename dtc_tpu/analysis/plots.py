@@ -173,19 +173,20 @@ def plot_energy_comparison(sources, out_png, *, per_qubit=False, L=None,
                             (t[-1], e[-1]), fontsize=7)
         imin = int(np.argmin(e))
         ax.plot(t[imin], e[imin], "v", ms=7, alpha=0.6)
-    # min-energy analysis across all sources (draw-energy-all.py:208-250)
+    # min-energy analysis across all sources (draw-energy-all.py:208-250);
+    # takes RAW energies — it derives the per-qubit values itself
     from dtc_tpu.analysis.fits import min_energy_analysis
 
-    scaled = {lab: (np.asarray(t, float),
-                    np.asarray(e, float) / (L if per_qubit and L else 1))
-              for lab, (t, e) in sources.items()}
-    report = min_energy_analysis(scaled, L=L)
+    report = min_energy_analysis(sources, L=L)
     if report["per_source"]:
         row = report["per_source"][report["overall_min_source"]]
+        # annotate in plot coordinates (E/L when per_qubit)
+        y_min = (row["min_energy_per_qubit"] if per_qubit and L
+                 else row["min_energy"])
         ax.annotate(
-            f"min {row['min_energy']:.3f} @ t={row['t_min']:.0f}\n"
+            f"min {y_min:.3f} @ t={row['t_min']:.0f}\n"
             f"({report['overall_min_source']})",
-            (row["t_min"], row["min_energy"]), fontsize=7,
+            (row["t_min"], y_min), fontsize=7,
             xytext=(5, -12), textcoords="offset points")
     ax.set_xlabel("Floquet cycle t")
     ax.set_ylabel("E/L" if per_qubit else "E")

@@ -286,9 +286,10 @@ def find_segmented_snake(n: int, edges, length: int,
     one, so any path contains at most two of them and a 132-node path is
     impossible; the reference's own hand layouts carry such hops (rendered
     as purple arrows, brisbane-normal-layout.py:207-383). This search finds
-    maximal hop-free segments greedily and stitches them, preferring the
-    next segment to start adjacent to unused neighbors of the previous
-    segment tail. Returns (path, n_hops).
+    maximal hop-free segments greedily and stitches them; a junction whose
+    adjoining segments happen to be coupled is not counted as a hop.
+    Returns (path, n_hops); the path may be shorter than `length` when the
+    device runs out of qubits (callers check).
     """
     adj = _adjacency(n, edges)
     path: list = []
@@ -296,6 +297,8 @@ def find_segmented_snake(n: int, edges, length: int,
     n_hops = 0
     while len(path) < length:
         remaining_nodes = [v for v in adj if v not in used]
+        if not remaining_nodes:
+            break  # device exhausted: return the partial path
         sub_edges = [(a, b) for a, b in edges
                      if a not in used and b not in used]
         # longest segment within the remaining subgraph (best effort)
@@ -304,7 +307,7 @@ def find_segmented_snake(n: int, edges, length: int,
         seg = [v for v in seg if v not in used] if seg else []
         if not seg:
             seg = [remaining_nodes[0]]
-        if path:
+        if path and seg[0] not in adj[path[-1]]:
             n_hops += 1
         path.extend(seg[: length - len(path)])
         used.update(seg)

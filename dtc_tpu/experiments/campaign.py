@@ -121,8 +121,12 @@ def _decode_kind(cfg, job_dir: str, results_dir: str, kind: str,
 
     Slot-aware partial recovery: records carrying instance/t metadata (ours,
     and any runner that echoes the manifest fields back) land in their exact
-    slot; bare reference-style records fall back to the timestamp-sorted
-    positional grouping of autocorr-iqm-data-fix.py:42-60.
+    slot. Bare reference-style records fall back to the timestamp-sorted
+    positional grouping of autocorr-iqm-data-fix.py:42-60 — but positional
+    assignment is only sound when the set is COMPLETE (a missing middle job
+    would silently shift every later record into the wrong (instance, t)
+    slot), so an incomplete bare batch is skipped with a warning instead of
+    decoded wrong; incremental ingest needs the metadata records.
     """
     out = np.full((cfg.inst, cfg.tf), np.nan)
     kdir = os.path.join(results_dir, kind)
@@ -137,10 +141,19 @@ def _decode_kind(cfg, job_dir: str, results_dir: str, kind: str,
             nq = len(bits[0]) if bits else 1
             out[rec["instance"], rec["t"]] = counts_to_z_expectation(
                 counts, nq)[0]
+    if positional and len(positional) != cfg.inst * cfg.tf:
+        import warnings
+
+        warnings.warn(
+            f"{kind}: {len(positional)} bare records without instance/t "
+            f"metadata don't form a complete {cfg.inst}x{cfg.tf} batch — "
+            "positional slot inference would misalign on the gaps, so they "
+            "are skipped; re-ingest when the batch completes, or use a "
+            "runner that echoes the manifest's instance/t fields",
+            stacklevel=2)
+        positional = []
     for k, rec in enumerate(positional):
         i, t = divmod(k, cfg.tf)
-        if i >= cfg.inst:
-            break
         bits = rec["measurements"][measurement_key]
         counts = measurement_bits_to_counts(bits)
         nq = len(bits[0]) if bits else 1

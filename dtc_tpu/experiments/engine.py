@@ -198,12 +198,19 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
             hs, phis, angles, keys, ts, L=L, T=T, K=K, p=p, q=q,
             initial_state=initial_state, ancilla_factor=ancilla_factor)
 
-    if (not isinstance(angles, jax.core.Tracer) and not has_y and K == 1
-            and bool(np.all(np.asarray(angles)[:, :, 1] == 0.0))
-            and bool(np.all(np.asarray(angles) == np.asarray(angles)[0]))
-            and 22 <= L <= 28 and q < 14 and dtype_name == "complex64"
-            and T <= 512 and engine in ("auto", "streamed")
-            and jax.default_backend() != "cpu"):
+    streamed_ok = (
+        not isinstance(angles, jax.core.Tracer) and not has_y and K == 1
+        and 22 <= L <= 28 and q < 14 and dtype_name == "complex64"
+        # 'resident' names the fast-kernel family too (mirror
+        # _forward_batch: an explicit fast-family request must not
+        # silently fall to the deopted sigma engine)
+        and T <= 512 and engine in ("auto", "resident", "streamed")
+        and jax.default_backend() != "cpu")
+    if streamed_ok:
+        ang_np = np.asarray(angles)
+        streamed_ok = bool(np.all(ang_np[:, :, 1] == 0.0)) and bool(
+            np.all(ang_np == ang_np[0]))
+    if streamed_ok:
         # HBM-streamed echo kernel: per-(trajectory, t) dynamic trip counts
         # over the forward kernel's double-buffered DMA sweeps — replaces
         # the deopted sigma fallback that made every L >= 22 forward+echo

@@ -776,6 +776,12 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
             params = jnp.broadcast_to(row, (n_traj, T, width))
             sig_after = jnp.zeros((n_traj, T), jnp.uint32)
 
+        # width=256 param rows (L=27/28) overflow the 1 MB double-buffered
+        # SMEM window past T=512 — fall to VMEM there (scalar loads from
+        # VMEM are legal, just off the SMEM fast path), like the echo
+        # kernel's tile_mem. CPU trace tests cover the VMEM branch.
+        par_mem = (pltpu.SMEM if T * width * 4 * 2 <= 1024 * 1024
+                   else pltpu.VMEM)
         state0 = jnp.zeros((2, R, _C), jnp.float32)
         a_raw, _ = pl.pallas_call(
             _make_streamed_kernel(L, T, q, b0, CS, width, RS, NSA, NSB),
@@ -794,7 +800,7 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
                 pl.BlockSpec((1, R // 128, R // 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # u21i
                 pl.BlockSpec((1, T, width), lambda i: (i, 0, 0),
-                             memory_space=pltpu.SMEM),  # compact params
+                             memory_space=par_mem),     # compact params
                 pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
             ],
             out_specs=[

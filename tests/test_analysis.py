@@ -82,6 +82,14 @@ def test_plots_render(tmp_path):
     # increasing, so the minimum is at t=1 and p=0 is the overall minimum
     assert r5["min_energy"]["overall_min_source"] == "p=0"
     assert r5["min_energy"]["per_source"]["p=0"]["t_min"] == t[0]
+    # per_qubit=True must NOT double-divide the min-energy report: the
+    # report always carries RAW min_energy and min_energy_per_qubit = E/L
+    r5pq = plots.plot_energy_comparison(
+        {"p=0": (t, -2 + 0.5 * np.log(t + 1))},
+        str(tmp_path / "e_pq.png"), per_qubit=True, L=4)
+    row = r5pq["min_energy"]["per_source"]["p=0"]
+    assert row["min_energy"] == -2.0
+    assert row["min_energy_per_qubit"] == -0.5
     p6 = plots.plot_xy_cycle_comparison(
         {"xy_cycle": (t, np.cos(np.pi * t)), "x": (t, 0.9 * np.cos(np.pi * t))},
         str(tmp_path / "f.png"))

@@ -84,3 +84,32 @@ def test_campaign_ingest_reference_style_records(tmp_path):
         out_dir=str(tmp_path / "out"), shots=8)
     np.testing.assert_allclose(r["forward"][0], [1.0, -1.0, 1.0])
     assert r["rows_on_disk"] == 3  # echo columns NaN-tolerant
+
+
+def test_campaign_incomplete_bare_batch_is_skipped(tmp_path):
+    """Bare records that do NOT form a complete batch are skipped with a
+    warning: positional slot inference would silently shift every record
+    after a gap into the wrong (instance, t) slot."""
+    import warnings
+
+    cfg = CFG.replace(inst=1, tf=3)
+    hs, phis = generate_disorder(cfg.L, cfg.inst, seed=5)
+    results = tmp_path / "res" / "forward"
+    results.mkdir(parents=True)
+    # only 2 of the 3 jobs landed (t=1 still queued upstream)
+    for t in (0, 2):
+        rec = {"created": f"2024-01-01T00:00:{t:02d}",
+               "status": "completed",
+               "measurements": {"c_1_0_0": [[0]] * 8}}
+        with open(results / f"job{t}.json", "w") as f:
+            json.dump(rec, f)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r = run_hardware_campaign(
+            cfg, hs, phis, job_dir=str(tmp_path / "jobs"),
+            results_dir=str(tmp_path / "res"),
+            out_dir=str(tmp_path / "out"), shots=8)
+    assert any("positional" in str(x.message) for x in w)
+    # nothing decoded (NOT the t=2 record misfiled into the t=1 slot)
+    assert np.isnan(r["forward"]).all()
+    assert r["rows_on_disk"] == 0

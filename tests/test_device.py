@@ -128,6 +128,28 @@ def test_find_snake_path_impossible():
     assert find_snake_path(4, edges, 4) is None
 
 
+def test_snake_layout_longer_than_device_raises():
+    # L > device size must surface the clear ValueError, not an IndexError
+    # from the segmented-snake stitcher running out of nodes
+    import pytest
+
+    with pytest.raises(ValueError, match="no length-21 snake"):
+        snake_layout(21, "garnet")
+
+
+def test_segmented_snake_hop_count_is_true_nonadjacency():
+    """n_hops counts only junctions that are NOT physical couplings, and
+    matches validate_snake's non-adjacency count for the same path."""
+    from dtc_tpu.device.layouts import find_segmented_snake, validate_snake
+
+    # two triangles bridged by one edge: a full 6-path exists, so the
+    # greedy segment search stitches with adjacent junctions only
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    path, n_hops = find_segmented_snake(6, edges, 6)
+    assert len(path) == 6
+    assert n_hops == validate_snake(path, 6, edges, distinct=True)["n_hops"]
+
+
 def test_job_decode_pipeline(tmp_path):
     # synthetic raw jobs: 2 instances x 3 time points, 1 incomplete record
     rng = np.random.default_rng(0)

@@ -274,3 +274,13 @@ def test_all_kernel_entry_points_trace():
             lambda *a, L=L: streamed_echo_batch(*a, L=L, T=T, p=0.05, q=11),
             hs, phis, ang, keys, ts)
         assert e.shape == (1, 2, 2)
+
+    # VMEM-params branch: width=256 rows (L=27/28) overflow the 1 MB
+    # double-buffered SMEM window past T=512, so the params BlockSpec
+    # falls to VMEM there — trace it so the branch can't ship broken
+    L, T600 = 27, 600
+    ang = jnp.zeros((T600, 1, 2)).at[:, :, 0].set(0.97 * np.pi)
+    f = jax.eval_shape(
+        lambda *a: streamed_forward_batch(*a, L=L, T=T600, p=0.05, q=11),
+        jnp.zeros((1, L)), jnp.zeros((1, L - 1)), ang, keys)
+    assert f.shape == (1, 2, T600)
