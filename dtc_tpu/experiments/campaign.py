@@ -23,7 +23,11 @@ strings them into ONE command with partial-batch recovery:
                 any newly completed time rows to the reference-schema CSV
                 (time, av_autocorr, av_autocorr_echo, sqrt_av_autocorr_echo)
                 via the realtime writer — re-running the command picks up
-                newly landed results and appends only missing rows.
+                newly landed results and appends only missing rows. Echo
+                results landing AFTER a row was appended (the reference
+                runs forward and echo as separate campaigns) back-fill the
+                row's NaN echo columns by rewriting the CSV from the
+                decoded arrays.
 
 Every phase is driven by what is on disk, so a campaign survives partial
 batches, interrupted ingests, and incremental hardware execution.
@@ -43,7 +47,7 @@ from dtc_tpu.device.jobs import (
     merge_job_dir,
 )
 from dtc_tpu.io import naming
-from dtc_tpu.io.csvio import RealtimeCSVWriter
+from dtc_tpu.io.csvio import RealtimeCSVWriter, read_columns, write_columns
 
 CSV_FIELDS = ("time", "av_autocorr", "av_autocorr_echo",
               "sqrt_av_autocorr_echo")
@@ -169,8 +173,9 @@ def run_hardware_campaign(cfg, hs=None, phis=None, *, job_dir,
     """One command for the full hardware loop; every phase resumable.
 
     Returns a status dict with per-phase results, the decoded arrays, and
-    the CSV path. Call repeatedly as results land — only newly completed
-    time rows are appended.
+    the CSV path. Call repeatedly as results land — newly completed time
+    rows are appended, and late-landing echo results back-fill the NaN
+    echo columns of rows already on disk.
     """
     from dtc_tpu.io.disorder import get_disorder
 
@@ -196,21 +201,49 @@ def run_hardware_campaign(cfg, hs=None, phis=None, *, job_dir,
         folder, "campaign_" + naming.autocorr_csv_name(cfg))
     writer = RealtimeCSVWriter(csv_path, CSV_FIELDS)
     start = writer.resume_index()
-    rows_written = 0
-    for t in range(start, cfg.tf):
-        if np.isnan(fwd[:, t]).any():
-            break  # realtime semantics: strictly sequential time rows
+
+    def row_for(t: int) -> dict:
         e = float(np.mean(ech[:, t])) if not np.isnan(ech[:, t]).any() \
             else float("nan")
-        writer.write_row({
+        return {
             "time": t,
             "av_autocorr": float(np.mean(fwd[:, t])),
             "av_autocorr_echo": e,
             "sqrt_av_autocorr_echo": float(np.sqrt(e)) if e == e and e >= 0
             else float("nan"),
-        })
-        rows_written += 1
-    writer.close()
+        }
+
+    rows = []
+    for t in range(cfg.tf):
+        if np.isnan(fwd[:, t]).any():
+            break  # realtime semantics: strictly sequential time rows
+        rows.append(row_for(t))
+
+    # Echo back-fill: the realtime writer is append-only, so echo results
+    # that land AFTER a time row was appended (the reference flow — forward
+    # and echo are separate campaigns) would otherwise stay NaN in the
+    # compatibility-contract CSV forever. When a previously NaN echo column
+    # now has a decoded value, rewrite the file from the decoded arrays
+    # (every row derives from fwd/ech, so the rewrite is exact).
+    backfill = False
+    if 0 < start <= len(rows):
+        old_echo = np.asarray(
+            read_columns(csv_path).get("av_autocorr_echo", []), float)
+        backfill = any(
+            np.isnan(old_echo[t])
+            and rows[t]["av_autocorr_echo"] == rows[t]["av_autocorr_echo"]
+            for t in range(min(start, len(old_echo))))
+    if backfill:
+        writer.close()
+        write_columns(csv_path,
+                      {k: [r[k] for r in rows] for k in CSV_FIELDS})
+        rows_written = len(rows) - start
+    else:
+        rows_written = 0
+        for r in rows[start:]:
+            writer.write_row(r)
+            rows_written += 1
+        writer.close()
 
     n_fwd = int(np.sum(~np.isnan(fwd)))
     n_ech = int(np.sum(~np.isnan(ech)))

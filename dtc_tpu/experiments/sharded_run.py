@@ -126,7 +126,7 @@ def run_energy_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
             initial_state=cfg.initial_state)
         n_traj = max(cfg.n_trajectories if p > 0 else 1, mesh.shape["traj"])
         n_traj -= n_traj % mesh.shape["traj"]
-        acc_e = np.zeros(cfg.tf)
+        inst_e = np.zeros((cfg.inst, cfg.tf))
         acc_z = np.zeros((cfg.tf, cfg.L))
         with phase_timer(f"sharded energy p={p}"):
             for i in range(cfg.inst):
@@ -136,12 +136,17 @@ def run_energy_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
                            jnp.asarray(phis[i][: cfg.L - 1]),
                            terms.hs, terms.phis,
                            jnp.asarray(float(terms.x_coeff)), keys)
-                acc_e += np.asarray(e)
+                inst_e[i] = np.asarray(e)
                 acc_z += np.asarray(zs)
         from dtc_tpu.experiments.energy import apply_estimator_noise
 
-        av = apply_estimator_noise(acc_e / cfg.inst, cfg.estimator_shots,
-                                   seed=cfg.seed * 1000003 + int(p * 1e6))
+        # per-(instance, t) estimator sampling noise BEFORE the instance
+        # mean — one estimator job per circuit, exactly like run_energy
+        # (averaging first would shrink the emulated 1/sqrt(shots) error
+        # by sqrt(inst) vs the unsharded path)
+        av = apply_estimator_noise(inst_e, cfg.estimator_shots,
+                                   seed=cfg.seed * 1000003 + int(p * 1e6)
+                                   ).mean(axis=0)
         pkey = str(int(p)) if p == int(p) else str(p)
         data[f"energy_p_{pkey}"] = av / cfg.L if per_qubit_norm else av
         z_data[float(p)] = acc_z / cfg.inst

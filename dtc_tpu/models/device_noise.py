@@ -52,12 +52,18 @@ class DeviceNoiseModel:
 
 
 def synthetic_eagle_calibration(n_qubits: int = 127, seed: int = 7) -> dict:
-    """Deterministic Eagle-class calibration with typical magnitudes
-    (1q ~2.5e-4, 2q ~8e-3, readout ~1.3e-2; log-normal spread)."""
-    rng = np.random.default_rng(seed)
-    from dtc_tpu.device.layouts import heavy_hex_coupling
+    """Deterministic Eagle/Heron-class calibration with typical magnitudes
+    (1q ~2.5e-4, 2q ~8e-3, readout ~1.3e-2; log-normal spread).
 
-    n, edges, _ = heavy_hex_coupling(7, 15 if n_qubits <= 127 else 16)
+    Keyed by the EXACT device graphs (eagle_coupling 127q /
+    heron_coupling 133q) — the same graphs snake_layout walks — so every
+    chain bond finds its per-edge error instead of silently falling back
+    to the median (the generic heavy_hex_coupling approximation misses
+    ~1/3 of the real devices' edges)."""
+    rng = np.random.default_rng(seed)
+    from dtc_tpu.device.layouts import eagle_coupling, heron_coupling
+
+    n, edges, _ = eagle_coupling() if n_qubits <= 127 else heron_coupling()
     return {
         "n_qubits": n,
         "single_qubit_error": {

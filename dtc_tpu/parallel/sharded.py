@@ -41,7 +41,7 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from dtc_tpu.core.statevector import neel_index
-from dtc_tpu.models.drives import slot_unitary, slot_unitary_inverse
+from dtc_tpu.models.drives import slot_unitary
 from dtc_tpu.ops.diag import z_sign_mask, zz_z_diag_energy, zz_z_phase_mask
 from dtc_tpu.ops.kick import apply_uniform_1q_layer
 from dtc_tpu.ops.paulis import (
@@ -85,7 +85,7 @@ def _sharded_pauli_string(state, xmask, zmask, n_y, *, offset, local_size,
 
 def _sharded_kick_factored(state, theta_x, theta_y, sigma, pend_zm, diag_sig,
                            exp_h, exp_p, *, L, local_bits, n_amp, dtype,
-                           has_y, inverse=False):
+                           has_y, inverse=False, inv_t=None):
     """Sigma-conjugated kick on a sharded local state with all pending noise
     Z-signs and diagonal sigma-corrections folded in.
 
@@ -95,6 +95,13 @@ def _sharded_kick_factored(state, theta_x, theta_y, sigma, pend_zm, diag_sig,
     ppermute 2x2's columns, the local/global boundary bond a (2,) broadcast
     on the local top-bit axis selected by shard bit 0, and global-global
     bonds a per-shard scalar. No full-plane per-cycle masks anywhere.
+
+    ``inverse`` daggers the slot unitaries statically; ``inv_t`` (a traced
+    boolean) selects the dagger at run time — the echo scan uses it to run
+    ONE kick application per step whose direction is data-dependent, instead
+    of computing both directions and discarding one (2x the einsums and
+    ppermutes). The dagger select costs a 2x2 ``where``; the caller selects
+    the matching conjugated exponent vectors.
     """
     from dtc_tpu.core.sigma_evolve import (
         _bits,
@@ -108,7 +115,14 @@ def _sharded_kick_factored(state, theta_x, theta_y, sigma, pend_zm, diag_sig,
 
     k_bits = L - local_bits
     M = 1 << local_bits
-    make = slot_unitary_inverse if inverse else slot_unitary
+
+    def make(tx, ty, dtype=dtype):
+        u = slot_unitary(tx, ty, dtype)
+        if inverse:
+            return jnp.conj(u).T
+        if inv_t is not None:
+            return jnp.where(inv_t, jnp.conj(u).T, u)
+        return u
     sig_bits = _bits(diag_sig, L)
     zm_bits = _bits(pend_zm, L)
     aidx = jax.lax.axis_index("amp")
@@ -194,32 +208,6 @@ def _sharded_forward_cycle(state, pending, ang, ev, d0, exp_h, exp_p, *, L,
             exp_h, exp_p, has_y=has_y, **kw)
         pend_zm, pend_sig = zm[k], jnp.uint32(0)
     return state * d0, (pend_zm, sig_after)
-
-
-def _sharded_inverse_cycle(state, pending, ang, ev, d0c, exp_hc, exp_pc, *, L,
-                           local_bits, n_amp, K, p, dtype, has_y):
-    """Sharded counterpart of core.sigma_evolve.inverse_cycle_fac (same
-    turnaround rule: D0c's correction rides the FIRST inverse kick only,
-    XOR-composed with any pending correction)."""
-    kw = dict(L=L, local_bits=local_bits, n_amp=n_amp, dtype=dtype)
-    pend_zm, pend_sig = pending
-    if p <= 0.0:
-        state = state * d0c
-        for k in range(K - 1, -1, -1):
-            state = _sharded_kick_factored(
-                state, ang[k, 0], ang[k, 1], jnp.uint32(0), jnp.uint32(0),
-                jnp.uint32(0), exp_hc, exp_pc, has_y=False, inverse=True, **kw)
-        return state, pending
-    zm, sig_b, sig_after = ev
-    state = state * d0c
-    for j in range(K):
-        slot = K - 1 - j
-        dsig = (sig_b[0] ^ pend_sig) if j == 0 else jnp.uint32(0)
-        state = _sharded_kick_factored(
-            state, ang[slot, 0], ang[slot, 1], sig_b[j], pend_zm, dsig,
-            exp_hc, exp_pc, has_y=has_y, inverse=True, **kw)
-        pend_zm, pend_sig = zm[j], jnp.uint32(0)
-    return state, (pend_zm, pend_sig)
 
 
 def make_sharded_autocorr_forward(
@@ -323,8 +311,6 @@ def make_sharded_echo(
     af = ((1.0 - p) ** 6 if p > 0 else 1.0) if ancilla_factor is None else ancilla_factor
     init_idx = 0 if initial_state == "vacuum" else neel_index(L)
     s0 = 1.0 if ((init_idx >> q) & 1) == 0 else -1.0
-    ckw = dict(L=L, local_bits=local_bits, n_amp=n_amp, K=K, p=p, dtype=dtype,
-               has_y=has_y)
 
     def local_fn(angles, hs, phis, keys, t_value):
         offset = (jax.lax.axis_index("amp") * M).astype(jnp.uint32)
@@ -357,24 +343,50 @@ def make_sharded_echo(
                 sig_after = jnp.zeros((2 * T,), jnp.uint32)
 
             def body(carry, inp):
+                # ONE direction-selected cycle per step (select-before-apply:
+                # the kick einsums and global-bit ppermutes run once; only
+                # the 2x2 unitaries, (L,) exponent vectors, diagonal vectors
+                # and noise words are where()-selected). Matches
+                # _sharded_forward_cycle / _sharded_inverse_cycle exactly —
+                # same kick slot order (fwd ascending / inv descending), the
+                # inverse's d0c BEFORE its kicks vs the forward's d0 after,
+                # and the turnaround rule (sig_b[0] ^ pend_sig on the first
+                # inverse kick). Padding steps (kstep >= 2*t_value) zero
+                # every noise fold and ride identity kicks, leaving state
+                # and carry untouched.
                 st, pend = carry
                 kstep, ev = inp
+                zm, sig_b, sig_after = ev
                 fwd = kstep < t_value
                 inv = (kstep >= t_value) & (kstep < 2 * t_value)
+                active = fwd | inv
                 i = jnp.where(fwd, kstep,
                               jnp.clip(2 * t_value - 1 - kstep, 0, T - 1))
-                ang = angles[i]
-                st_f, pend_f = _sharded_forward_cycle(
-                    st, pend, jnp.where(fwd, ang, eye_ang), ev,
-                    jnp.where(fwd, d0, one), exp_h, exp_p, **ckw)
-                st_i, pend_i = _sharded_inverse_cycle(
-                    st, pend, jnp.where(inv, ang, eye_ang), ev,
-                    jnp.where(inv, d0c, one), exp_hc, exp_pc, **ckw)
-                st2 = jnp.where(fwd, st_f, jnp.where(inv, st_i, st))
-                pend2 = tuple(
-                    jnp.where(fwd, a, jnp.where(inv, b, c))
-                    for a, b, c in zip(pend_f, pend_i, pend))
-                return (st2, pend2), None
+                ang = jnp.where(active, angles[i], eye_ang)
+                pend_zm, pend_sig = pend
+                exp_h_s = jnp.where(inv, exp_hc, exp_h)
+                exp_p_s = jnp.where(inv, exp_pc, exp_p)
+                zero = jnp.uint32(0)
+                st = st * jnp.where(inv, d0c, one)
+                for j in range(K):
+                    ang_j = jnp.where(fwd, ang[j], ang[K - 1 - j])
+                    pz = pend_zm if j == 0 else zm[j - 1]
+                    pz = jnp.where(active, pz, zero)
+                    if j == 0:
+                        dsig = jnp.where(
+                            inv, sig_b[0] ^ pend_sig,
+                            jnp.where(fwd, pend_sig, zero))
+                    else:
+                        dsig = zero
+                    st = _sharded_kick_factored(
+                        st, ang_j[0], ang_j[1], sig_b[j], pz, dsig,
+                        exp_h_s, exp_p_s, has_y=has_y, inv_t=inv,
+                        L=L, local_bits=local_bits, n_amp=n_amp, dtype=dtype)
+                st = st * jnp.where(fwd, d0, one)
+                pend2 = (jnp.where(active, zm[K - 1], pend_zm),
+                         jnp.where(fwd, sig_after,
+                                   jnp.where(inv, zero, pend_sig)))
+                return (st, pend2), None
 
             xs = (jnp.arange(2 * T), (zm, sig_b, sig_after))
             (st, _), _ = jax.lax.scan(

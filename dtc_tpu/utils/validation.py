@@ -53,7 +53,7 @@ def guard(name: str, arr, *, bound: float | None = None,
     ``np.asarray(x)`` with ``guard("stage", x)`` at zero extra transfer cost.
     Raises :class:`NumericalFault` naming the producing stage when any
     element is non-finite, or when ``bound`` is given and ``|arr|`` exceeds
-    it beyond float32 tolerance.
+    it beyond the kernels' numerical tolerance (~1e-3 — see comment below).
     """
     out = np.asarray(arr)
     if enabled is None:
@@ -72,7 +72,12 @@ def guard(name: str, arr, *, bound: float | None = None,
             n_bad=n_bad, first_index=tuple(int(i) for i in first))
     if bound is not None:
         mag = np.abs(out)
-        tol = bound * 1e-5 + 1e-6
+        # The bound check catches device faults (garbage magnitudes), not
+        # precision drift: the f32 kernels legitimately accumulate up to
+        # ~2.7e-4 at the default bf16x3 dots (PARITY.md), so the tolerance
+        # must sit above that or healthy saturated runs (|A| = 1 at g=1.0)
+        # would raise. 1e-3 matches every TPU validation harness.
+        tol = bound * 1e-3 + 1e-6
         bad = mag > bound + tol
         if bad.any():
             n_bad = int(np.count_nonzero(bad))

@@ -197,3 +197,56 @@ def test_make_stepper_selection(monkeypatch):
     monkeypatch.setenv("DTC_TPU_ADAPTIVE", "carried")
     assert isinstance(ad.make_stepper(CFG, hs[0], phis[0]),
                       ad.AdaptiveStepper)
+
+
+def test_kernel_stepper_nonuniform_schedule_forward():
+    """Schedule-placement regression: forward_value IS g-schedule-sensitive
+    (unlike the noiseless echo, where U†U = 1 for ANY schedule), so
+    advancing the two steppers through a NON-uniform g history must agree
+    at every cycle — a misfiled g slot in either shows up immediately."""
+    from dtc_tpu.experiments.adaptive import KernelAdaptiveStepper
+
+    hs, phis = generate_disorder(CFG.L, 1, seed=25)
+    ks = KernelAdaptiveStepper(CFG, hs[0], phis[0])
+    cs = AdaptiveStepper(CFG, hs[0], phis[0])
+    k_states, c_states = ks.reset(), cs.reset()
+    gs = [0.86, 0.99, 0.90, 0.95, 0.88]
+    key = jax.random.PRNGKey(2)
+    for t in range(CFG.tf):
+        k, key = jax.random.split(key)
+        k_states = ks.advance(k_states, gs[t], t, k)
+        c_states = cs.advance(c_states, gs[t], t, k)
+        np.testing.assert_allclose(ks.forward_value(k_states),
+                                   cs.forward_value(c_states), atol=1e-7)
+
+
+def test_kernel_stepper_echo_schedule_placement(monkeypatch):
+    """echo_value must evolve through g_schedule for cycles < t_next-1 and
+    put g_last at EXACTLY cycle t_next-1 (the optimizer's candidate slot).
+    The noiseless echo cannot distinguish placements (the unitary part
+    cancels for any schedule), so assert the constructed angles directly."""
+    from dtc_tpu.experiments import adaptive as ad
+
+    hs, phis = generate_disorder(CFG.L, 1, seed=26)
+    ks = ad.KernelAdaptiveStepper(CFG, hs[0], phis[0])
+    ks.reset()
+    captured = {}
+
+    def fake_echo_batch(h, ph, angles, keys, ts, **kw):
+        captured["angles"] = np.asarray(angles)
+        captured["ts"] = np.asarray(ts)
+        return jnp.zeros((1, keys.shape[1], 1))
+
+    import dtc_tpu.experiments.engine as eng
+
+    monkeypatch.setattr(eng, "_echo_batch", fake_echo_batch)
+    g_sched = [0.86, 0.99]
+    t_next, g_last = 3, 0.93
+    ks.echo_value(t_next - 1, g_sched, g_last, t_next, None)
+    ang = captured["angles"]  # (T+1, K, 2); x-pol: theta_x = pi * g
+    np.testing.assert_allclose(ang[0, 0, 0], np.pi * 0.86, rtol=1e-6)
+    np.testing.assert_allclose(ang[1, 0, 0], np.pi * 0.99, rtol=1e-6)
+    np.testing.assert_allclose(ang[t_next - 1, 0, 0], np.pi * g_last,
+                               rtol=1e-6)
+    np.testing.assert_allclose(ang[t_next, 0, 0], np.pi * CFG.g, rtol=1e-6)
+    assert captured["ts"] == [t_next]

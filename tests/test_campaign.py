@@ -113,3 +113,41 @@ def test_campaign_incomplete_bare_batch_is_skipped(tmp_path):
     # nothing decoded (NOT the t=2 record misfiled into the t=1 slot)
     assert np.isnan(r["forward"]).all()
     assert r["rows_on_disk"] == 0
+
+
+def test_campaign_echo_backfill_after_forward_rows(tmp_path):
+    """Echo results landing AFTER forward rows were appended must be
+    back-filled into the CSV (the reference flow runs forward and echo as
+    separate campaigns; the realtime writer alone would leave the echo
+    columns NaN forever)."""
+    cfg = CFG.replace(inst=1, tf=2)
+    hs, phis = generate_disorder(cfg.L, cfg.inst, seed=6)
+
+    def drop(kind, t, bits_val):
+        kdir = tmp_path / "res" / kind
+        kdir.mkdir(parents=True, exist_ok=True)
+        rec = {"created": f"2024-01-01T00:00:{t:02d}", "status": "completed",
+               "instance": 0, "t": t,
+               "measurements": {"c_1_0_0": [[bits_val]] * 8}}
+        with open(kdir / f"job{t}.json", "w") as f:
+            json.dump(rec, f)
+
+    kw = dict(job_dir=str(tmp_path / "jobs"),
+              results_dir=str(tmp_path / "res"),
+              out_dir=str(tmp_path / "out"), shots=8)
+    for t in range(2):
+        drop("forward", t, 0)
+    r1 = run_hardware_campaign(cfg, hs, phis, **kw)
+    assert r1["rows_on_disk"] == 2
+    from dtc_tpu.io.csvio import read_columns
+
+    c1 = read_columns(r1["csv_path"])
+    assert np.isnan(c1["av_autocorr_echo"]).all()
+    # echo batch lands later; re-running the campaign back-fills the rows
+    for t in range(2):
+        drop("echo", t, 0)
+    r2 = run_hardware_campaign(cfg, hs, phis, **kw)
+    assert r2["rows_on_disk"] == 2
+    c2 = read_columns(r2["csv_path"])
+    np.testing.assert_allclose(c2["av_autocorr_echo"], [1.0, 1.0])
+    np.testing.assert_allclose(c2["av_autocorr"], c1["av_autocorr"])

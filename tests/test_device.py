@@ -349,3 +349,24 @@ def test_snake_search_matches_or_beats_reference():
         v = validate_snake(lay["path"], lay["n"], lay["edges"])
         assert len(lay["path"]) == L and v["distinct"] and v["in_range"]
         assert v["n_hops"] <= ref_hops, (dev, v["n_hops"])
+
+
+def test_synthetic_calibration_covers_every_snake_bond():
+    """Calibrations are keyed by the EXACT device graphs, so every bond of
+    a snake layout must find its per-edge 2q error — no silent median
+    fallback (the old heavy-hex approximation missed ~1/3 of real edges)."""
+    from dtc_tpu.device.layouts import validate_snake
+
+    for device, n_cal, Lq in (("brisbane", 127, 127), ("torino", 133, 132)):
+        cal = synthetic_eagle_calibration(n_cal, seed=3)
+        lay = snake_layout(Lq, device)
+        te = cal["two_qubit_error"]
+        hops = {tuple(sorted(hp)) for hp in validate_snake(
+            lay["path"], lay["n"], lay["edges"], distinct=True)["hops"]}
+        missing = [
+            (a, b)
+            for a, b in zip(lay["path"], lay["path"][1:])
+            if f"{a}-{b}" not in te and f"{b}-{a}" not in te
+            and tuple(sorted((a, b))) not in hops  # stitch hops aren't edges
+        ]
+        assert not missing, (device, missing)

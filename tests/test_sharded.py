@@ -221,3 +221,49 @@ def test_sharded_sigma_frame_has_y():
         ancilla_factor=1.0, has_y=True)
     got = np.asarray(fn(sched.angles, hs, phis, keys))
     np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_sharded_echo_has_y_matches_sigma_engine():
+    """y-drive ECHO through the sharded path: the echo scan's run-time
+    direction select (inv_t dagger in _sharded_kick_factored) must
+    reproduce the unsharded sigma engine's inverse kicks exactly —
+    including the sigma-conjugated theta_y signs."""
+    from dtc_tpu.core.sigma_evolve import sigma_echo_batch
+
+    hs, phis, _ = _setup(38)
+    sched = build_kick_schedule("y", 0.9, T)
+    p = 0.12
+    keys = jax.random.split(jax.random.PRNGKey(11), 8)
+    want = np.asarray(sigma_echo_batch(
+        hs[None], phis[None], sched.angles, keys[None], jnp.asarray([3]),
+        L=L, T=T, K=1, p=p, q=L // 2, initial_state="vacuum",
+        dtype_name="complex128", ancilla_factor=1.0,
+        has_y=True)).mean(axis=1)[0, 0]
+    fe = make_sharded_echo(make_mesh(n_amp=4, n_traj=2), L=L, T=T, K=1, p=p,
+                           q=L // 2, dtype=DT, ancilla_factor=1.0, has_y=True)
+    got = float(fe(sched.angles, hs, phis, keys, jnp.asarray(3)))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_sharded_estimator_noise_matches_unsharded_semantics():
+    """Estimator shot noise is applied per-(instance, t) BEFORE the
+    instance mean on the sharded path too — same seed, same draws, so at
+    p=0 (deterministic engines) the sharded and unsharded energy columns
+    must agree exactly, noise included. Averaging first would shrink the
+    emulated 1/sqrt(shots) error by sqrt(inst)."""
+    from dtc_tpu.experiments.energy import run_energy
+    from dtc_tpu.experiments.sharded_run import run_energy_sharded
+    from dtc_tpu.utils.config import SimConfig
+
+    cfg = SimConfig(L=5, inst=3, tf=4, g=0.9, seed=7, estimator_shots=1024)
+    hs, phis = generate_disorder(cfg.L, cfg.inst, seed=50)
+    exact = run_energy(cfg.replace(estimator_shots=0), hs, phis,
+                       nprobs=(0.0,), write=False)["energy_p_0"]
+    noisy = run_energy(cfg, hs, phis, nprobs=(0.0,), write=False)["energy_p_0"]
+    shard = run_energy_sharded(cfg, hs, phis, nprobs=(0.0,),
+                               write=False)["energy_p_0"]
+    # identical gaussian draws; engines differ only at f32 level (~1e-6),
+    # far below the ~0.03 draw magnitude a mean-then-noise bug would shift
+    np.testing.assert_allclose(shard, noisy, atol=1e-5)
+    # and the noise is actually there
+    assert np.max(np.abs(np.asarray(noisy) - np.asarray(exact))) > 1e-4

@@ -49,6 +49,11 @@ def test_guard_bound_violation():
     assert "exceed" in str(ei.value)
     # within float32 tolerance of the bound is fine
     guard("autocorr", np.array([1.0 + 1e-7]), bound=1.0, enabled=True)
+    # ... and so is the kernels' documented bf16x3 drift (<= 2.7e-4,
+    # PARITY.md): a saturated |A| = 1 TPU run must not raise
+    guard("autocorr", np.array([1.0 + 2.7e-4]), bound=1.0, enabled=True)
+    with pytest.raises(NumericalFault):  # real device garbage still caught
+        guard("autocorr", np.array([1.01]), bound=1.0, enabled=True)
 
 
 def test_guard_disabled_is_passthrough():
