@@ -16,6 +16,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import subprocess
+import sys
 import time
 
 # DTC_TPU_RESIDENT_NB=2 is +8% on this exact shape with bit-identical
@@ -75,7 +77,38 @@ def run_case(L, T, p, n_traj, n_rep=3, n_groups=5, g=0.97):
 DMA_ROOFLINE_GBPS = 326.0
 
 
+def _wait_for_tpu(max_wait_s: float = 900.0, probe_timeout_s: float = 120.0):
+    """Block (boundedly) until the tunneled TPU backend answers.
+
+    The axon tunnel has transient outages during which backend init HANGS
+    for tens of minutes before raising UNAVAILABLE (a ~25 min hang was
+    observed) — so probe device discovery in a subprocess with a hard
+    timeout, and only touch jax in THIS process once a probe has succeeded.
+    Returns True when the backend answered; False on timeout (the bench then
+    proceeds and fails loudly rather than silently hanging forever).
+    """
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert jax.devices()"],
+                capture_output=True, timeout=probe_timeout_s)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print(f"TPU backend unreachable after {attempt} probes "
+                  f"({max_wait_s:.0f}s); proceeding anyway", file=sys.stderr)
+            return False
+        time.sleep(min(30.0, max(0.0, deadline - time.time())))
+
+
 def main():
+    _wait_for_tpu()
     L, T, n_traj = 20, 50, 32
     cycles_per_sec, dt = run_case(L=L, T=T, p=0.05, n_traj=n_traj)
     hbm_gbps = effective_hbm_gbps(L, n_cycles=T, n_states=n_traj, seconds=dt)
