@@ -67,6 +67,18 @@ def build_parser() -> argparse.ArgumentParser:
         prog="python -m dtc_tpu",
         description="TPU-native kicked-Ising DTC simulation framework",
     )
+    # Global platform escape hatch (BEFORE the subcommand):
+    #   python -m dtc_tpu --platform cpu --num_devices 8 autocorr --sharded ...
+    # Applied via jax.config.update — the JAX_PLATFORMS env var deadlocks
+    # this image's axon device discovery (docs/PERFORMANCE.md).
+    ap.add_argument("--platform", type=str, default=None,
+                    choices=["cpu", "tpu"],
+                    help="force the JAX platform (default: auto). cpu is "
+                         "useful with --num_devices for a virtual mesh, or "
+                         "when the TPU tunnel is unavailable")
+    ap.add_argument("--num_devices", type=int, default=None,
+                    help="with --platform cpu: number of virtual host "
+                         "devices (--xla_force_host_platform_device_count)")
     sub = ap.add_subparsers(dest="command", required=True)
 
     for name, hlp in [
@@ -182,9 +194,32 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _apply_platform(platform, num_devices) -> None:
+    """Retarget JAX before its backends initialize (no-op if already up)."""
+    if platform is None and num_devices is None:
+        return
+    import os
+
+    import jax
+    import jax._src.xla_bridge as _xb
+
+    if _xb.backends_are_initialized():
+        raise RuntimeError(
+            "--platform/--num_devices must be applied before JAX backends "
+            "initialize, but they already are (another import touched jax "
+            "devices first)")
+    if num_devices is not None:
+        flags = os.environ.get("XLA_FLAGS", "")
+        flags += f" --xla_force_host_platform_device_count={num_devices}"
+        os.environ["XLA_FLAGS"] = flags.strip()
+    if platform is not None:
+        jax.config.update("jax_platforms", platform)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cmd = args.command
+    _apply_platform(args.platform, args.num_devices)
 
     if cmd == "disorder":
         from dtc_tpu.io.disorder import disorder_filenames, generate_disorder, save_disorder

@@ -181,3 +181,31 @@ def test_cli_sharded_autocorr(tmp_path):
                      "0.05", "--n_trajectories", "16", "--sharded",
                      "--out_dir", str(tmp_path / "sh"),
                      "--disorder_dir", str(tmp_path)]) == 0
+
+
+def test_cli_platform_flag_subprocess(tmp_path):
+    """--platform cpu --num_devices N retargets JAX before backend init (the
+    sanctioned jax.config route — the JAX_PLATFORMS env var deadlocks axon
+    discovery) and the sharded path then sees the virtual mesh."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    r = subprocess.run(
+        [sys.executable, "-m", "dtc_tpu", "--platform", "cpu",
+         "--num_devices", "4", "autocorr", "--L", "5", "--tf", "3",
+         "--n_trajectories", "16", "--sharded",
+         "--out_dir", str(tmp_path)],
+        capture_output=True, text=True, env=env, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "amp" in r.stdout  # mesh banner printed by the sharded driver
+    assert any(f.name.startswith("autocorr_data") for f in tmp_path.iterdir())
+
+
+def test_cli_platform_flag_after_init_raises():
+    """In-process, backends are already up (conftest) — the flag must fail
+    loudly instead of silently running on the wrong platform."""
+    with pytest.raises(RuntimeError, match="already"):
+        cli_main(["--platform", "cpu", "params", "--out", "/dev/null"])
