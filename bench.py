@@ -94,7 +94,8 @@ def _wait_for_tpu(max_wait_s: float = 900.0, probe_timeout_s: float = 120.0):
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
-                 "import jax; assert jax.devices()"],
+                 "import jax; d = jax.devices(); "
+                 "assert d and d[0].platform != 'cpu', d"],
                 capture_output=True, timeout=probe_timeout_s)
             if r.returncode == 0:
                 return True
@@ -108,7 +109,13 @@ def _wait_for_tpu(max_wait_s: float = 900.0, probe_timeout_s: float = 120.0):
 
 
 def main():
-    _wait_for_tpu()
+    import jax
+
+    # An explicitly forced CPU platform (e.g. `python -m dtc_tpu --platform
+    # cpu bench`) means there is no TPU to wait for — the probe subprocess
+    # would otherwise retry default (TPU) discovery for the full window.
+    if "cpu" not in str(jax.config.jax_platforms or ""):
+        _wait_for_tpu()
     L, T, n_traj = 20, 50, 32
     cycles_per_sec, dt = run_case(L=L, T=T, p=0.05, n_traj=n_traj)
     hbm_gbps = effective_hbm_gbps(L, n_cycles=T, n_states=n_traj, seconds=dt)

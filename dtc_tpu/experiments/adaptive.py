@@ -383,10 +383,12 @@ def run_adaptive_realtime(cfg, hs=None, phis=None, *, out_dir=None,
             from dtc_tpu.io.csvio import RealtimeCSVWriter
 
             folder = out_dir or f"controlled-autocorr_data_L{cfg.L}"
+            # resume=False: this loop always recomputes from t=0, so a
+            # rerun must overwrite, not append duplicate rows
             rt_writer = RealtimeCSVWriter(
                 os.path.join(folder, f"adaptive_realtime_inst{i+1}_"
                              + naming.adaptive_csv_name(cfg)),
-                ["time", "g", "forward", "echo"])
+                ["time", "g", "forward", "echo"], resume=False)
         key = jax.random.PRNGKey(cfg.seed + 101 * i)
         stepper = make_stepper(cfg, hs[i], phis[i], key=key)
         states_prev = stepper.reset()

@@ -213,36 +213,40 @@ def run_hardware_campaign(cfg, hs=None, phis=None, *, job_dir,
             else float("nan"),
         }
 
-    rows = []
-    for t in range(cfg.tf):
+    # Rows beyond those persisted: strictly sequential realtime appends.
+    # Rows already on disk are NEVER gated on re-decoding — a forward
+    # record that later fails to decode must not block (or truncate away)
+    # work that was already checkpointed.
+    new_rows = []
+    for t in range(start, cfg.tf):
         if np.isnan(fwd[:, t]).any():
             break  # realtime semantics: strictly sequential time rows
-        rows.append(row_for(t))
+        new_rows.append(row_for(t))
 
     # Echo back-fill: the realtime writer is append-only, so echo results
     # that land AFTER a time row was appended (the reference flow — forward
     # and echo are separate campaigns) would otherwise stay NaN in the
     # compatibility-contract CSV forever. When a previously NaN echo column
-    # now has a decoded value, rewrite the file from the decoded arrays
-    # (every row derives from fwd/ech, so the rewrite is exact).
+    # now has a decoded value, rewrite the file from the decoded arrays —
+    # but only when every persisted row can be rebuilt exactly (all forward
+    # values for t < start decoded); otherwise keep pure append semantics
+    # and the persisted rows stay untouched.
     backfill = False
-    if 0 < start <= len(rows):
+    if start > 0 and not np.isnan(fwd[:, :start]).any():
         old_echo = np.asarray(
             read_columns(csv_path).get("av_autocorr_echo", []), float)
         backfill = any(
-            np.isnan(old_echo[t])
-            and rows[t]["av_autocorr_echo"] == rows[t]["av_autocorr_echo"]
+            np.isnan(old_echo[t]) and not np.isnan(ech[:, t]).any()
             for t in range(min(start, len(old_echo))))
+    rows_written = len(new_rows)
     if backfill:
         writer.close()
+        all_rows = [row_for(t) for t in range(start)] + new_rows
         write_columns(csv_path,
-                      {k: [r[k] for r in rows] for k in CSV_FIELDS})
-        rows_written = len(rows) - start
+                      {k: [r[k] for r in all_rows] for k in CSV_FIELDS})
     else:
-        rows_written = 0
-        for r in rows[start:]:
+        for r in new_rows:
             writer.write_row(r)
-            rows_written += 1
         writer.close()
 
     n_fwd = int(np.sum(~np.isnan(fwd)))

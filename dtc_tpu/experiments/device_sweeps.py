@@ -8,11 +8,12 @@ import numpy as np
 
 from dtc_tpu.core.device_evolve import device_autocorr_echo, device_autocorr_forward
 from dtc_tpu.experiments.engine import traj_chunks
-from dtc_tpu.models.device_noise import brisbane_like_model
+from dtc_tpu.models.device_noise import fake_device_model
 
 
 def _model(cfg):
-    return brisbane_like_model(cfg.L, seed=cfg.seed + 7)
+    return fake_device_model(cfg.L, getattr(cfg, "fake_device", "brisbane"),
+                             seed=cfg.seed + 7)
 
 
 def device_forward_sweep(cfg, sched, params, key) -> np.ndarray:

@@ -60,9 +60,14 @@ class RealtimeCSVWriter:
     finished work and can resume (see resume_index).
     """
 
-    def __init__(self, path: str, fieldnames: Sequence[str]):
+    def __init__(self, path: str, fieldnames: Sequence[str], *,
+                 resume: bool = True):
+        """resume=True appends after rows already on disk (the caller skips
+        the first resume_index() rows); resume=False truncates — for loops
+        that always recompute from t=0 (e.g. the adaptive controller)."""
         self.path = path
         self.fieldnames = list(fieldnames)
+        self.resume = resume
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._f = None
 
@@ -71,7 +76,7 @@ class RealtimeCSVWriter:
         if not os.path.exists(self.path):
             return 0
         with open(self.path) as f:
-            lines = [ln for ln in f if ln.strip()]
+            lines = [ln.rstrip("\n") for ln in f if ln.strip()]
         if not lines or lines[0].split(",") != self.fieldnames:
             return 0
         return len(lines) - 1
@@ -84,7 +89,7 @@ class RealtimeCSVWriter:
 
     def write_row(self, row: Mapping):
         if self._f is None:
-            self._open(append=self.resume_index() > 0)
+            self._open(append=self.resume and self.resume_index() > 0)
         self._f.write(",".join(repr(float(row[k])) if isinstance(row[k], (float, np.floating))
                                else str(row[k]) for k in self.fieldnames) + "\n")
         self._f.flush()

@@ -112,3 +112,53 @@ def brisbane_like_model(L: int, seed: int = 7) -> DeviceNoiseModel:
     cal = synthetic_eagle_calibration(127, seed)
     lay = snake_layout(L, "brisbane")
     return model_from_calibration(cal, lay["path"], lay["ancilla"])
+
+
+def synthetic_garnet_calibration(seed: int = 7) -> dict:
+    """Deterministic Garnet-class (IQM 20q) calibration with typical
+    magnitudes (1q ~1e-3, 2q ~5e-3, readout ~2e-2; log-normal spread),
+    keyed by the exact garnet_coupling graph so every snake bond finds its
+    per-edge error. The IQMFakeGarnet stand-in
+    (autocorr-delta-a-single-qiskit-fast-energy-ham-comparison-iqm.py:83)."""
+    rng = np.random.default_rng(seed + 101)  # stream distinct from eagle
+    from dtc_tpu.device.layouts import garnet_coupling
+
+    n, edges, _ = garnet_coupling()
+    return {
+        "n_qubits": n,
+        "single_qubit_error": {
+            str(i): float(np.exp(rng.normal(np.log(1e-3), 0.4)))
+            for i in range(n)
+        },
+        "two_qubit_error": {
+            f"{a}-{b}": float(np.exp(rng.normal(np.log(5e-3), 0.4)))
+            for a, b in edges
+        },
+        "readout_error": {
+            str(i): float(np.exp(rng.normal(np.log(2e-2), 0.3)))
+            for i in range(n)
+        },
+    }
+
+
+def garnet_like_model(L: int, seed: int = 7) -> DeviceNoiseModel:
+    """Synthetic-calibration Garnet analogue (L <= 19 plus ancilla on the
+    20-qubit lattice) — the IQM counterpart of brisbane_like_model."""
+    from dtc_tpu.device.layouts import snake_layout
+
+    cal = synthetic_garnet_calibration(seed)
+    lay = snake_layout(L, "garnet")
+    return model_from_calibration(cal, lay["path"], lay["ancilla"])
+
+
+def fake_device_model(L: int, fake_device: str = "brisbane",
+                      seed: int = 7) -> DeviceNoiseModel:
+    """use_fakebackend=1 device selector: which QPU's calibration shape the
+    noise model mimics (the reference switches by script variant —
+    FakeBrisbane vs IQMFakeGarnet)."""
+    if fake_device == "garnet":
+        return garnet_like_model(L, seed)
+    if fake_device == "brisbane":
+        return brisbane_like_model(L, seed)
+    raise ValueError(f"unknown fake_device {fake_device!r} "
+                     "(expected 'brisbane' or 'garnet')")

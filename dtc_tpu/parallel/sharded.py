@@ -85,7 +85,7 @@ def _sharded_pauli_string(state, xmask, zmask, n_y, *, offset, local_size,
 
 def _sharded_kick_factored(state, theta_x, theta_y, sigma, pend_zm, diag_sig,
                            exp_h, exp_p, *, L, local_bits, n_amp, dtype,
-                           has_y, inverse=False, inv_t=None):
+                           has_y, inv_t=None):
     """Sigma-conjugated kick on a sharded local state with all pending noise
     Z-signs and diagonal sigma-corrections folded in.
 
@@ -96,12 +96,12 @@ def _sharded_kick_factored(state, theta_x, theta_y, sigma, pend_zm, diag_sig,
     on the local top-bit axis selected by shard bit 0, and global-global
     bonds a per-shard scalar. No full-plane per-cycle masks anywhere.
 
-    ``inverse`` daggers the slot unitaries statically; ``inv_t`` (a traced
-    boolean) selects the dagger at run time — the echo scan uses it to run
-    ONE kick application per step whose direction is data-dependent, instead
-    of computing both directions and discarding one (2x the einsums and
-    ppermutes). The dagger select costs a 2x2 ``where``; the caller selects
-    the matching conjugated exponent vectors.
+    ``inv_t`` (a traced boolean) selects the slot-unitary dagger at run
+    time — the echo scan uses it to run ONE kick application per step whose
+    direction is data-dependent, instead of computing both directions and
+    discarding one (2x the einsums and ppermutes). The dagger select costs
+    a 2x2 ``where``; the caller selects the matching conjugated exponent
+    vectors.
     """
     from dtc_tpu.core.sigma_evolve import (
         _bits,
@@ -118,8 +118,6 @@ def _sharded_kick_factored(state, theta_x, theta_y, sigma, pend_zm, diag_sig,
 
     def make(tx, ty, dtype=dtype):
         u = slot_unitary(tx, ty, dtype)
-        if inverse:
-            return jnp.conj(u).T
         if inv_t is not None:
             return jnp.where(inv_t, jnp.conj(u).T, u)
         return u
@@ -347,7 +345,8 @@ def make_sharded_echo(
                 # the kick einsums and global-bit ppermutes run once; only
                 # the 2x2 unitaries, (L,) exponent vectors, diagonal vectors
                 # and noise words are where()-selected). Matches
-                # _sharded_forward_cycle / _sharded_inverse_cycle exactly —
+                # _sharded_forward_cycle and the unsharded
+                # core.sigma_evolve.inverse_cycle_fac exactly —
                 # same kick slot order (fwd ascending / inv descending), the
                 # inverse's d0c BEFORE its kicks vs the forward's d0 after,
                 # and the turnaround rule (sig_b[0] ^ pend_sig on the first

@@ -29,6 +29,9 @@ def add_common_flags(p: argparse.ArgumentParser):
                    choices=["vacuum", "neel"])
     p.add_argument("--use_fakebackend", type=int, default=0,
                    help="1 = device-noise model mode")
+    p.add_argument("--fake_device", type=str, default="brisbane",
+                   choices=["brisbane", "garnet"],
+                   help="which QPU calibration use_fakebackend=1 mimics")
     p.add_argument("--polarization", type=str, default="x")
     p.add_argument("--circular_frequency", type=float, default=0.5)
     p.add_argument("--n_trajectories", type=int, default=256)

@@ -34,6 +34,10 @@ class SimConfig:
     noise_prob: float = 0.05
     use_noise: int = 1
     use_fakebackend: int = 0    # device-noise import mode (FakeBrisbane analogue)
+    fake_device: str = "brisbane"  # "brisbane" | "garnet" — which QPU's
+                                # calibration shape use_fakebackend=1 mimics
+                                # (reference switches by script variant:
+                                # FakeBrisbane vs IQMFakeGarnet)
     n_trajectories: int = 256   # Pauli-twirl trajectories per instance
     shots: int = 0              # 0 = analytic expectation; >0 = Bernoulli shot sampling
     estimator_shots: int = 0    # 0 = exact estimator; >0 = gaussian sampling noise

@@ -151,3 +151,65 @@ def test_campaign_echo_backfill_after_forward_rows(tmp_path):
     c2 = read_columns(r2["csv_path"])
     np.testing.assert_allclose(c2["av_autocorr_echo"], [1.0, 1.0])
     np.testing.assert_allclose(c2["av_autocorr"], c1["av_autocorr"])
+
+
+def test_campaign_persisted_rows_survive_record_regression(tmp_path):
+    """Rows already checkpointed to the CSV must survive a rerun even if an
+    EARLIER forward record has since vanished/failed to decode — realtime
+    semantics trust what was persisted and only gate NEW rows on decoding
+    (regression: a from-zero rebuild used to truncate the file to nothing)."""
+    cfg = CFG.replace(inst=1, tf=3)
+    hs, phis = generate_disorder(cfg.L, cfg.inst, seed=7)
+
+    def drop(kind, t):
+        kdir = tmp_path / "res" / kind
+        kdir.mkdir(parents=True, exist_ok=True)
+        rec = {"created": f"2024-01-01T00:00:{t:02d}", "status": "completed",
+               "instance": 0, "t": t,
+               "measurements": {"c_1_0_0": [[0]] * 8}}
+        with open(kdir / f"job{t}.json", "w") as f:
+            json.dump(rec, f)
+
+    kw = dict(job_dir=str(tmp_path / "jobs"),
+              results_dir=str(tmp_path / "res"),
+              out_dir=str(tmp_path / "out"), shots=8)
+    for t in range(2):
+        drop("forward", t)
+    r1 = run_hardware_campaign(cfg, hs, phis, **kw)
+    assert r1["rows_on_disk"] == 2
+    # the t=0 record regresses; a NEW completed t=2 lands
+    os.remove(tmp_path / "res" / "forward" / "job0.json")
+    drop("forward", 2)
+    r2 = run_hardware_campaign(cfg, hs, phis, **kw)
+    assert r2["rows_written"] == 1
+    assert r2["rows_on_disk"] == 3
+    cols = csvio.read_columns(r2["csv_path"])
+    assert len(cols["time"]) == 3
+    np.testing.assert_allclose(cols["time"], [0, 1, 2])
+    # the persisted t=0/t=1 forward values are untouched
+    np.testing.assert_allclose(cols["av_autocorr"][:2],
+                               csvio.read_columns(r1["csv_path"])["av_autocorr"][:2])
+
+
+def test_realtime_writer_resume_and_overwrite(tmp_path):
+    """resume_index counts rows written by the writer itself (regression:
+    the header compare kept the trailing newline and always returned 0,
+    silently truncate-rewriting on every reopen); resume=False truncates."""
+    from dtc_tpu.io.csvio import RealtimeCSVWriter
+
+    path = str(tmp_path / "rt.csv")
+    fields = ["time", "value"]
+    with RealtimeCSVWriter(path, fields) as w:
+        assert w.resume_index() == 0
+        w.write_row({"time": 0, "value": 1.5})
+        w.write_row({"time": 1, "value": 2.5})
+    w2 = RealtimeCSVWriter(path, fields)
+    assert w2.resume_index() == 2
+    with w2:
+        w2.write_row({"time": 2, "value": 3.5})
+    assert csvio.read_columns(path)["time"].tolist() == [0.0, 1.0, 2.0]
+    # resume=False: a recompute-from-zero loop overwrites instead
+    with RealtimeCSVWriter(path, fields, resume=False) as w3:
+        w3.write_row({"time": 0, "value": 9.0})
+    cols = csvio.read_columns(path)
+    assert cols["time"].tolist() == [0.0] and cols["value"].tolist() == [9.0]

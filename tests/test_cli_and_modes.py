@@ -205,7 +205,10 @@ def test_cli_platform_flag_subprocess(tmp_path):
 
 
 def test_cli_platform_flag_after_init_raises():
-    """In-process, backends are already up (conftest) — the flag must fail
-    loudly instead of silently running on the wrong platform."""
+    """In-process, once backends are up the flag must fail loudly instead
+    of silently running on the wrong platform."""
+    import jax
+
+    jax.devices()  # force backend init (standalone runs)
     with pytest.raises(RuntimeError, match="already"):
         cli_main(["--platform", "cpu", "params", "--out", "/dev/null"])

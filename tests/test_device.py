@@ -370,3 +370,22 @@ def test_synthetic_calibration_covers_every_snake_bond():
             and tuple(sorted((a, b))) not in hops  # stitch hops aren't edges
         ]
         assert not missing, (device, missing)
+
+
+def test_garnet_like_model_and_selector():
+    """use_fakebackend=1 Garnet mode: calibration keyed by the exact 20q
+    garnet graph, mapped through the garnet snake (IQMFakeGarnet analogue,
+    ...-ham-comparison-iqm.py:83); selector rejects unknown devices."""
+    import pytest
+
+    from dtc_tpu.models.device_noise import fake_device_model
+
+    m = fake_device_model(19, "garnet", seed=3)
+    assert m.L == 19
+    assert np.all(m.p_1q > 0) and np.all(m.p_1q < 0.1)
+    assert np.all(m.p_2q > 0) and len(m.p_2q) == 18
+    assert 0 < m.readout_ancilla < 0.2
+    b = fake_device_model(19, "brisbane", seed=3)
+    assert not np.allclose(m.p_1q, b.p_1q)  # distinct calibrations
+    with pytest.raises(ValueError, match="fake_device"):
+        fake_device_model(19, "torino")
