@@ -85,9 +85,25 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
             initial_state=initial_state, ancilla_factor=ancilla_factor,
             time_dependent=not time_independent)
 
+    blocked_ok, blocked_ti = _resident_dispatch(
+        angles, has_y=has_y, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
+        engine="resident" if engine == "blocked" else "off", max_L=23)
+    if (engine == "blocked" and blocked_ok and 22 <= L <= 23
+            and (blocked_ti or L == 22)):
+        # blocked-plane VMEM-resident kernel (opt-in until measured on
+        # hardware): plane ops restructured into fori_loops over blocks so
+        # Mosaic's register allocator stays bounded where the full-plane
+        # L=22 body spilled ~102 MB (docs/PERFORMANCE.md)
+        from dtc_tpu.ops.pallas_resident_blocked import blocked_forward_batch
+
+        return blocked_forward_batch(
+            hs, phis, angles, keys, L=L, T=T, p=p, q=q,
+            initial_state=initial_state, ancilla_factor=ancilla_factor,
+            time_dependent=not blocked_ti)
+
     if (time_independent and 22 <= L <= 28 and q < 14
             and dtype_name == "complex64" and T <= 1024
-            and engine in ("auto", "resident", "streamed")
+            and engine in ("auto", "resident", "streamed", "blocked")
             and jax.default_backend() != "cpu"):
         # HBM-streamed whole-trajectory kernel: past the VMEM limit the
         # state lives in HBM and each cycle makes two double-buffered DMA
@@ -148,7 +164,7 @@ def _resident_dispatch(angles, *, has_y, K, L, q, T, dtype_name, engine,
     # 'streamed' names the fast-kernel family too: at L <= 21 the resident
     # kernel IS that family's member, so an explicit request must not
     # silently fall to the sigma engine (ADVICE r1)
-    ok = (engine in ("auto", "resident", "streamed") and x_only
+    ok = (engine in ("auto", "resident", "streamed", "blocked") and x_only
           and 14 <= L <= max_L and q < 14 and dtype_name == "complex64"
           and (time_independent or T <= 256)
           and jax.default_backend() != "cpu")
@@ -163,7 +179,7 @@ def _general_dispatch(angles, *, K, L, q, T, dtype_name, engine, max_L=21,
     limit) and the echo kernel 2*T*K <= 1024 (max_steps=512)."""
     if isinstance(angles, jax.core.Tracer):
         return False
-    return (engine in ("auto", "resident", "general", "streamed")
+    return (engine in ("auto", "resident", "general", "streamed", "blocked")
             and 14 <= L <= max_L and q < 14 and dtype_name == "complex64"
             and T * K <= max_steps and jax.default_backend() != "cpu")
 
@@ -204,7 +220,7 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
         # 'resident' names the fast-kernel family too (mirror
         # _forward_batch: an explicit fast-family request must not
         # silently fall to the deopted sigma engine)
-        and T <= 512 and engine in ("auto", "resident", "streamed")
+        and T <= 512 and engine in ("auto", "resident", "streamed", "blocked")
         and jax.default_backend() != "cpu")
     if streamed_ok:
         ang_np = np.asarray(angles)

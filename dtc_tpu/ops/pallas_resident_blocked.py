@@ -1,0 +1,293 @@
+"""Blocked-plane VMEM-resident Floquet kernel for L = 22..23 (x drive).
+
+The L <= 21 resident kernel (ops/pallas_resident.py) operates on FULL
+(TOP, 16384) planes: at L=22 Mosaic's register allocator spills ~102 MB
+of vector registers compiling that body (docs/PERFORMANCE.md "resident
+kernel at L=22", a measured negative result) — the plane values are too
+large to hold live. This kernel keeps the state VMEM-RESIDENT (32 MB at
+L=22, 64 MB at L=23 — both under the ~122 MB practical scoped-VMEM max)
+but restructures every plane op into inner ``fori_loop``s over plane
+blocks, so the live working set per iteration is a few BT*64 KB /
+TOP*CS*4 B chunks instead of full planes:
+
+  pass 1 (bits 0..13 kicks + folded low/mid diagonal + bond-6 straddle):
+      loop over TOP-axis blocks of BT rows; per block two Karatsuba
+      (BT*128, 128) x (128, 128) dots with the axis swap between them
+  pass 2 (top kick + folded high diagonal + bond-13 straddle + measure):
+      per column half (the straddle's z13 sign is constant inside a
+      half), loop over column chunks of CS lanes; per chunk one
+      Karatsuba (TOP, TOP) x (TOP, CS) dot, then the A(t) partial sum
+
+Same math, same per-cycle SMEM parameter rows, same presampled
+trajectories as the L <= 21 kernel — values match the sigma engine
+trajectory-for-trajectory at the dot-precision level. The physics and
+the noise/measurement conventions mirror the reference simulation loop
+(autocorr-delta-a-single-qiskit-fast.py:111-147) exactly as
+core/sigma_evolve.py does.
+
+Replaces the HBM-streamed kernel as the default L = 22..23 engine when
+measured faster (the streamed kernel's two DMA sweeps per cycle move
+2 x state through HBM; here a cycle touches HBM not at all).
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dtc_tpu.core.sigma_evolve import presample_noise
+from dtc_tpu.core.statevector import neel_index
+from dtc_tpu.ops.pallas_noise import pack_cycle_params_compact
+from dtc_tpu.ops.pallas_resident import (
+    _C,
+    _HALF_PI,
+    _cmul,
+    _dot_f32,
+    _kick_matrices,
+)
+
+
+def _make_blocked_kernel(L: int, T: int, q: int, b0: int,
+                         time_dep: bool, bt: int, cs: int):  # noqa: C901
+    """One grid step = one trajectory, all T cycles, blocked plane ops."""
+    TOP = 1 << (L - 14)
+    if TOP % bt:
+        raise ValueError(f"bt={bt} must divide TOP={TOP}")
+    if (_C // 2) % cs:
+        raise ValueError(f"cs={cs} must divide {_C // 2}")
+    n_bt = TOP // bt
+    n_cs = (_C // 2) // cs
+
+    def kernel(u7r_ref, u7i_ref, utr_ref, uti_ref, par_ref,
+               a_out_ref, st_ref):
+        arow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        alane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        apos = arow * 128 + alane
+
+        # init: basis state b0, one TOP-block at a time
+        colb = jax.lax.broadcasted_iota(jnp.uint32, (bt, _C), 1)
+        topb = jax.lax.broadcasted_iota(jnp.uint32, (bt, _C), 0)
+
+        def init_block(i, _):
+            gidx = ((topb + jnp.uint32(i * bt)) << 14) | colb
+            st_ref[0, pl.ds(i * bt, bt), :] = jnp.where(
+                gidx == jnp.uint32(b0), 1.0, 0.0)
+            st_ref[1, pl.ds(i * bt, bt), :] = jnp.zeros((bt, _C), jnp.float32)
+            return _
+
+        jax.lax.fori_loop(0, n_bt, init_block, None)
+
+        # loop-invariant tables (identical to the L <= 21 kernel)
+        l7 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        z7 = [(1 - 2 * ((l7 >> k) & 1)).astype(jnp.float32) for k in range(7)]
+        lci = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
+        zz67 = (1 - 2 * (((lci >> 6) ^ (lci >> 7)) & 1)).astype(jnp.float32)
+        lcs = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1)
+        hti = jax.lax.broadcasted_iota(jnp.int32, (TOP, 1), 0)
+        zh = [(1 - 2 * ((hti >> k) & 1)).astype(jnp.float32)
+              for k in range(L - 14)]
+
+        def cycle(cyc, _):
+            ui = cyc if time_dep else 0
+            u7rt = u7r_ref[ui].T
+            u7it = u7i_ref[ui].T
+
+            # compact row layout: n | sig | flip | h | phi at offsets
+            # 0, L, 2L, 3L-1, 4L-1 (pack_cycle_params_compact)
+            def cz(qq):
+                return (par_ref[0, 0, cyc, 3 * L - 1 + qq]
+                        * (par_ref[0, 0, cyc, L + qq] - 0.5)
+                        - _HALF_PI * par_ref[0, 0, cyc, qq])
+
+            def cb(jj):
+                return (par_ref[0, 0, cyc, 4 * L - 1 + jj]
+                        * (par_ref[0, 0, cyc, 2 * L + jj] - 0.5))
+
+            def seven_bit_angle(base, bias):
+                th = jnp.full((1, 128), bias, jnp.float32)
+                for k in range(7):
+                    th = th + cz(base + k) * z7[k]
+                    if k > 0:
+                        th = th + cb(base + k - 1) * (z7[k - 1] * z7[k])
+                return th
+
+            def scaled(th):
+                dr = jnp.cos(th)
+                di = jnp.sin(th)
+                br = u7rt * dr - u7it * di
+                bi = u7rt * di + u7it * dr
+                return br, bi, br + bi
+
+            def kara_right(mr, mi, br, bi, bs):
+                p1 = _dot_f32(mr, br)
+                p2 = _dot_f32(mi, bi)
+                p3 = _dot_f32(mr + mi, bs)
+                return p1 - p2, p3 - p1 - p2
+
+            c0 = _HALF_PI * sum(par_ref[0, 0, cyc, qq] for qq in range(L))
+            blr, bli, bls = scaled(seven_bit_angle(0, c0))
+            bmr, bmi, bms = scaled(seven_bit_angle(7, 0.0))
+            s6 = cb(6)
+            c6, s6z = jnp.cos(s6), zz67 * jnp.sin(s6)
+
+            # ---- pass 1: bits 0..13 kicks + bond-6 straddle, per TOP block
+            def p1_block(i, _):
+                mr = st_ref[0, pl.ds(i * bt, bt), :].reshape(bt * 128, 128)
+                mi = st_ref[1, pl.ds(i * bt, bt), :].reshape(bt * 128, 128)
+                mr, mi = kara_right(mr, mi, blr, bli, bls)
+                mr = jnp.swapaxes(mr.reshape(bt, 128, 128), 1, 2).reshape(
+                    bt * 128, 128)
+                mi = jnp.swapaxes(mi.reshape(bt, 128, 128), 1, 2).reshape(
+                    bt * 128, 128)
+                mr, mi = kara_right(mr, mi, bmr, bmi, bms)
+                mr = jnp.swapaxes(mr.reshape(bt, 128, 128), 1, 2).reshape(
+                    bt, _C)
+                mi = jnp.swapaxes(mi.reshape(bt, 128, 128), 1, 2).reshape(
+                    bt, _C)
+                mr, mi = _cmul(mr, mi, c6, s6z)
+                st_ref[0, pl.ds(i * bt, bt), :] = mr
+                st_ref[1, pl.ds(i * bt, bt), :] = mi
+                return _
+
+            jax.lax.fori_loop(0, n_bt, p1_block, None)
+
+            # ---- pass 2: top kick + high diag + bond-13 straddle + measure
+            th_hi = jnp.zeros((TOP, 1), jnp.float32)
+            for k in range(L - 14):
+                th_hi = th_hi + cz(14 + k) * zh[k]
+                if k > 0:
+                    th_hi = th_hi + cb(13 + k) * (zh[k - 1] * zh[k])
+            s13z14 = cb(13) * zh[0]
+            utr = utr_ref[ui]
+            uti = uti_ref[ui]
+
+            a_next = jnp.zeros((), jnp.float32)
+            for half, sgn in ((0, 1.0), (1, -1.0)):
+                th = th_hi + sgn * s13z14
+                dr = jnp.cos(th)
+                di = jnp.sin(th)
+                btr = utr * dr - uti * di
+                bti = utr * di + uti * dr
+                bts = btr + bti
+                base = half * (_C // 2)
+
+                def p2_chunk(j, acc, btr=btr, bti=bti, bts=bts, base=base):
+                    off = base + j * cs
+                    hr = st_ref[0, :, pl.ds(off, cs)]
+                    hi_ = st_ref[1, :, pl.ds(off, cs)]
+                    q1 = _dot_f32(btr, hr)
+                    q2 = _dot_f32(bti, hi_)
+                    q3 = _dot_f32(bts, hr + hi_)
+                    kr = q1 - q2
+                    ki = q3 - q1 - q2
+                    st_ref[0, :, pl.ds(off, cs)] = kr
+                    st_ref[1, :, pl.ds(off, cs)] = ki
+                    zq = (1 - 2 * (((lcs + off) >> q) & 1)).astype(
+                        jnp.float32)
+                    return acc + jnp.sum((kr * kr + ki * ki) * zq)
+
+                a_next = jax.lax.fori_loop(0, n_cs, p2_chunk, a_next)
+
+            @pl.when(cyc + 1 < T)
+            def _():
+                a_out_ref[0] = a_out_ref[0] + jnp.where(
+                    apos == cyc + 1, a_next, 0.0)
+
+            return _
+
+        a_out_ref[0] = jnp.where(apos == 0, float(1 - 2 * ((b0 >> q) & 1)),
+                                 0.0)
+        jax.lax.fori_loop(0, T, cycle, None)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "p", "q", "initial_state", "ancilla_factor",
+                     "time_dependent", "interpret"),
+)
+def blocked_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
+                          initial_state="vacuum", ancilla_factor=1.0,
+                          time_dependent=False, interpret=False):
+    """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2) -> (inst, c, T).
+
+    Blocked-plane VMEM-resident x-pol forward autocorrelator for
+    22 <= L <= 23 (q < 14). Grid iterates trajectories; one grid step =
+    one full trajectory. Per-cycle x schedules (time_dependent) are
+    limited to L=22: the (T, TOP, TOP) top-kick matrix block at L=23
+    would not fit VMEM next to the 64 MB state.
+    """
+    if not (22 <= L <= 23):
+        raise ValueError("blocked resident kernel supports 22 <= L <= 23")
+    if q >= 14:
+        raise ValueError("blocked resident kernel requires q < 14")
+    if T > 1024:
+        raise ValueError("blocked resident kernel supports T <= 1024")
+    if time_dependent and L != 22:
+        raise ValueError("per-cycle schedules supported at L=22 only")
+    TOP = 1 << (L - 14)
+    b0 = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
+    bt = int(_os.environ.get("DTC_TPU_BLOCKED_BT", "16"))
+    cs = int(_os.environ.get("DTC_TPU_BLOCKED_CS", "2048"))
+
+    Tu = T if time_dependent else 1
+    u7r, u7i, utr, uti = _kick_matrices(angles, L, TOP, time_dependent)
+
+    def per_instance(h, ph, ks):
+        n_traj = ks.shape[0]
+        if p > 0.0:
+            def sample(key):
+                _, zm, _, csum = presample_noise(key, p, T, L)
+                return jax.vmap(
+                    lambda z, sg: pack_cycle_params_compact(z, sg, h, ph, L)
+                )(zm, csum), csum
+
+            params, sig_after = jax.vmap(sample)(ks)  # (c,T,128), (c,T)
+        else:
+            row = pack_cycle_params_compact(
+                jnp.uint32(0), jnp.uint32(0), h, ph, L)
+            params = jnp.broadcast_to(row, (n_traj, T, 128))
+            sig_after = jnp.zeros((n_traj, T), jnp.uint32)
+        params = params.reshape(n_traj, 1, T, 128)
+
+        a_raw = pl.pallas_call(
+            _make_blocked_kernel(L, T, q, b0, time_dependent, bt, cs),
+            out_shape=jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
+            grid=(n_traj,),
+            in_specs=[
+                pl.BlockSpec((Tu, 128, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # u7r
+                pl.BlockSpec((Tu, 128, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # u7i
+                pl.BlockSpec((Tu, TOP, TOP), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # utr
+                pl.BlockSpec((Tu, TOP, TOP), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # uti
+                pl.BlockSpec((1, 1, T, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.SMEM),  # params
+            ],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, TOP, _C), jnp.float32),  # resident state
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(u7r, u7i, utr, uti, params)
+        a_raw = a_raw.reshape(n_traj, 1024)[:, :T]
+
+        sig_start = jnp.concatenate(
+            [jnp.zeros((n_traj, 1), jnp.uint32), sig_after[:, :-1]], axis=1)
+        sq = (1 - 2 * ((sig_start >> q) & jnp.uint32(1)).astype(jnp.int32)
+              ).astype(jnp.float32)
+        return ancilla_factor * s0 * sq * a_raw
+
+    return jax.vmap(per_instance)(hs, phis, keys)

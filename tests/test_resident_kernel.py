@@ -191,6 +191,49 @@ def test_streamed_echo_rejects_bad_args():
                             keys, ts, L=22, T=4, p=0.05, q=14)
 
 
+def test_blocked_rejects_bad_args():
+    from dtc_tpu.ops.pallas_resident_blocked import blocked_forward_batch
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)[None]
+    ang = jnp.zeros((2, 1, 2))
+    with pytest.raises(ValueError, match="22 <= L <= 23"):
+        blocked_forward_batch(jnp.ones((1, 21)), jnp.ones((1, 20)), ang,
+                              keys, L=21, T=2, p=0.0, q=4)
+    with pytest.raises(ValueError, match="q < 14"):
+        blocked_forward_batch(jnp.ones((1, 22)), jnp.ones((1, 21)), ang,
+                              keys, L=22, T=2, p=0.0, q=14)
+    with pytest.raises(ValueError, match="L=22 only"):
+        blocked_forward_batch(jnp.ones((1, 23)), jnp.ones((1, 22)), ang,
+                              keys, L=23, T=2, p=0.0, q=4,
+                              time_dependent=True)
+
+
+def test_blocked_dispatch_is_opt_in():
+    """DTC_TPU_ENGINE=blocked routes L=22..23 x-drives to the blocked
+    kernel on TPU; 'auto' keeps the streamed kernel (until measured). On
+    CPU neither fires — exercised via the sigma fallback at a small L."""
+    import os
+
+    from dtc_tpu.experiments.engine import _forward_batch
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.models.drives import build_kick_schedule
+
+    L, T = 12, 2
+    hs, phis = generate_disorder(L, 1, seed=98)
+    sched = build_kick_schedule("x", 0.9, T)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)[None]
+    os.environ["DTC_TPU_ENGINE"] = "blocked"
+    try:
+        out = _forward_batch(
+            jnp.asarray(hs[:, :L]), jnp.asarray(phis[:, :L - 1]),
+            sched.angles, keys, L=L, T=T, K=1, p=0.0, q=L // 2,
+            initial_state="vacuum", dtype_name="complex64",
+            ancilla_factor=1.0)
+    finally:
+        del os.environ["DTC_TPU_ENGINE"]
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0], 1.0, atol=1e-6)
+
+
 def test_echo_pair_tiles_shared_builder():
     """The (pre, post) tile builder shared by resident and streamed echo:
     trip count lane, imag signs, and final sigma are consistent."""
@@ -274,6 +317,22 @@ def test_all_kernel_entry_points_trace():
             lambda *a, L=L: streamed_echo_batch(*a, L=L, T=T, p=0.05, q=11),
             hs, phis, ang, keys, ts)
         assert e.shape == (1, 2, 2)
+
+    from dtc_tpu.ops.pallas_resident_blocked import blocked_forward_batch
+
+    for L in (22, 23):
+        hs, phis, ang = args(L)
+        f = jax.eval_shape(
+            lambda *a, L=L: blocked_forward_batch(*a, L=L, T=T, p=0.05,
+                                                  q=11), hs, phis, ang, keys)
+        assert f.shape == (1, 2, T)
+    # per-cycle schedule variant (L=22 only)
+    hs, phis, ang = args(22)
+    f = jax.eval_shape(
+        lambda *a: blocked_forward_batch(*a, L=22, T=T, p=0.05, q=11,
+                                         time_dependent=True),
+        hs, phis, ang, keys)
+    assert f.shape == (1, 2, T)
 
     # VMEM-params branch: width=256 rows (L=27/28) overflow the 1 MB
     # double-buffered SMEM window past T=512, so the params BlockSpec
