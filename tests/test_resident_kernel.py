@@ -234,6 +234,38 @@ def test_blocked_dispatch_is_opt_in():
     np.testing.assert_allclose(np.asarray(out)[0, 0, 0], 1.0, atol=1e-6)
 
 
+def test_blocked_kernel_matches_sigma_interpret():
+    """Full numerical validation of the blocked kernel on CPU: unlike the
+    full-plane resident/streamed kernels (interpret-infeasible), the
+    blocked body's bounded fori_loops interpret in seconds, so the new
+    kernel gets trajectory-exact CPU coverage vs the sigma engine with
+    identical presampled noise (~1e-5: interpret dots are true f32)."""
+    from dtc_tpu.core.sigma_evolve import sigma_forward_batch
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.models.drives import build_kick_schedule
+    from dtc_tpu.ops.pallas_resident_blocked import blocked_forward_batch
+
+    for L, T, state, tdep in ((22, 3, "neel", False),
+                              (22, 3, "vacuum", True)):
+        hs_np, phis_np = generate_disorder(L, 1, seed=7)
+        hs = jnp.asarray(hs_np[:, :L])
+        phis = jnp.asarray(phis_np[:, :L - 1])
+        if tdep:
+            ang = jnp.zeros((T, 1, 2)).at[:, 0, 0].set(
+                jnp.linspace(2.6, 3.05, T))
+        else:
+            ang = build_kick_schedule("x", 0.97, T).angles
+        keys = jax.random.split(jax.random.PRNGKey(3), 1)[None]
+        b = np.asarray(blocked_forward_batch(
+            hs, phis, ang, keys, L=L, T=T, p=0.1, q=11,
+            initial_state=state, time_dependent=tdep, interpret=True))
+        s = np.asarray(sigma_forward_batch(
+            hs, phis, ang, keys, L=L, T=T, K=1, p=0.1, q=11,
+            initial_state=state, dtype_name="complex64",
+            ancilla_factor=1.0, has_y=False))
+        assert np.max(np.abs(b - s)) < 1e-4, (L, T, state, tdep)
+
+
 def test_echo_pair_tiles_shared_builder():
     """The (pre, post) tile builder shared by resident and streamed echo:
     trip count lane, imag signs, and final sigma are consistent."""
