@@ -78,3 +78,26 @@ print(f"noisy blocked-vs-streamed max|err| = {np.max(np.abs(bk - st)):.2e}",
 print(f"blocked : {n_traj * T / dtb:7.0f} traj-cyc/s ({dtb * 1e3:.0f} ms)")
 print(f"streamed: {n_traj * T / dtst:7.0f} traj-cyc/s ({dtst * 1e3:.0f} ms)")
 print(f"sigma   : {n_traj * T / dts:7.0f} traj-cyc/s ({dts * 1e3:.0f} ms)")
+
+# ---- echo: blocked vs streamed (sweep t = 1..T, dynamic trip counts) ----
+if "--no-echo" not in _sys.argv:
+    from dtc_tpu.ops.pallas_resident_blocked import blocked_echo_batch
+    from dtc_tpu.ops.pallas_streamed import streamed_echo_batch
+
+    ekeys = keys[:, : max(2, n_traj // 2)]
+    ts_sub = jnp.asarray([1, T // 2, T])
+    eb, _ = timed(blocked_echo_batch, hs, phis, sched.angles, ekeys[:, :2],
+                  ts_sub, L=L, T=T, p=p, q=q, reps=1)
+    es, _ = timed(streamed_echo_batch, hs, phis, sched.angles, ekeys[:, :2],
+                  ts_sub, L=L, T=T, p=p, q=q, reps=1)
+    print(f"echo blocked-vs-streamed max|err| = {np.max(np.abs(eb - es)):.2e}")
+    ts_full = jnp.arange(1, T + 1)
+    n_steps = ekeys.shape[1] * (T * (T + 1))  # sum of 2t active steps
+    _, dteb = timed(blocked_echo_batch, hs, phis, sched.angles, ekeys,
+                    ts_full, L=L, T=T, p=p, q=q)
+    _, dtes = timed(streamed_echo_batch, hs, phis, sched.angles, ekeys,
+                    ts_full, L=L, T=T, p=p, q=q)
+    print(f"echo blocked : {n_steps / dteb:7.0f} active steps/s "
+          f"({dteb * 1e3:.0f} ms)")
+    print(f"echo streamed: {n_steps / dtes:7.0f} active steps/s "
+          f"({dtes * 1e3:.0f} ms)")

@@ -206,6 +206,20 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
             initial_state=initial_state, ancilla_factor=ancilla_factor,
             time_dependent=not time_independent)
 
+    blocked_ok, blocked_ti = _resident_dispatch(
+        angles, has_y=has_y, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
+        engine="resident" if engine == "blocked" else "off", max_L=23)
+    if (engine == "blocked" and blocked_ok and 22 <= L <= 23 and T <= 512
+            and (blocked_ti or L == 22)):
+        # blocked-plane VMEM-resident echo (opt-in until measured; see
+        # _forward_batch)
+        from dtc_tpu.ops.pallas_resident_blocked import blocked_echo_batch
+
+        return blocked_echo_batch(
+            hs, phis, angles, keys, ts, L=L, T=T, p=p, q=q,
+            initial_state=initial_state, ancilla_factor=ancilla_factor,
+            time_dependent=not blocked_ti)
+
     if _general_dispatch(angles, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
                          engine=engine, max_L=21, max_steps=512):
         from dtc_tpu.ops.pallas_resident_general import general_echo_batch

@@ -207,6 +207,280 @@ def _make_blocked_kernel(L: int, T: int, q: int, b0: int,
     return kernel
 
 
+def _make_blocked_echo_kernel(L: int, T2: int, q: int, b0: int,
+                              time_dep: bool, bt: int, cs: int):  # noqa: C901
+    """Echo: one grid step = one (traj, t) pair, 2T masked steps, blocked.
+
+    Same (pre, post) interleaved compact step tiles as the L <= 21
+    resident echo (shared builder pallas_resident.echo_pair_tiles): both
+    step diagonals fold into the kick dots as row/column scalings; the
+    pre bond-6/13 straddles are per-block cmuls in pass 1 and the post
+    bond-6 straddle a per-chunk cmul in pass 2 (it commutes with the top
+    dot: bits 6/7 are column bits the TOP contraction never touches).
+    The per-pair trip count bounds the step loop, so only the first 2t
+    active steps run — the select the full-plane kernel carries is
+    redundant under that bound and dropped here.
+    """
+    TOP = 1 << (L - 14)
+    if TOP % bt:
+        raise ValueError(f"bt={bt} must divide TOP={TOP}")
+    if (_C // 2) % cs:
+        raise ValueError(f"cs={cs} must divide {_C // 2}")
+    n_bt = TOP // bt
+    n_cs = (_C // 2) // cs
+
+    def kernel(u7r_ref, u7i_ref, utr_ref, uti_ref, par_ref,
+               a_out_ref, st_ref):
+        colb = jax.lax.broadcasted_iota(jnp.uint32, (bt, _C), 1)
+        topb = jax.lax.broadcasted_iota(jnp.uint32, (bt, _C), 0)
+
+        def init_block(i, _):
+            gidx = ((topb + jnp.uint32(i * bt)) << 14) | colb
+            st_ref[0, pl.ds(i * bt, bt), :] = jnp.where(
+                gidx == jnp.uint32(b0), 1.0, 0.0)
+            st_ref[1, pl.ds(i * bt, bt), :] = jnp.zeros((bt, _C), jnp.float32)
+            return _
+
+        jax.lax.fori_loop(0, n_bt, init_block, None)
+
+        # loop-invariant tables
+        l7r = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        z7o = [(1 - 2 * ((l7r >> k) & 1)).astype(jnp.float32)
+               for k in range(7)]
+        l7c = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        z7i = [(1 - 2 * ((l7c >> k) & 1)).astype(jnp.float32)
+               for k in range(7)]
+        lci = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
+        zz67 = (1 - 2 * (((lci >> 6) ^ (lci >> 7)) & 1)).astype(jnp.float32)
+        z13c = (1 - 2 * ((lci >> 13) & 1)).astype(jnp.float32)
+        lcs = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1)
+        zz67c = (1 - 2 * (((lcs >> 6) ^ (lcs >> 7)) & 1)).astype(jnp.float32)
+        hti = jax.lax.broadcasted_iota(jnp.int32, (TOP, 1), 0)
+        zho = [(1 - 2 * ((hti >> k) & 1)).astype(jnp.float32)
+               for k in range(L - 14)]
+        htc = jax.lax.broadcasted_iota(jnp.int32, (1, TOP), 1)
+        zhi = [(1 - 2 * ((htc >> k) & 1)).astype(jnp.float32)
+               for k in range(L - 14)]
+        hbt = jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
+
+        # compact row layout: n | sig | flip | h | phi at offsets
+        # 0, L, 2L, 3L-1, 4L-1; flags at lanes 124..127
+        def cz(ti, qq):
+            return (par_ref[0, ti, 3 * L - 1 + qq]
+                    * (par_ref[0, ti, L + qq] - 0.5)
+                    - _HALF_PI * par_ref[0, ti, qq])
+
+        def cb(ti, jj):
+            return (par_ref[0, ti, 4 * L - 1 + jj]
+                    * (par_ref[0, ti, 2 * L + jj] - 0.5))
+
+        def angle7(ti, base, bias, zt):
+            th = bias + jnp.zeros_like(zt[0])
+            for k in range(7):
+                th = th + cz(ti, base + k) * zt[k]
+                if k > 0:
+                    th = th + cb(ti, base + k - 1) * (zt[k - 1] * zt[k])
+            return th
+
+        def angle_hi(ti, zt):
+            th = jnp.zeros_like(zt[0])
+            for k in range(L - 14):
+                th = th + cz(ti, 14 + k) * zt[k]
+                if k > 0:
+                    th = th + cb(ti, 13 + k) * (zt[k - 1] * zt[k])
+            return th
+
+        def step(k, _):
+            pre = 2 * k
+            post = 2 * k + 1
+            imag_sign = par_ref[0, pre, 125]
+            ui = par_ref[0, pre, 127].astype(jnp.int32) if time_dep else 0
+            c0p = _HALF_PI * sum(par_ref[0, pre, qq] for qq in range(L))
+            c0q = _HALF_PI * sum(par_ref[0, post, qq] for qq in range(L))
+
+            u7rt = u7r_ref[ui].T
+            u7it = u7i_ref[ui].T * imag_sign
+
+            def scaled(base, bias_p, bias_q):
+                th = (angle7(pre, base, bias_p, z7i)
+                      + angle7(post, base, bias_q, z7o))
+                dr = jnp.cos(th)
+                di = jnp.sin(th)
+                br = u7rt * dr - u7it * di
+                bi = u7rt * di + u7it * dr
+                return br, bi, br + bi
+
+            blr, bli, bls = scaled(0, c0p, c0q)
+            bmr, bmi, bms = scaled(7, 0.0, 0.0)
+
+            def kara_right(xr, xi, br, bi, bs):
+                p1 = _dot_f32(xr, br)
+                p2 = _dot_f32(xi, bi)
+                p3 = _dot_f32(xr + xi, bs)
+                return p1 - p2, p3 - p1 - p2
+
+            s6p = cb(pre, 6)
+            c6p, s6pz = jnp.cos(s6p), zz67 * jnp.sin(s6p)
+            s13p = cb(pre, 13)
+
+            # pass 1: pre straddles + bits 0..13 kicks, per TOP block
+            def p1_block(i, _):
+                mr = st_ref[0, pl.ds(i * bt, bt), :]
+                mi = st_ref[1, pl.ds(i * bt, bt), :]
+                mr, mi = _cmul(mr, mi, c6p, s6pz)
+                z14b = (1 - 2 * ((hbt + i * bt) & 1)).astype(jnp.float32)
+                mr, mi = _cmul(mr, mi, jnp.cos(s13p),
+                               (z13c * z14b) * jnp.sin(s13p))
+                mr = mr.reshape(bt * 128, 128)
+                mi = mi.reshape(bt * 128, 128)
+                mr, mi = kara_right(mr, mi, blr, bli, bls)
+                mr = jnp.swapaxes(mr.reshape(bt, 128, 128), 1, 2).reshape(
+                    bt * 128, 128)
+                mi = jnp.swapaxes(mi.reshape(bt, 128, 128), 1, 2).reshape(
+                    bt * 128, 128)
+                mr, mi = kara_right(mr, mi, bmr, bmi, bms)
+                st_ref[0, pl.ds(i * bt, bt), :] = jnp.swapaxes(
+                    mr.reshape(bt, 128, 128), 1, 2).reshape(bt, _C)
+                st_ref[1, pl.ds(i * bt, bt), :] = jnp.swapaxes(
+                    mi.reshape(bt, 128, 128), 1, 2).reshape(bt, _C)
+                return _
+
+            jax.lax.fori_loop(0, n_bt, p1_block, None)
+
+            # pass 2: top kick + post bond-13/6 straddles, per column chunk
+            utr = utr_ref[ui]
+            uti = uti_ref[ui] * imag_sign
+            a_hi = angle_hi(pre, zhi)      # (1, TOP) input columns
+            b_hi = angle_hi(post, zho)     # (TOP, 1) output rows
+            s13q = cb(post, 13)
+            s6q = cb(post, 6)
+            c6q = jnp.cos(s6q)
+            s6qz = zz67c * jnp.sin(s6q)    # zz67 is 256-periodic; cs | 2048
+            for half, sgn in ((0, 1.0), (1, -1.0)):
+                th = b_hi + sgn * s13q * zho[0] + a_hi
+                dr = jnp.cos(th)
+                di = jnp.sin(th)
+                btr = utr * dr - uti * di
+                bti = utr * di + uti * dr
+                bts = btr + bti
+                base = half * (_C // 2)
+
+                def p2_chunk(j, _, btr=btr, bti=bti, bts=bts, base=base):
+                    off = base + j * cs
+                    hr = st_ref[0, :, pl.ds(off, cs)]
+                    hi_ = st_ref[1, :, pl.ds(off, cs)]
+                    q1 = _dot_f32(btr, hr)
+                    q2 = _dot_f32(bti, hi_)
+                    q3 = _dot_f32(bts, hr + hi_)
+                    kr = q1 - q2
+                    ki = q3 - q1 - q2
+                    kr, ki = _cmul(kr, ki, c6q, s6qz)
+                    st_ref[0, :, pl.ds(off, cs)] = kr
+                    st_ref[1, :, pl.ds(off, cs)] = ki
+                    return _
+
+                jax.lax.fori_loop(0, n_cs, p2_chunk, None)
+            return _
+
+        n_active = par_ref[0, 0, 124].astype(jnp.int32)
+        jax.lax.fori_loop(0, n_active, step, None)
+
+        # terminal measurement, per TOP block
+        def measure_block(i, acc):
+            mr = st_ref[0, pl.ds(i * bt, bt), :]
+            mi = st_ref[1, pl.ds(i * bt, bt), :]
+            zq = (1 - 2 * ((lci >> q) & 1)).astype(jnp.float32)
+            return acc + jnp.sum((mr * mr + mi * mi) * zq)
+
+        val = jax.lax.fori_loop(0, n_bt, measure_block,
+                                jnp.zeros((), jnp.float32))
+        arow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        alane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        apos = arow * 128 + alane
+        a_out_ref[0] = jnp.where(apos == 0, val, 0.0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "p", "q", "initial_state", "ancilla_factor",
+                     "time_dependent", "interpret"),
+)
+def blocked_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
+                       initial_state="vacuum", ancilla_factor=1.0,
+                       time_dependent=False, interpret=False):
+    """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2), (n_ts,) -> (inst, c, n_ts).
+
+    Blocked-plane VMEM-resident echo A0(t) for 22 <= L <= 23: per
+    (trajectory, t) pair the kernel runs 2t active masked steps (t
+    forward, t inverse), matching core.sigma_evolve.sigma_echo_batch
+    event-for-event with identical presampled uniforms. Echo semantics per
+    the reference (autocorr-delta-a-single-qiskit-fast.py:140-147).
+    """
+    if not (22 <= L <= 23):
+        raise ValueError("blocked resident kernel supports 22 <= L <= 23")
+    if q >= 14:
+        raise ValueError("blocked resident kernel requires q < 14")
+    if T > 512:
+        raise ValueError("blocked echo kernel supports T <= 512")
+    if time_dependent and L != 22:
+        raise ValueError("per-cycle schedules supported at L=22 only")
+    from dtc_tpu.ops.pallas_resident import echo_pair_tiles
+
+    TOP = 1 << (L - 14)
+    b0 = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
+    bt = int(_os.environ.get("DTC_TPU_BLOCKED_BT", "16"))
+    cs = int(_os.environ.get("DTC_TPU_BLOCKED_CS", "2048"))
+    T2 = 2 * T
+    Tu = T if time_dependent else 1
+    u7r, u7i, utr, uti = _kick_matrices(angles, L, TOP, time_dependent)
+    n_ts = ts.shape[0]
+
+    def per_instance(h, ph, ks):
+        tiles, sig_fin = jax.vmap(
+            lambda k: jax.vmap(
+                lambda t: echo_pair_tiles(k, t, h, ph, L=L, T=T, p=p))(ts)
+        )(ks)
+        n_pairs = ks.shape[0] * n_ts
+        tiles = tiles.reshape(n_pairs, 2 * T2, 128)
+        tile_mem = (pltpu.SMEM if 2 * T2 * 512 * 2 <= 1024 * 1024
+                    else pltpu.VMEM)
+        a_raw = pl.pallas_call(
+            _make_blocked_echo_kernel(L, T2, q, b0, time_dependent, bt, cs),
+            out_shape=jax.ShapeDtypeStruct((n_pairs, 8, 128), jnp.float32),
+            grid=(n_pairs,),
+            in_specs=[
+                pl.BlockSpec((Tu, 128, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Tu, 128, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Tu, TOP, TOP), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Tu, TOP, TOP), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2 * T2, 128), lambda i: (i, 0, 0),
+                             memory_space=tile_mem),  # step tiles
+            ],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, TOP, _C), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(u7r, u7i, utr, uti, tiles)
+        val = a_raw.reshape(n_pairs, 1024)[:, 0].reshape(ks.shape[0], n_ts)
+
+        sq = (1 - 2 * ((sig_fin >> q) & jnp.uint32(1)).astype(jnp.int32)
+              ).astype(jnp.float32)
+        return ancilla_factor * s0 * sq * val
+
+    return jax.vmap(per_instance)(hs, phis, keys)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("L", "T", "p", "q", "initial_state", "ancilla_factor",

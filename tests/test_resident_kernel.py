@@ -266,6 +266,38 @@ def test_blocked_kernel_matches_sigma_interpret():
         assert np.max(np.abs(b - s)) < 1e-4, (L, T, state, tdep)
 
 
+def test_blocked_echo_matches_sigma_interpret():
+    """Blocked echo vs the sigma engine, trajectory-exact on CPU. p=0.6
+    forces sampled Pauli events so the turnaround conj-correction and
+    sigma-sign machinery are actually exercised (values hit -0.99/-0.986,
+    not the trivial 1.0); the noiseless echo == 1 invariant rides along."""
+    from dtc_tpu.core.sigma_evolve import sigma_echo_batch
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.models.drives import build_kick_schedule
+    from dtc_tpu.ops.pallas_resident_blocked import blocked_echo_batch
+
+    L, T = 22, 2
+    hs_np, phis_np = generate_disorder(L, 1, seed=7)
+    hs = jnp.asarray(hs_np[:, :L])
+    phis = jnp.asarray(phis_np[:, :L - 1])
+    sched = build_kick_schedule("x", 0.97, T)
+    keys = jax.random.split(jax.random.PRNGKey(9), 2)[None]
+    ts = jnp.asarray([1, 2])
+    b = np.asarray(blocked_echo_batch(hs, phis, sched.angles, keys, ts,
+                                      L=L, T=T, p=0.6, q=11, interpret=True))
+    s = np.asarray(sigma_echo_batch(hs, phis, sched.angles, keys, ts, L=L,
+                                    T=T, K=1, p=0.6, q=11,
+                                    initial_state="vacuum",
+                                    dtype_name="complex64",
+                                    ancilla_factor=1.0, has_y=False))
+    assert np.max(np.abs(b - s)) < 1e-4
+    assert np.min(s) < -0.9  # the trajectories flipped sign (events fired)
+    b0 = np.asarray(blocked_echo_batch(hs, phis, sched.angles,
+                                       keys[:, :1], ts, L=L, T=T, p=0.0,
+                                       q=11, interpret=True))
+    np.testing.assert_allclose(b0, 1.0, atol=1e-4)
+
+
 def test_echo_pair_tiles_shared_builder():
     """The (pre, post) tile builder shared by resident and streamed echo:
     trip count lane, imag signs, and final sigma are consistent."""
@@ -350,7 +382,8 @@ def test_all_kernel_entry_points_trace():
             hs, phis, ang, keys, ts)
         assert e.shape == (1, 2, 2)
 
-    from dtc_tpu.ops.pallas_resident_blocked import blocked_forward_batch
+    from dtc_tpu.ops.pallas_resident_blocked import (blocked_echo_batch,
+                                                     blocked_forward_batch)
 
     for L in (22, 23):
         hs, phis, ang = args(L)
@@ -358,13 +391,22 @@ def test_all_kernel_entry_points_trace():
             lambda *a, L=L: blocked_forward_batch(*a, L=L, T=T, p=0.05,
                                                   q=11), hs, phis, ang, keys)
         assert f.shape == (1, 2, T)
-    # per-cycle schedule variant (L=22 only)
+        e = jax.eval_shape(
+            lambda *a, L=L: blocked_echo_batch(*a, L=L, T=T, p=0.05, q=11),
+            hs, phis, ang, keys, ts)
+        assert e.shape == (1, 2, 2)
+    # per-cycle schedule variants (L=22 only)
     hs, phis, ang = args(22)
     f = jax.eval_shape(
         lambda *a: blocked_forward_batch(*a, L=22, T=T, p=0.05, q=11,
                                          time_dependent=True),
         hs, phis, ang, keys)
     assert f.shape == (1, 2, T)
+    e = jax.eval_shape(
+        lambda *a: blocked_echo_batch(*a, L=22, T=T, p=0.05, q=11,
+                                      time_dependent=True),
+        hs, phis, ang, keys, ts)
+    assert e.shape == (1, 2, 2)
 
     # VMEM-params branch: width=256 rows (L=27/28) overflow the 1 MB
     # double-buffered SMEM window past T=512, so the params BlockSpec
