@@ -1,11 +1,12 @@
 """General (lab-frame) resident kernel: host-side wrappers + the lab-frame
 reference that caught the sigma engine's K>=2 echo bug.
 
-Full-kernel numerical validation runs on the TPU (interpret mode is too slow
-at the kernel's minimum L=14): values match the sigma engine to <=2.7e-4
-(the bf16x3 dot level; far under trajectory sampling noise) for
-every polarization family (x/y/xy/yx/circular/xy_cycle), forward and echo,
-L=14/17/20, with identical presampled trajectories (see docs/PERFORMANCE.md).
+TPU-precision validation runs in benchmarks/: values match the sigma
+engine to <=2.7e-4 (the bf16x3 dot level; far under trajectory sampling
+noise) for every polarization family (x/y/xy/yx/circular/xy_cycle),
+forward and echo, L=14/17/20, with identical presampled trajectories
+(docs/PERFORMANCE.md). Interpret-mode numerical parity additionally runs
+in the CPU suite (tests/test_kernel_interpret_parity.py).
 
 The lab-frame reference here evolves the literal statevector in numpy —
 slot unitaries kron'd to 2^L, explicit X-permutation / Z-sign per sampled

@@ -1,10 +1,9 @@
 """VMEM-resident kernel: CPU-side unit checks (fast pieces only).
 
-Full-kernel numerical validation runs on the TPU (interpret mode is too slow
-at the kernel's minimum L=14): values match the sigma engine to ~7e-7 both
-noiseless and noisy with identical presampled streams (see
-docs/PERFORMANCE.md). Here we verify the host-side wrappers: parameter
-packing semantics, dispatch guards, and the L-range errors.
+Host-side wrapper coverage: parameter packing semantics, dispatch
+guards, L-range errors, and eval_shape traces of every kernel body.
+Numerical kernel parity lives in tests/test_kernel_interpret_parity.py
+(interpret mode) and, for TPU dot precision, benchmarks/parity_sweep.py.
 """
 
 import jax
@@ -235,11 +234,11 @@ def test_blocked_dispatch_is_opt_in():
 
 
 def test_blocked_kernel_matches_sigma_interpret():
-    """Full numerical validation of the blocked kernel on CPU: unlike the
-    full-plane resident/streamed kernels (interpret-infeasible), the
-    blocked body's bounded fori_loops interpret in seconds, so the new
-    kernel gets trajectory-exact CPU coverage vs the sigma engine with
-    identical presampled noise (~1e-5: interpret dots are true f32)."""
+    """Full numerical validation of the blocked kernel on CPU:
+    trajectory-exact vs the sigma engine with identical presampled noise
+    (~1e-5: interpret dots are true f32). Covers neel init, L=23, and the
+    per-cycle-schedule variant; the other families' interpret parity is
+    tests/test_kernel_interpret_parity.py."""
     from dtc_tpu.core.sigma_evolve import sigma_forward_batch
     from dtc_tpu.io.disorder import generate_disorder
     from dtc_tpu.models.drives import build_kick_schedule
