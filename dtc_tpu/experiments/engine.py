@@ -116,7 +116,9 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
             initial_state=initial_state, ancilla_factor=ancilla_factor)
 
     if _general_dispatch(angles, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
-                         engine=engine, max_L=21, max_steps=1024):
+                         engine=engine, max_steps=1024,
+                         # blocked-plane general variant covers 22..23
+                         max_L=23 if engine == "blocked" else 21):
         # lab-frame general resident kernel: any polarization family / K
         # slots / per-cycle schedule (y 12.3k, xy/circular 7.1k cycles/s at
         # L=20 vs the sigma engine's 2.0k/1.3k; matches it to ~3e-4 — the
@@ -221,7 +223,8 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
             time_dependent=not blocked_ti)
 
     if _general_dispatch(angles, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
-                         engine=engine, max_L=21, max_steps=512):
+                         engine=engine, max_steps=512,
+                         max_L=23 if engine == "blocked" else 21):
         from dtc_tpu.ops.pallas_resident_general import general_echo_batch
 
         return general_echo_batch(

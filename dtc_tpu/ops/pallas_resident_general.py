@@ -93,6 +93,65 @@ def slot_u8(theta_x, theta_y, inverse=False):
                           jnp.float32)
 
 
+def _tile_helpers(tiles_ref, L):
+    """Per-step scalar/angle/group-matrix builders over a compact-row tile
+    ref — shared by the full-plane and blocked general kernels."""
+
+    def czc(ti, qq):
+        """cz_q = -h_q/2 - (pi/2) n_q (the sigma term of the
+        pallas_resident formula drops: the lab frame never frame-shifts,
+        so sigma = flip = 0 -> plain D0 x Pauli-Z sign)."""
+        return (-0.5 * tiles_ref[0, ti, 2 * L + qq]
+                - _HALF_PI * tiles_ref[0, ti, qq])
+
+    def cbc(ti, jj):
+        return -0.5 * tiles_ref[0, ti, 3 * L + jj]
+
+    def angle7(ti, base, bias, zt):
+        th = bias + jnp.zeros_like(zt[0])
+        for k in range(7):
+            th = th + czc(ti, base + k) * zt[k]
+            if k > 0:
+                th = th + cbc(ti, base + k - 1) * (zt[k - 1] * zt[k])
+        return th
+
+    def angle_hi(ti, zt):
+        th = jnp.zeros_like(zt[0])
+        for k in range(L - 14):
+            th = th + czc(ti, 14 + k) * zt[k]
+            if k > 0:
+                th = th + cbc(ti, 13 + k) * (zt[k - 1] * zt[k])
+        return th
+
+    def build_group(ti, u8, nbits, off, transposed):
+        """Planar (2^nbits, 2^nbits) group matrix with the step's X-mask
+        folded in: element value prod_j u[(a_j XOR x_j), b_j], laid out
+        [b, a] when transposed (right-multiply form) else [a, b]."""
+        n = 1 << nbits
+        a_ax = 1 if transposed else 0
+        ia = jax.lax.broadcasted_iota(jnp.int32, (n, n), a_ax)
+        ib = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1 - a_ax)
+        br = bi = None
+        for j in range(nbits):
+            x = tiles_ref[0, ti, L + off + j]
+            abit = ((ia >> j) & 1).astype(jnp.float32)
+            bbit = ((ib >> j) & 1).astype(jnp.float32)
+            ae = abit + x - 2.0 * abit * x  # abit XOR x (x is 0/1)
+            an = 1.0 - ae
+            bn = 1.0 - bbit
+            fr = an * (bn * u8[0] + bbit * u8[2]) + ae * (
+                bn * u8[4] + bbit * u8[6])
+            fi = an * (bn * u8[1] + bbit * u8[3]) + ae * (
+                bn * u8[5] + bbit * u8[7])
+            if br is None:
+                br, bi = fr, fi
+            else:
+                br, bi = _cmul(br, bi, fr, fi)
+        return br, bi
+
+    return czc, cbc, angle7, angle_hi, build_group
+
+
 def _make_general_kernel(L: int, S: int, q: int, b0: int, has_top: bool,
                          echo: bool):  # noqa: C901
     """S steps; tiles_ref holds (2 if echo else 1) tiles per step."""
@@ -129,59 +188,7 @@ def _make_general_kernel(L: int, S: int, q: int, b0: int, has_top: bool,
             z13c = (1 - 2 * ((lci >> 13) & 1)).astype(jnp.float32)
 
         FO = 4 * L - 1  # flag-lane base
-
-        def czc(ti, qq):
-            """cz_q = -h_q/2 - (pi/2) n_q (the sigma term of the
-            pallas_resident formula drops: the lab frame never
-            frame-shifts, so sigma = flip = 0 -> plain D0 x Pauli-Z
-            sign)."""
-            return (-0.5 * tiles_ref[0, ti, 2 * L + qq]
-                    - _HALF_PI * tiles_ref[0, ti, qq])
-
-        def cbc(ti, jj):
-            return -0.5 * tiles_ref[0, ti, 3 * L + jj]
-
-        def angle7(ti, base, bias, zt):
-            th = bias + jnp.zeros_like(zt[0])
-            for k in range(7):
-                th = th + czc(ti, base + k) * zt[k]
-                if k > 0:
-                    th = th + cbc(ti, base + k - 1) * (zt[k - 1] * zt[k])
-            return th
-
-        def angle_hi(ti, zt):
-            th = jnp.zeros_like(zt[0])
-            for k in range(L - 14):
-                th = th + czc(ti, 14 + k) * zt[k]
-                if k > 0:
-                    th = th + cbc(ti, 13 + k) * (zt[k - 1] * zt[k])
-            return th
-
-        def build_group(ti, u8, nbits, off, transposed):
-            """Planar (2^nbits, 2^nbits) group matrix with the step's X-mask
-            folded in: element value prod_j u[(a_j XOR x_j), b_j], laid out
-            [b, a] when transposed (right-multiply form) else [a, b]."""
-            n = 1 << nbits
-            a_ax = 1 if transposed else 0
-            ia = jax.lax.broadcasted_iota(jnp.int32, (n, n), a_ax)
-            ib = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1 - a_ax)
-            br = bi = None
-            for j in range(nbits):
-                x = tiles_ref[0, ti, L + off + j]
-                abit = ((ia >> j) & 1).astype(jnp.float32)
-                bbit = ((ib >> j) & 1).astype(jnp.float32)
-                ae = abit + x - 2.0 * abit * x  # abit XOR x (x is 0/1)
-                an = 1.0 - ae
-                bn = 1.0 - bbit
-                fr = an * (bn * u8[0] + bbit * u8[2]) + ae * (
-                    bn * u8[4] + bbit * u8[6])
-                fi = an * (bn * u8[1] + bbit * u8[3]) + ae * (
-                    bn * u8[5] + bbit * u8[7])
-                if br is None:
-                    br, bi = fr, fi
-                else:
-                    br, bi = _cmul(br, bi, fr, fi)
-            return br, bi
+        czc, cbc, angle7, angle_hi, build_group = _tile_helpers(tiles_ref, L)
 
         def step(si, _):
             kt = TPS * si          # kick/flags tile (echo: pre tile)
@@ -300,6 +307,198 @@ def _make_general_kernel(L: int, S: int, q: int, b0: int, has_top: bool,
     return kernel
 
 
+def _make_general_kernel_blocked(L: int, S: int, q: int, b0: int,
+                                 echo: bool, bt: int, cs: int):  # noqa: C901
+    """Blocked-plane variant for L = 22..23: same math and tile layout as
+    _make_general_kernel, plane ops restructured into fori_loops over
+    TOP-row blocks (pass 1) and column chunks (pass 2) so Mosaic's
+    register allocator stays bounded (the full-plane body spills at L=22;
+    see ops/pallas_resident_blocked.py). The echo's inactive-step select
+    is dropped: the per-pair trip count already bounds the loop to active
+    steps."""
+    TOP = 1 << (L - 14)
+    if TOP % bt:
+        raise ValueError(f"bt={bt} must divide TOP={TOP}")
+    if (_C // 2) % cs:
+        raise ValueError(f"cs={cs} must divide {_C // 2}")
+    n_bt = TOP // bt
+    n_cs = (_C // 2) // cs
+    TPS = 2 if echo else 1
+
+    def kernel(tiles_ref, a_out_ref, st_ref):
+        arow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        alane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        apos = arow * 128 + alane
+        colb = jax.lax.broadcasted_iota(jnp.uint32, (bt, _C), 1)
+        topb = jax.lax.broadcasted_iota(jnp.uint32, (bt, _C), 0)
+
+        def init_block(i, _):
+            gidx = ((topb + jnp.uint32(i * bt)) << 14) | colb
+            st_ref[0, pl.ds(i * bt, bt), :] = jnp.where(
+                gidx == jnp.uint32(b0), 1.0, 0.0)
+            st_ref[1, pl.ds(i * bt, bt), :] = jnp.zeros((bt, _C), jnp.float32)
+            return _
+
+        jax.lax.fori_loop(0, n_bt, init_block, None)
+
+        lci = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
+        l7r = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        z7o = [(1 - 2 * ((l7r >> k) & 1)).astype(jnp.float32)
+               for k in range(7)]
+        l7c = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        z7i = [(1 - 2 * ((l7c >> k) & 1)).astype(jnp.float32)
+               for k in range(7)]
+        zz67 = (1 - 2 * (((lci >> 6) ^ (lci >> 7)) & 1)).astype(jnp.float32)
+        z13c = (1 - 2 * ((lci >> 13) & 1)).astype(jnp.float32)
+        lcs = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1)
+        zz67c = (1 - 2 * (((lcs >> 6) ^ (lcs >> 7)) & 1)).astype(jnp.float32)
+        hti = jax.lax.broadcasted_iota(jnp.int32, (TOP, 1), 0)
+        zho = [(1 - 2 * ((hti >> k) & 1)).astype(jnp.float32)
+               for k in range(L - 14)]
+        htc = jax.lax.broadcasted_iota(jnp.int32, (1, TOP), 1)
+        zhi = [(1 - 2 * ((htc >> k) & 1)).astype(jnp.float32)
+               for k in range(L - 14)]
+        hbt = jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
+
+        FO = 4 * L - 1
+        czc, cbc, angle7, angle_hi, build_group = _tile_helpers(tiles_ref, L)
+
+        def step(si, _):
+            kt = TPS * si
+            post = TPS * si + (TPS - 1)
+            u8 = [tiles_ref[0, kt, FO + _LANE_U8 + j] for j in range(8)]
+
+            def scaled_group(nbits, off, th):
+                gr, gi = build_group(kt, u8, nbits, off,
+                                     transposed=(off < 14))
+                dr = jnp.cos(th)
+                di = jnp.sin(th)
+                return _cmul(gr, gi, dr, di)
+
+            c0q = _HALF_PI * sum(tiles_ref[0, post, qq] for qq in range(L))
+            th_lo = angle7(post, 0, c0q, z7o)
+            th_mi = angle7(post, 7, 0.0, z7o)
+            if echo:
+                c0p = _HALF_PI * sum(tiles_ref[0, kt, qq]
+                                     for qq in range(L))
+                th_lo = th_lo + angle7(kt, 0, c0p, z7i)
+                th_mi = th_mi + angle7(kt, 7, 0.0, z7i)
+            blr, bli = scaled_group(7, 0, th_lo)
+            bls = blr + bli
+            bmr, bmi = scaled_group(7, 7, th_mi)
+            bms = bmr + bmi
+            if echo:
+                s6p = cbc(kt, 6)
+                c6p, s6pz = jnp.cos(s6p), zz67 * jnp.sin(s6p)
+                s13p = cbc(kt, 13)
+
+            def kara_right(xr, xi, br, bi, bs):
+                p1 = _dot_f32(xr, br)
+                p2 = _dot_f32(xi, bi)
+                p3 = _dot_f32(xr + xi, bs)
+                return p1 - p2, p3 - p1 - p2
+
+            # pass 1: [echo pre straddles +] bits 0..13 kicks, per TOP block
+            def p1_block(i, _):
+                mr = st_ref[0, pl.ds(i * bt, bt), :]
+                mi = st_ref[1, pl.ds(i * bt, bt), :]
+                if echo:
+                    mr, mi = _cmul(mr, mi, c6p, s6pz)
+                    z14b = (1 - 2 * ((hbt + i * bt) & 1)).astype(jnp.float32)
+                    mr, mi = _cmul(mr, mi, jnp.cos(s13p),
+                                   (z13c * z14b) * jnp.sin(s13p))
+                mr = mr.reshape(bt * 128, 128)
+                mi = mi.reshape(bt * 128, 128)
+                mr, mi = kara_right(mr, mi, blr, bli, bls)
+                mr = jnp.swapaxes(mr.reshape(bt, 128, 128), 1, 2).reshape(
+                    bt * 128, 128)
+                mi = jnp.swapaxes(mi.reshape(bt, 128, 128), 1, 2).reshape(
+                    bt * 128, 128)
+                mr, mi = kara_right(mr, mi, bmr, bmi, bms)
+                st_ref[0, pl.ds(i * bt, bt), :] = jnp.swapaxes(
+                    mr.reshape(bt, 128, 128), 1, 2).reshape(bt, _C)
+                st_ref[1, pl.ds(i * bt, bt), :] = jnp.swapaxes(
+                    mi.reshape(bt, 128, 128), 1, 2).reshape(bt, _C)
+                return _
+
+            jax.lax.fori_loop(0, n_bt, p1_block, None)
+
+            # pass 2: top kick + post straddles [+ forward measure]
+            utr, uti = build_group(kt, u8, L - 14, 14, transposed=False)
+            b_hi = angle_hi(post, zho)
+            s13q = cbc(post, 13)
+            th_hi = b_hi + (angle_hi(kt, zhi) if echo else 0.0)
+            s6q = cbc(post, 6)
+            c6q = jnp.cos(s6q)
+            s6qz = zz67c * jnp.sin(s6q)
+            a_next = jnp.zeros((), jnp.float32)
+            for half, sgn in ((0, 1.0), (1, -1.0)):
+                th = th_hi + sgn * s13q * zho[0]
+                dr = jnp.cos(th)
+                di = jnp.sin(th)
+                htr, hti_ = _cmul(utr, uti, dr, di)
+                hts = htr + hti_
+                base = half * (_C // 2)
+
+                def p2_chunk(j, acc, htr=htr, hti_=hti_, hts=hts, base=base):
+                    off = base + j * cs
+                    hr = st_ref[0, :, pl.ds(off, cs)]
+                    hi2 = st_ref[1, :, pl.ds(off, cs)]
+                    q1 = _dot_f32(htr, hr)
+                    q2 = _dot_f32(hti_, hi2)
+                    q3 = _dot_f32(hts, hr + hi2)
+                    kr = q1 - q2
+                    ki = q3 - q1 - q2
+                    kr, ki = _cmul(kr, ki, c6q, s6qz)
+                    st_ref[0, :, pl.ds(off, cs)] = kr
+                    st_ref[1, :, pl.ds(off, cs)] = ki
+                    if echo:
+                        return acc
+                    zqc = (1 - 2 * (((lcs + off) >> q) & 1)).astype(
+                        jnp.float32)
+                    return acc + jnp.sum((kr * kr + ki * ki) * zqc)
+
+                a_next = jax.lax.fori_loop(0, n_cs, p2_chunk, a_next)
+
+            if not echo:
+                mpos = tiles_ref[0, kt, FO + _LANE_MPOS]
+
+                @pl.when(mpos >= 0.0)
+                def _():
+                    a_out_ref[0] = a_out_ref[0] + jnp.where(
+                        apos == mpos.astype(jnp.int32), a_next, 0.0)
+
+            return _
+
+        if echo:
+            a_out_ref[0] = jnp.zeros((8, 128), jnp.float32)
+            n_active = tiles_ref[0, 0, FO + _LANE_COUNT].astype(jnp.int32)
+            jax.lax.fori_loop(0, n_active, step, None)
+
+            def measure_block(i, acc):
+                mr = st_ref[0, pl.ds(i * bt, bt), :]
+                mi = st_ref[1, pl.ds(i * bt, bt), :]
+                zq = (1 - 2 * ((lci >> q) & 1)).astype(jnp.float32)
+                return acc + jnp.sum((mr * mr + mi * mi) * zq)
+
+            val = jax.lax.fori_loop(0, n_bt, measure_block,
+                                    jnp.zeros((), jnp.float32))
+            a_out_ref[0] = jnp.where(apos == 0, val, 0.0)
+        else:
+            a_out_ref[0] = jnp.where(
+                apos == 0, float(1 - 2 * ((b0 >> q) & 1)), 0.0)
+            jax.lax.fori_loop(0, S, step, None)
+
+    return kernel
+
+
+def _blocked_bt_cs():
+    import os as _os
+
+    return (int(_os.environ.get("DTC_TPU_BLOCKED_BT", "16")),
+            int(_os.environ.get("DTC_TPU_BLOCKED_CS", "2048")))
+
+
 def _bits_row(mask, width):
     """uint32 scalar/vector -> (…, width) float 0/1 bit rows."""
     qs = jnp.arange(width, dtype=jnp.uint32)
@@ -321,10 +520,14 @@ def general_forward_batch(hs, phis, angles, keys, *, L, T, K, p, q,
     """(inst, L), (inst, L-1), (T,K,2), (inst, c, 2) -> (inst, c, T).
 
     Lab-frame resident forward kernel for ANY kick schedule (all
-    polarization families, per-cycle g). Requires 14 <= L <= 21, q < 14.
+    polarization families, per-cycle g). Requires 14 <= L <= 23, q < 14
+    (22 <= L <= 23 run the blocked-plane variant; see
+    _make_general_kernel_blocked).
     """
-    if not (14 <= L <= 21):
-        raise ValueError("resident kernel supports 14 <= L <= 21")
+    if not (14 <= L <= 23):
+        raise ValueError("resident kernel supports 14 <= L <= 23")
+    if q >= 14:
+        raise ValueError("resident kernel requires q < 14")
     if T * K > 1024:
         raise ValueError("resident kernel supports T*K <= 1024")
     TOP = 1 << (L - 14)
@@ -366,8 +569,14 @@ def general_forward_batch(hs, phis, angles, keys, *, L, T, K, p, q,
         params = jax.vmap(tiles_one)(ks)  # (c, S, 128)
         n_traj = ks.shape[0]
 
+        if L <= 21:
+            kern = _make_general_kernel(L, S, q, b0, TOP > 1, echo=False)
+        else:
+            kern = _make_general_kernel_blocked(L, S, q, b0, echo=False,
+                                                bt=_blocked_bt_cs()[0],
+                                                cs=_blocked_bt_cs()[1])
         a_raw = pl.pallas_call(
-            _make_general_kernel(L, S, q, b0, TOP > 1, echo=False),
+            kern,
             out_shape=jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
             grid=(n_traj,),
             in_specs=[
@@ -401,10 +610,12 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
     pair, t forward cycles then t inverse cycles (slots reversed, daggered
     slot unitaries, D0^dagger leading each inverse cycle), events sampled
     from the same uniforms as core.sigma_evolve.sigma_echo_batch. Requires
-    14 <= L <= 21, q < 14.
+    14 <= L <= 23, q < 14 (22 <= L <= 23 run the blocked-plane variant).
     """
-    if not (14 <= L <= 21):
-        raise ValueError("resident kernel supports 14 <= L <= 21")
+    if not (14 <= L <= 23):
+        raise ValueError("resident kernel supports 14 <= L <= 23")
+    if q >= 14:
+        raise ValueError("resident kernel requires q < 14")
     if 2 * T * K > 1024:
         raise ValueError("resident echo kernel supports 2*T*K <= 1024")
     TOP = 1 << (L - 14)
@@ -484,8 +695,14 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
         # 2S = 1008 rows; SMEM scalar loads are the fast path
         tile_mem = (pltpu.SMEM if 2 * S * 512 * 2 <= 1024 * 1024
                     else pltpu.VMEM)
+        if L <= 21:
+            kern = _make_general_kernel(L, S, q, b0, TOP > 1, echo=True)
+        else:
+            kern = _make_general_kernel_blocked(L, S, q, b0, echo=True,
+                                                bt=_blocked_bt_cs()[0],
+                                                cs=_blocked_bt_cs()[1])
         a_raw = pl.pallas_call(
-            _make_general_kernel(L, S, q, b0, TOP > 1, echo=True),
+            kern,
             out_shape=jax.ShapeDtypeStruct((n_pairs, 8, 128), jnp.float32),
             grid=(n_pairs,),
             in_specs=[

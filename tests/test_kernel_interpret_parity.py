@@ -77,6 +77,31 @@ def test_general_kernel_interpret_parity(pol):
     assert np.max(np.abs(be - se)) < 1e-4
 
 
+def test_blocked_general_kernel_interpret_parity():
+    """The blocked-plane general (lab-frame) kernel at L=22: xy (K=2)
+    forward + echo vs sigma — the echo path hits a sign-flipped
+    trajectory (-0.33), so daggered slots, reversed slot order, and the
+    leading D0^dagger all fire."""
+    from dtc_tpu.ops.pallas_resident_general import (general_echo_batch,
+                                                     general_forward_batch)
+
+    L, T, p, q = 22, 2, 0.6, 11
+    K = n_kick_slots("xy")
+    hs, phis, ang, keys = _setup(L, T, "xy")
+    b = np.asarray(general_forward_batch(hs, phis, ang, keys, L=L, T=T,
+                                         K=K, p=p, q=q, interpret=True))
+    s = np.asarray(sigma_forward_batch(hs, phis, ang, keys, L=L, T=T, K=K,
+                                       p=p, q=q, has_y=True, **SKW))
+    assert np.max(np.abs(b - s)) < 1e-4
+    ts = jnp.asarray([2])
+    be = np.asarray(general_echo_batch(hs, phis, ang, keys, ts, L=L, T=T,
+                                       K=K, p=p, q=q, interpret=True))
+    se = np.asarray(sigma_echo_batch(hs, phis, ang, keys, ts, L=L, T=T,
+                                     K=K, p=p, q=q, has_y=True, **SKW))
+    assert np.max(np.abs(be - se)) < 1e-4
+    assert np.min(se) < 0.0  # sign-flipped trajectory (events fired)
+
+
 def test_streamed_kernel_interpret_parity():
     """The HBM-streamed kernels' DMA machinery (async slab copies, the
     ANY-space aliased state pair, dynamic trip counts) runs under

@@ -210,11 +210,11 @@ def test_general_kernel_rejects_bad_L():
     )
 
     keys = jax.random.split(jax.random.PRNGKey(0), 1)[None]
-    with pytest.raises(ValueError, match="14 <= L <= 21"):
+    with pytest.raises(ValueError, match="14 <= L <= 23"):
         general_forward_batch(
             jnp.ones((1, 8)), jnp.ones((1, 7)), jnp.zeros((2, 1, 2)), keys,
             L=8, T=2, K=1, p=0.0, q=4)
-    with pytest.raises(ValueError, match="14 <= L <= 21"):
+    with pytest.raises(ValueError, match="14 <= L <= 23"):
         general_echo_batch(
             jnp.ones((1, 8)), jnp.ones((1, 7)), jnp.zeros((2, 1, 2)), keys,
             jnp.arange(2), L=8, T=2, K=1, p=0.0, q=4)

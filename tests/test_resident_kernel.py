@@ -394,6 +394,17 @@ def test_all_kernel_entry_points_trace():
             lambda *a, L=L: blocked_echo_batch(*a, L=L, T=T, p=0.05, q=11),
             hs, phis, ang, keys, ts)
         assert e.shape == (1, 2, 2)
+        # blocked general (lab-frame) variants at the same sizes
+        g = jax.eval_shape(
+            lambda *a, L=L: general_forward_batch(*a, L=L, T=T, K=1,
+                                                  p=0.05, q=11),
+            hs, phis, ang, keys)
+        assert g.shape == (1, 2, T)
+        ge = jax.eval_shape(
+            lambda *a, L=L: general_echo_batch(*a, L=L, T=T, K=1, p=0.05,
+                                               q=11), hs, phis, ang, keys,
+            ts)
+        assert ge.shape == (1, 2, 2)
     # per-cycle schedule variants (L=22 only)
     hs, phis, ang = args(22)
     f = jax.eval_shape(
