@@ -68,10 +68,10 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
     engine = os.environ.get("DTC_TPU_ENGINE", "auto")
     # schedule-constancy is a host-side dispatch decision: when angles are a
     # tracer (caller jitted around us), fall back to the general engine
-    resident_ok, time_independent = _resident_dispatch(
+    fast_ok, time_independent = _resident_dispatch(
         angles, has_y=has_y, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
-        engine=engine, max_L=21)
-    if resident_ok:
+        engine=engine, max_L=23)
+    if fast_ok and L <= 21:
         # VMEM-resident whole-trajectory kernel: state never leaves VMEM
         # across all T cycles (measured 11.2k cycles/s at L=20 vs 2.0k for
         # the factored engine; values match it to the bf16x3 dot level,
@@ -85,21 +85,19 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
             initial_state=initial_state, ancilla_factor=ancilla_factor,
             time_dependent=not time_independent)
 
-    blocked_ok, blocked_ti = _resident_dispatch(
-        angles, has_y=has_y, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
-        engine="resident" if engine == "blocked" else "off", max_L=23)
-    if (engine == "blocked" and blocked_ok and 22 <= L <= 23
-            and (blocked_ti or L == 22)):
-        # blocked-plane VMEM-resident kernel (opt-in until measured on
-        # hardware): plane ops restructured into fori_loops over blocks so
-        # Mosaic's register allocator stays bounded where the full-plane
-        # L=22 body spilled ~102 MB (docs/PERFORMANCE.md)
+    if fast_ok and engine == "blocked" and time_independent:
+        # blocked-plane VMEM-resident kernel, L=22..23 (opt-in until
+        # measured on hardware): plane ops restructured into fori_loops
+        # over blocks so Mosaic's register allocator stays bounded where
+        # the full-plane L=22 body spilled ~102 MB (docs/PERFORMANCE.md).
+        # Constant schedules only — the per-cycle (T, TOP, TOP) kick-matrix
+        # block would blow VMEM at these L, so per-cycle x schedules route
+        # to the blocked GENERAL kernel (in-kernel-built matrices) below.
         from dtc_tpu.ops.pallas_resident_blocked import blocked_forward_batch
 
         return blocked_forward_batch(
             hs, phis, angles, keys, L=L, T=T, p=p, q=q,
-            initial_state=initial_state, ancilla_factor=ancilla_factor,
-            time_dependent=not blocked_ti)
+            initial_state=initial_state, ancilla_factor=ancilla_factor)
 
     if (time_independent and 22 <= L <= 28 and q < 14
             and dtype_name == "complex64" and T <= 1024
@@ -197,10 +195,10 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
     import os
 
     engine = os.environ.get("DTC_TPU_ENGINE", "auto")
-    resident_ok, time_independent = _resident_dispatch(
+    fast_ok, time_independent = _resident_dispatch(
         angles, has_y=has_y, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
-        engine=engine, max_L=21)
-    if resident_ok:
+        engine=engine, max_L=23)
+    if fast_ok and L <= 21:
         from dtc_tpu.ops.pallas_resident import resident_echo_batch
 
         return resident_echo_batch(
@@ -208,19 +206,15 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
             initial_state=initial_state, ancilla_factor=ancilla_factor,
             time_dependent=not time_independent)
 
-    blocked_ok, blocked_ti = _resident_dispatch(
-        angles, has_y=has_y, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
-        engine="resident" if engine == "blocked" else "off", max_L=23)
-    if (engine == "blocked" and blocked_ok and 22 <= L <= 23 and T <= 512
-            and (blocked_ti or L == 22)):
-        # blocked-plane VMEM-resident echo (opt-in until measured; see
-        # _forward_batch)
+    if (fast_ok and engine == "blocked" and time_independent and T <= 512):
+        # blocked-plane VMEM-resident echo, constant schedules (opt-in
+        # until measured; per-cycle x routes to the blocked general
+        # kernel below — see _forward_batch)
         from dtc_tpu.ops.pallas_resident_blocked import blocked_echo_batch
 
         return blocked_echo_batch(
             hs, phis, angles, keys, ts, L=L, T=T, p=p, q=q,
-            initial_state=initial_state, ancilla_factor=ancilla_factor,
-            time_dependent=not blocked_ti)
+            initial_state=initial_state, ancilla_factor=ancilla_factor)
 
     if _general_dispatch(angles, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
                          engine=engine, max_steps=512,

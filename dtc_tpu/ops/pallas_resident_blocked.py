@@ -52,14 +52,32 @@ from dtc_tpu.ops.pallas_resident import (
 )
 
 
+def blocked_block_sizes(TOP: int) -> tuple[int, int]:
+    """(bt, cs) pass-1 TOP-row block height / pass-2 column-chunk width,
+    env-tunable (DTC_TPU_BLOCKED_BT / DTC_TPU_BLOCKED_CS), validated here
+    for every blocked kernel:
+    - bt must divide TOP (whole blocks) and be a multiple of 8 (f32
+      sublane tiling for the dynamic-slice offsets);
+    - cs must divide _C/2 (whole chunks inside a bond-13 half) and be a
+      multiple of 256: the in-chunk straddle/measure sign tables (zz67 is
+      z6^z7, 256-periodic) are built from WITHIN-chunk lane indices plus
+      the chunk offset only where the formula says so — a cs below 256
+      would silently corrupt the bond-6 signs."""
+    bt = int(_os.environ.get("DTC_TPU_BLOCKED_BT", "16"))
+    cs = int(_os.environ.get("DTC_TPU_BLOCKED_CS", "2048"))
+    if TOP % bt or bt % 8:
+        raise ValueError(f"bt={bt} must divide TOP={TOP} and be a"
+                         " multiple of 8")
+    if (_C // 2) % cs or cs % 256:
+        raise ValueError(f"cs={cs} must divide {_C // 2} and be a"
+                         " multiple of 256")
+    return bt, cs
+
+
 def _make_blocked_kernel(L: int, T: int, q: int, b0: int,
                          time_dep: bool, bt: int, cs: int):  # noqa: C901
     """One grid step = one trajectory, all T cycles, blocked plane ops."""
     TOP = 1 << (L - 14)
-    if TOP % bt:
-        raise ValueError(f"bt={bt} must divide TOP={TOP}")
-    if (_C // 2) % cs:
-        raise ValueError(f"cs={cs} must divide {_C // 2}")
     n_bt = TOP // bt
     n_cs = (_C // 2) // cs
 
@@ -222,10 +240,6 @@ def _make_blocked_echo_kernel(L: int, T2: int, q: int, b0: int,
     redundant under that bound and dropped here.
     """
     TOP = 1 << (L - 14)
-    if TOP % bt:
-        raise ValueError(f"bt={bt} must divide TOP={TOP}")
-    if (_C // 2) % cs:
-        raise ValueError(f"cs={cs} must divide {_C // 2}")
     n_bt = TOP // bt
     n_cs = (_C // 2) // cs
 
@@ -424,15 +438,19 @@ def blocked_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
         raise ValueError("blocked resident kernel requires q < 14")
     if T > 512:
         raise ValueError("blocked echo kernel supports T <= 512")
-    if time_dependent and L != 22:
-        raise ValueError("per-cycle schedules supported at L=22 only")
+    if time_dependent and (L != 22 or T > 64):
+        # per-cycle (T,128,128)+(T,256,256) kick-matrix blocks cost
+        # ~0.66 MB/cycle of VMEM next to the 32 MB state; past T~64 route
+        # per-cycle x schedules to the blocked GENERAL kernel instead
+        # (in-kernel-built matrices, no VMEM matrix block)
+        raise ValueError("per-cycle schedules supported at L=22, T <= 64 "
+                         "only (use the blocked general kernel past that)")
     from dtc_tpu.ops.pallas_resident import echo_pair_tiles
 
     TOP = 1 << (L - 14)
     b0 = 0 if initial_state == "vacuum" else neel_index(L)
     s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
-    bt = int(_os.environ.get("DTC_TPU_BLOCKED_BT", "16"))
-    cs = int(_os.environ.get("DTC_TPU_BLOCKED_CS", "2048"))
+    bt, cs = blocked_block_sizes(TOP)
     T2 = 2 * T
     Tu = T if time_dependent else 1
     u7r, u7i, utr, uti = _kick_matrices(angles, L, TOP, time_dependent)
@@ -503,13 +521,17 @@ def blocked_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
         raise ValueError("blocked resident kernel requires q < 14")
     if T > 1024:
         raise ValueError("blocked resident kernel supports T <= 1024")
-    if time_dependent and L != 22:
-        raise ValueError("per-cycle schedules supported at L=22 only")
+    if time_dependent and (L != 22 or T > 64):
+        # per-cycle (T,128,128)+(T,256,256) kick-matrix blocks cost
+        # ~0.66 MB/cycle of VMEM next to the 32 MB state; past T~64 route
+        # per-cycle x schedules to the blocked GENERAL kernel instead
+        # (in-kernel-built matrices, no VMEM matrix block)
+        raise ValueError("per-cycle schedules supported at L=22, T <= 64 "
+                         "only (use the blocked general kernel past that)")
     TOP = 1 << (L - 14)
     b0 = 0 if initial_state == "vacuum" else neel_index(L)
     s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
-    bt = int(_os.environ.get("DTC_TPU_BLOCKED_BT", "16"))
-    cs = int(_os.environ.get("DTC_TPU_BLOCKED_CS", "2048"))
+    bt, cs = blocked_block_sizes(TOP)
 
     Tu = T if time_dependent else 1
     u7r, u7i, utr, uti = _kick_matrices(angles, L, TOP, time_dependent)

@@ -317,10 +317,6 @@ def _make_general_kernel_blocked(L: int, S: int, q: int, b0: int,
     is dropped: the per-pair trip count already bounds the loop to active
     steps."""
     TOP = 1 << (L - 14)
-    if TOP % bt:
-        raise ValueError(f"bt={bt} must divide TOP={TOP}")
-    if (_C // 2) % cs:
-        raise ValueError(f"cs={cs} must divide {_C // 2}")
     n_bt = TOP // bt
     n_cs = (_C // 2) // cs
     TPS = 2 if echo else 1
@@ -432,6 +428,8 @@ def _make_general_kernel_blocked(L: int, S: int, q: int, b0: int,
             c6q = jnp.cos(s6q)
             s6qz = zz67c * jnp.sin(s6q)
             a_next = jnp.zeros((), jnp.float32)
+            if not echo:  # only final-slot steps measure (K >= 2 families)
+                measures = tiles_ref[0, kt, FO + _LANE_MPOS] >= 0.0
             for half, sgn in ((0, 1.0), (1, -1.0)):
                 th = th_hi + sgn * s13q * zho[0]
                 dr = jnp.cos(th)
@@ -454,9 +452,16 @@ def _make_general_kernel_blocked(L: int, S: int, q: int, b0: int,
                     st_ref[1, :, pl.ds(off, cs)] = ki
                     if echo:
                         return acc
-                    zqc = (1 - 2 * (((lcs + off) >> q) & 1)).astype(
-                        jnp.float32)
-                    return acc + jnp.sum((kr * kr + ki * ki) * zqc)
+
+                    def msum():
+                        zqc = (1 - 2 * (((lcs + off) >> q) & 1)).astype(
+                            jnp.float32)
+                        return acc + jnp.sum((kr * kr + ki * ki) * zqc)
+
+                    # the reduce runs only on measuring slots (the final
+                    # kick slot of a cycle); K >= 2 families skip it on
+                    # the other slots
+                    return jax.lax.cond(measures, msum, lambda: acc)
 
                 a_next = jax.lax.fori_loop(0, n_cs, p2_chunk, a_next)
 
@@ -490,13 +495,6 @@ def _make_general_kernel_blocked(L: int, S: int, q: int, b0: int,
             jax.lax.fori_loop(0, S, step, None)
 
     return kernel
-
-
-def _blocked_bt_cs():
-    import os as _os
-
-    return (int(_os.environ.get("DTC_TPU_BLOCKED_BT", "16")),
-            int(_os.environ.get("DTC_TPU_BLOCKED_CS", "2048")))
 
 
 def _bits_row(mask, width):
@@ -572,9 +570,12 @@ def general_forward_batch(hs, phis, angles, keys, *, L, T, K, p, q,
         if L <= 21:
             kern = _make_general_kernel(L, S, q, b0, TOP > 1, echo=False)
         else:
+            from dtc_tpu.ops.pallas_resident_blocked import \
+                blocked_block_sizes
+
+            bt, cs = blocked_block_sizes(TOP)
             kern = _make_general_kernel_blocked(L, S, q, b0, echo=False,
-                                                bt=_blocked_bt_cs()[0],
-                                                cs=_blocked_bt_cs()[1])
+                                                bt=bt, cs=cs)
         a_raw = pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
@@ -698,9 +699,12 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
         if L <= 21:
             kern = _make_general_kernel(L, S, q, b0, TOP > 1, echo=True)
         else:
+            from dtc_tpu.ops.pallas_resident_blocked import \
+                blocked_block_sizes
+
+            bt, cs = blocked_block_sizes(TOP)
             kern = _make_general_kernel_blocked(L, S, q, b0, echo=True,
-                                                bt=_blocked_bt_cs()[0],
-                                                cs=_blocked_bt_cs()[1])
+                                                bt=bt, cs=cs)
         a_raw = pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((n_pairs, 8, 128), jnp.float32),

@@ -201,7 +201,7 @@ def test_blocked_rejects_bad_args():
     with pytest.raises(ValueError, match="q < 14"):
         blocked_forward_batch(jnp.ones((1, 22)), jnp.ones((1, 21)), ang,
                               keys, L=22, T=2, p=0.0, q=14)
-    with pytest.raises(ValueError, match="L=22 only"):
+    with pytest.raises(ValueError, match="L=22, T <= 64"):
         blocked_forward_batch(jnp.ones((1, 23)), jnp.ones((1, 22)), ang,
                               keys, L=23, T=2, p=0.0, q=4,
                               time_dependent=True)
@@ -221,6 +221,7 @@ def test_blocked_dispatch_is_opt_in():
     hs, phis = generate_disorder(L, 1, seed=98)
     sched = build_kick_schedule("x", 0.9, T)
     keys = jax.random.split(jax.random.PRNGKey(0), 2)[None]
+    prior = os.environ.get("DTC_TPU_ENGINE")
     os.environ["DTC_TPU_ENGINE"] = "blocked"
     try:
         out = _forward_batch(
@@ -229,7 +230,10 @@ def test_blocked_dispatch_is_opt_in():
             initial_state="vacuum", dtype_name="complex64",
             ancilla_factor=1.0)
     finally:
-        del os.environ["DTC_TPU_ENGINE"]
+        if prior is None:
+            del os.environ["DTC_TPU_ENGINE"]
+        else:
+            os.environ["DTC_TPU_ENGINE"] = prior
     np.testing.assert_allclose(np.asarray(out)[0, 0, 0], 1.0, atol=1e-6)
 
 
