@@ -85,14 +85,18 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
             initial_state=initial_state, ancilla_factor=ancilla_factor,
             time_dependent=not time_independent)
 
-    if fast_ok and engine == "blocked" and time_independent:
-        # blocked-plane VMEM-resident kernel, L=22..23 (opt-in until
-        # measured on hardware): plane ops restructured into fori_loops
-        # over blocks so Mosaic's register allocator stays bounded where
-        # the full-plane L=22 body spilled ~102 MB (docs/PERFORMANCE.md).
-        # Constant schedules only — the per-cycle (T, TOP, TOP) kick-matrix
-        # block would blow VMEM at these L, so per-cycle x schedules route
-        # to the blocked GENERAL kernel (in-kernel-built matrices) below.
+    if fast_ok and time_independent and engine != "streamed":
+        # blocked-plane VMEM-resident kernel, L=22..23 — the DEFAULT at
+        # these sizes (measured L=22: 3433 traj-cyc/s vs the streamed
+        # kernel's 990 — VMEM residency beats even the streamed DMA
+        # roofline of ~2440; parity 9e-5 vs sigma): plane ops restructured
+        # into fori_loops over blocks so Mosaic's register allocator stays
+        # bounded where the full-plane L=22 body spilled ~102 MB
+        # (docs/PERFORMANCE.md). Constant schedules only — the per-cycle
+        # (T, TOP, TOP) kick-matrix block would blow VMEM at these L, so
+        # per-cycle x schedules route to the blocked GENERAL kernel
+        # (in-kernel-built matrices) below. engine='streamed' still names
+        # the HBM-streamed kernel explicitly.
         from dtc_tpu.ops.pallas_resident_blocked import blocked_forward_batch
 
         return blocked_forward_batch(
@@ -114,13 +118,13 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
             initial_state=initial_state, ancilla_factor=ancilla_factor)
 
     if _general_dispatch(angles, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
-                         engine=engine, max_steps=1024,
-                         # blocked-plane general variant covers 22..23
-                         max_L=23 if engine == "blocked" else 21):
+                         engine=engine, max_steps=1024, max_L=23):
         # lab-frame general resident kernel: any polarization family / K
         # slots / per-cycle schedule (y 12.3k, xy/circular 7.1k cycles/s at
         # L=20 vs the sigma engine's 2.0k/1.3k; matches it to ~3e-4 — the
-        # bf16x3 dot level — with identical presampled trajectories)
+        # bf16x3 dot level — with identical presampled trajectories).
+        # 22 <= L <= 23 run the blocked-plane variant (measured y at L=22:
+        # 3405 traj-cyc/s vs sigma 364, parity 1.0e-4)
         from dtc_tpu.ops.pallas_resident_general import general_forward_batch
 
         return general_forward_batch(
@@ -206,10 +210,11 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
             initial_state=initial_state, ancilla_factor=ancilla_factor,
             time_dependent=not time_independent)
 
-    if (fast_ok and engine == "blocked" and time_independent and T <= 512):
-        # blocked-plane VMEM-resident echo, constant schedules (opt-in
-        # until measured; per-cycle x routes to the blocked general
-        # kernel below — see _forward_batch)
+    if (fast_ok and time_independent and T <= 512 and engine != "streamed"):
+        # blocked-plane VMEM-resident echo, constant schedules — the
+        # DEFAULT at L=22..23 (measured L=22 sweep: 4088 active steps/s vs
+        # the streamed echo's 1016; parity 1.2e-4). Per-cycle x routes to
+        # the blocked general kernel below — see _forward_batch.
         from dtc_tpu.ops.pallas_resident_blocked import blocked_echo_batch
 
         return blocked_echo_batch(
@@ -217,8 +222,10 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
             initial_state=initial_state, ancilla_factor=ancilla_factor)
 
     if _general_dispatch(angles, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
-                         engine=engine, max_steps=512,
-                         max_L=23 if engine == "blocked" else 21):
+                         engine=engine, max_steps=512, max_L=23):
+        # 22 <= L <= 23 run the blocked-plane variant (measured y echo at
+        # L=22: 3974 active steps/s vs the deopted sigma fallback,
+        # parity 6.5e-5)
         from dtc_tpu.ops.pallas_resident_general import general_echo_batch
 
         return general_echo_batch(

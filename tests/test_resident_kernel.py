@@ -207,10 +207,12 @@ def test_blocked_rejects_bad_args():
                               time_dependent=True)
 
 
-def test_blocked_dispatch_is_opt_in():
-    """DTC_TPU_ENGINE=blocked routes L=22..23 x-drives to the blocked
-    kernel on TPU; 'auto' keeps the streamed kernel (until measured). On
-    CPU neither fires — exercised via the sigma fallback at a small L."""
+def test_blocked_engine_name_accepted():
+    """DTC_TPU_ENGINE=blocked names the fast-kernel family (on TPU,
+    'auto' and 'blocked' both route L=22..23 constant x-drives to the
+    blocked VMEM-resident kernel — measured 3.5x the streamed kernel;
+    'streamed' still names the HBM-streamed kernel explicitly). On CPU
+    neither fires — exercised via the sigma fallback at a small L."""
     import os
 
     from dtc_tpu.experiments.engine import _forward_batch
