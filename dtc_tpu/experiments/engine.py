@@ -71,37 +71,42 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
     fast_ok, time_independent = _resident_dispatch(
         angles, has_y=has_y, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
         engine=engine, max_L=23)
+    if (fast_ok and time_independent and 18 <= L and engine != "streamed"):
+        # blocked-plane VMEM-resident kernel — the DEFAULT for constant
+        # x-schedules at 18 <= L <= 23. Built to get past the full-plane
+        # body's ~102 MB register spill at L=22, the bounded-live-set
+        # fori_loop body also schedules BETTER at the full-plane kernel's
+        # own sizes: measured fwd/echo vs the full-plane resident kernel
+        # (benchmarks/blocked_lowL_probe.py medians) 1.43x/1.28x at L=21,
+        # 1.34x/1.25x at L=20 (15.8k traj-cyc/s — the headline bench),
+        # 1.14x/1.20x at L=19, 1.10x/1.15x at L=18 (crossover: 0.95x/1.04x
+        # at L=17), and vs the streamed kernel 3.5x at L=22 (VMEM residency
+        # beats even the streamed DMA roofline of ~2440); parity ~1e-6 vs
+        # the full-plane kernel / 9e-5 vs sigma. Per-cycle x schedules stay
+        # on the full-plane resident kernel below (its (T,128,128) matrix
+        # block is VMEM-budgeted at L <= 21; at 22..23 they route to the
+        # blocked GENERAL kernel's in-kernel-built matrices).
+        # engine='streamed' still names the HBM-streamed kernel explicitly.
+        from dtc_tpu.ops.pallas_resident_blocked import blocked_forward_batch
+
+        return blocked_forward_batch(
+            hs, phis, angles, keys, L=L, T=T, p=p, q=q,
+            initial_state=initial_state, ancilla_factor=ancilla_factor)
+
     if fast_ok and L <= 21:
-        # VMEM-resident whole-trajectory kernel: state never leaves VMEM
-        # across all T cycles (measured 11.2k cycles/s at L=20 vs 2.0k for
-        # the factored engine; values match it to the bf16x3 dot level,
-        # <=1.8e-4, far under trajectory sampling noise). Per-cycle x-only
-        # schedules (adaptive-g) use the same kernel with (T,128,128)
-        # per-cycle kick matrices.
+        # full-plane VMEM-resident whole-trajectory kernel: constant x at
+        # 14 <= L <= 17 (the full-plane body still wins at L=17 — 0.95x —
+        # and the blocked kernel's TOP >= 8 floor is L=17 anyway) and
+        # per-cycle x-only schedules (adaptive-g) at L <= 21 via
+        # (T,128,128) per-cycle kick matrices. Values match the sigma
+        # engine to the bf16x3 dot level (<=1.8e-4), far under trajectory
+        # sampling noise.
         from dtc_tpu.ops.pallas_resident import resident_forward_batch
 
         return resident_forward_batch(
             hs, phis, angles, keys, L=L, T=T, p=p, q=q,
             initial_state=initial_state, ancilla_factor=ancilla_factor,
             time_dependent=not time_independent)
-
-    if fast_ok and time_independent and engine != "streamed":
-        # blocked-plane VMEM-resident kernel, L=22..23 — the DEFAULT at
-        # these sizes (measured L=22: 3433 traj-cyc/s vs the streamed
-        # kernel's 990 — VMEM residency beats even the streamed DMA
-        # roofline of ~2440; parity 9e-5 vs sigma): plane ops restructured
-        # into fori_loops over blocks so Mosaic's register allocator stays
-        # bounded where the full-plane L=22 body spilled ~102 MB
-        # (docs/PERFORMANCE.md). Constant schedules only — the per-cycle
-        # (T, TOP, TOP) kick-matrix block would blow VMEM at these L, so
-        # per-cycle x schedules route to the blocked GENERAL kernel
-        # (in-kernel-built matrices) below. engine='streamed' still names
-        # the HBM-streamed kernel explicitly.
-        from dtc_tpu.ops.pallas_resident_blocked import blocked_forward_batch
-
-        return blocked_forward_batch(
-            hs, phis, angles, keys, L=L, T=T, p=p, q=q,
-            initial_state=initial_state, ancilla_factor=ancilla_factor)
 
     if (time_independent and 22 <= L <= 28 and q < 14
             and dtype_name == "complex64" and T <= 1024
@@ -202,6 +207,21 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
     fast_ok, time_independent = _resident_dispatch(
         angles, has_y=has_y, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
         engine=engine, max_L=23)
+    if (fast_ok and time_independent and 18 <= L and T <= 512
+            and engine != "streamed"):
+        # blocked-plane VMEM-resident echo, constant x-schedules — the
+        # DEFAULT at 18 <= L <= 23 (measured sweeps vs the full-plane
+        # resident echo 1.28x at L=21, 1.25x at L=20, 1.20x at L=19,
+        # 1.15x at L=18, ~tie at L=17, parity ~1e-6 —
+        # blocked_lowL_probe.py; vs the streamed echo 4.0x at L=22, parity
+        # 1.2e-4). Per-cycle x routes to the full-plane / blocked general
+        # kernels below — see _forward_batch.
+        from dtc_tpu.ops.pallas_resident_blocked import blocked_echo_batch
+
+        return blocked_echo_batch(
+            hs, phis, angles, keys, ts, L=L, T=T, p=p, q=q,
+            initial_state=initial_state, ancilla_factor=ancilla_factor)
+
     if fast_ok and L <= 21:
         from dtc_tpu.ops.pallas_resident import resident_echo_batch
 
@@ -209,17 +229,6 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
             hs, phis, angles, keys, ts, L=L, T=T, p=p, q=q,
             initial_state=initial_state, ancilla_factor=ancilla_factor,
             time_dependent=not time_independent)
-
-    if (fast_ok and time_independent and T <= 512 and engine != "streamed"):
-        # blocked-plane VMEM-resident echo, constant schedules — the
-        # DEFAULT at L=22..23 (measured L=22 sweep: 4088 active steps/s vs
-        # the streamed echo's 1016; parity 1.2e-4). Per-cycle x routes to
-        # the blocked general kernel below — see _forward_batch.
-        from dtc_tpu.ops.pallas_resident_blocked import blocked_echo_batch
-
-        return blocked_echo_batch(
-            hs, phis, angles, keys, ts, L=L, T=T, p=p, q=q,
-            initial_state=initial_state, ancilla_factor=ancilla_factor)
 
     if _general_dispatch(angles, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
                          engine=engine, max_steps=512, max_L=23):

@@ -1,6 +1,6 @@
-"""Blocked-plane VMEM-resident Floquet kernel for L = 22..23 (x drive).
+"""Blocked-plane VMEM-resident Floquet kernel for L = 17..23 (x drive).
 
-The L <= 21 resident kernel (ops/pallas_resident.py) operates on FULL
+The full-plane resident kernel (ops/pallas_resident.py) operates on FULL
 (TOP, 16384) planes: at L=22 Mosaic's register allocator spills ~102 MB
 of vector registers compiling that body (docs/PERFORMANCE.md "resident
 kernel at L=22", a measured negative result) — the plane values are too
@@ -25,9 +25,14 @@ the noise/measurement conventions mirror the reference simulation loop
 (autocorr-delta-a-single-qiskit-fast.py:111-147) exactly as
 core/sigma_evolve.py does.
 
-Replaces the HBM-streamed kernel as the default L = 22..23 engine when
-measured faster (the streamed kernel's two DMA sweeps per cycle move
-2 x state through HBM; here a cycle touches HBM not at all).
+Replaces the HBM-streamed kernel as the default L = 22..23 engine (the
+streamed kernel's two DMA sweeps per cycle move 2 x state through HBM;
+here a cycle touches HBM not at all) — AND the full-plane resident kernel
+at 17 <= L <= 21 for constant schedules: the bounded-live-set fori_loop
+body schedules better at the full-plane kernel's own sizes too (measured
+fwd 1.43x at L=21, 1.34x at L=20, 1.14x at L=19; parity ~1e-6 —
+benchmarks/blocked_lowL_probe.py). The floor is TOP >= 8 (L >= 17), the
+f32 sublane-tile minimum for the pass-1 row blocks.
 """
 
 from __future__ import annotations
@@ -63,7 +68,9 @@ def blocked_block_sizes(TOP: int) -> tuple[int, int]:
       z6^z7, 256-periodic) are built from WITHIN-chunk lane indices plus
       the chunk offset only where the formula says so — a cs below 256
       would silently corrupt the bond-6 signs."""
-    bt = int(_os.environ.get("DTC_TPU_BLOCKED_BT", "16"))
+    # default bt=16 clamps to TOP at L=17 (TOP=8) so the kernel's full
+    # 17 <= L <= 23 range works without env overrides
+    bt = min(int(_os.environ.get("DTC_TPU_BLOCKED_BT", "16")), TOP)
     cs = int(_os.environ.get("DTC_TPU_BLOCKED_CS", "2048"))
     if TOP % bt or bt % 8:
         raise ValueError(f"bt={bt} must divide TOP={TOP} and be a"
@@ -426,14 +433,14 @@ def blocked_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                        time_dependent=False, interpret=False):
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2), (n_ts,) -> (inst, c, n_ts).
 
-    Blocked-plane VMEM-resident echo A0(t) for 22 <= L <= 23: per
+    Blocked-plane VMEM-resident echo A0(t) for 17 <= L <= 23: per
     (trajectory, t) pair the kernel runs 2t active masked steps (t
     forward, t inverse), matching core.sigma_evolve.sigma_echo_batch
     event-for-event with identical presampled uniforms. Echo semantics per
     the reference (autocorr-delta-a-single-qiskit-fast.py:140-147).
     """
-    if not (22 <= L <= 23):
-        raise ValueError("blocked resident kernel supports 22 <= L <= 23")
+    if not (17 <= L <= 23):
+        raise ValueError("blocked resident kernel supports 17 <= L <= 23")
     if q >= 14:
         raise ValueError("blocked resident kernel requires q < 14")
     if T > 512:
@@ -510,13 +517,13 @@ def blocked_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2) -> (inst, c, T).
 
     Blocked-plane VMEM-resident x-pol forward autocorrelator for
-    22 <= L <= 23 (q < 14). Grid iterates trajectories; one grid step =
+    17 <= L <= 23 (q < 14). Grid iterates trajectories; one grid step =
     one full trajectory. Per-cycle x schedules (time_dependent) are
     limited to L=22: the (T, TOP, TOP) top-kick matrix block at L=23
     would not fit VMEM next to the 64 MB state.
     """
-    if not (22 <= L <= 23):
-        raise ValueError("blocked resident kernel supports 22 <= L <= 23")
+    if not (17 <= L <= 23):
+        raise ValueError("blocked resident kernel supports 17 <= L <= 23")
     if q >= 14:
         raise ValueError("blocked resident kernel requires q < 14")
     if T > 1024:

@@ -41,6 +41,7 @@ trajectory-for-trajectory up to float reassociation.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -307,6 +308,15 @@ def _make_general_kernel(L: int, S: int, q: int, b0: int, has_top: bool,
     return kernel
 
 
+def _blocked_min_L() -> int:
+    """Smallest L routed to the blocked-plane kernel body (the full-plane
+    body is required above it — it register-spills at L >= 22 — and the
+    probe DTC_TPU_GENERAL_BLOCKED_MIN_L lowers the threshold to time the
+    blocked body at full-plane sizes; see benchmarks/blocked_lowL_probe.py
+    for the x-kernel analogue that motivated this)."""
+    return int(_os.environ.get("DTC_TPU_GENERAL_BLOCKED_MIN_L", "22"))
+
+
 def _make_general_kernel_blocked(L: int, S: int, q: int, b0: int,
                                  echo: bool, bt: int, cs: int):  # noqa: C901
     """Blocked-plane variant for L = 22..23: same math and tile layout as
@@ -567,7 +577,7 @@ def general_forward_batch(hs, phis, angles, keys, *, L, T, K, p, q,
         params = jax.vmap(tiles_one)(ks)  # (c, S, 128)
         n_traj = ks.shape[0]
 
-        if L <= 21:
+        if L < _blocked_min_L():
             kern = _make_general_kernel(L, S, q, b0, TOP > 1, echo=False)
         else:
             from dtc_tpu.ops.pallas_resident_blocked import \
@@ -696,7 +706,7 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
         # 2S = 1008 rows; SMEM scalar loads are the fast path
         tile_mem = (pltpu.SMEM if 2 * S * 512 * 2 <= 1024 * 1024
                     else pltpu.VMEM)
-        if L <= 21:
+        if L < _blocked_min_L():
             kern = _make_general_kernel(L, S, q, b0, TOP > 1, echo=True)
         else:
             from dtc_tpu.ops.pallas_resident_blocked import \

@@ -195,9 +195,9 @@ def test_blocked_rejects_bad_args():
 
     keys = jax.random.split(jax.random.PRNGKey(0), 1)[None]
     ang = jnp.zeros((2, 1, 2))
-    with pytest.raises(ValueError, match="22 <= L <= 23"):
-        blocked_forward_batch(jnp.ones((1, 21)), jnp.ones((1, 20)), ang,
-                              keys, L=21, T=2, p=0.0, q=4)
+    with pytest.raises(ValueError, match="17 <= L <= 23"):
+        blocked_forward_batch(jnp.ones((1, 16)), jnp.ones((1, 15)), ang,
+                              keys, L=16, T=2, p=0.0, q=4)
     with pytest.raises(ValueError, match="q < 14"):
         blocked_forward_batch(jnp.ones((1, 22)), jnp.ones((1, 21)), ang,
                               keys, L=22, T=2, p=0.0, q=14)
@@ -251,7 +251,13 @@ def test_blocked_kernel_matches_sigma_interpret():
     from dtc_tpu.ops.pallas_resident_blocked import blocked_forward_batch
 
     for L, T, state, tdep in ((22, 3, "neel", False),
-                              (22, 3, "vacuum", True)):
+                              (22, 3, "vacuum", True),
+                              # L=17 covers the low end of the widened
+                              # 17..23 range (TOP=8 clamps bt 16 -> 8),
+                              # the default engine at these sizes since the
+                              # blocked body measured faster than the
+                              # full-plane kernel (blocked_lowL_probe.py)
+                              (17, 4, "vacuum", False)):
         hs_np, phis_np = generate_disorder(L, 1, seed=7)
         hs = jnp.asarray(hs_np[:, :L])
         phis = jnp.asarray(phis_np[:, :L - 1])
