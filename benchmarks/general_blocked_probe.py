@@ -59,7 +59,14 @@ def timed(fn, *a, groups=3, reps=3, **kw):
 def xcheck(tag, out):
     ref_path = f"/tmp/general_probe_{tag}_L{L}_{pol}.npy"
     if _os.path.exists(ref_path):
-        err = float(np.max(np.abs(out - np.load(ref_path))))
+        ref = np.load(ref_path)
+        if ref.shape != out.shape:
+            # stale reference from a run with a different n_traj — replace
+            print(f"  {tag}: stale ref shape {ref.shape} != {out.shape}; "
+                  "overwriting (no cross-check this run)", flush=True)
+            np.save(ref_path, out)
+            return
+        err = float(np.max(np.abs(out - ref)))
         print(f"  {tag} vs other variant: max|err| = {err:.1e}", flush=True)
         assert err < 3e-4
     else:
@@ -70,9 +77,9 @@ print(f"L={L} T={T} p={p} pol={pol} n_traj={n_traj} variant={variant}",
       flush=True)
 fw, dtf = timed(general_forward_batch, hs, phis, sched.angles, keys,
                 L=L, T=T, K=sched.K, p=p, q=q)
-xcheck("fwd", fw)
 print(f"fwd {variant}: {n_traj * T / dtf:7.0f} traj-cyc/s "
       f"({dtf * 1e3:.0f} ms)", flush=True)
+xcheck("fwd", fw)
 
 if "--no-echo" not in _sys.argv:
     ekeys = keys[:, : max(2, min(8, n_traj // 4))]
@@ -80,6 +87,6 @@ if "--no-echo" not in _sys.argv:
     n_steps = ekeys.shape[1] * (T * (T + 1))
     ec, dte = timed(general_echo_batch, hs, phis, sched.angles, ekeys,
                     ts_full, L=L, T=T, K=sched.K, p=p, q=q)
-    xcheck("echo", ec)
     print(f"echo {variant}: {n_steps / dte:7.0f} active steps/s "
           f"({dte * 1e3:.0f} ms)", flush=True)
+    xcheck("echo", ec)

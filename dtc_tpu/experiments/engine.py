@@ -128,8 +128,9 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
         # slots / per-cycle schedule (y 12.3k, xy/circular 7.1k cycles/s at
         # L=20 vs the sigma engine's 2.0k/1.3k; matches it to ~3e-4 — the
         # bf16x3 dot level — with identical presampled trajectories).
-        # 22 <= L <= 23 run the blocked-plane variant (measured y at L=22:
-        # 3405 traj-cyc/s vs sigma 364, parity 1.0e-4)
+        # 18 <= L <= 23 run the blocked-plane variant (measured y at L=22:
+        # 3405 traj-cyc/s vs sigma 364, parity 1.0e-4; vs the full-plane
+        # body 1.17-1.24x at L=20..21 — general_blocked_probe.py)
         from dtc_tpu.ops.pallas_resident_general import general_forward_batch
 
         return general_forward_batch(
@@ -232,9 +233,10 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
 
     if _general_dispatch(angles, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
                          engine=engine, max_steps=512, max_L=23):
-        # 22 <= L <= 23 run the blocked-plane variant (measured y echo at
-        # L=22: 3974 active steps/s vs the deopted sigma fallback,
-        # parity 6.5e-5)
+        # 18 <= L <= 23 run the blocked-plane variant (measured y echo at
+        # L=22: 3974 active steps/s vs the deopted sigma fallback, parity
+        # 6.5e-5; vs the full-plane body 1.15-1.29x at L=18..21 —
+        # general_blocked_probe.py)
         from dtc_tpu.ops.pallas_resident_general import general_echo_batch
 
         return general_echo_batch(

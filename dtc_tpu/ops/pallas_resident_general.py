@@ -309,12 +309,16 @@ def _make_general_kernel(L: int, S: int, q: int, b0: int, has_top: bool,
 
 
 def _blocked_min_L() -> int:
-    """Smallest L routed to the blocked-plane kernel body (the full-plane
-    body is required above it — it register-spills at L >= 22 — and the
-    probe DTC_TPU_GENERAL_BLOCKED_MIN_L lowers the threshold to time the
-    blocked body at full-plane sizes; see benchmarks/blocked_lowL_probe.py
-    for the x-kernel analogue that motivated this)."""
-    return int(_os.environ.get("DTC_TPU_GENERAL_BLOCKED_MIN_L", "22"))
+    """Smallest L routed to the blocked-plane kernel body. Like the
+    x-frame kernels (ops/pallas_resident_blocked.py), the blocked body —
+    built to get past the full-plane register spill at L >= 22 — also
+    schedules BETTER at the full-plane body's own sizes: measured
+    fwd/echo vs full-plane (benchmarks/general_blocked_probe.py medians,
+    y-drive, T=50) 1.24x/1.29x at L=21, 1.17x/1.24x at L=20, ~1.0x/1.15x
+    at L=18, parity <= 1.8e-6. Default 18 matches the x-kernel crossover
+    (full-plane still wins at L=17). DTC_TPU_GENERAL_BLOCKED_MIN_L
+    overrides for probing either body at any L."""
+    return int(_os.environ.get("DTC_TPU_GENERAL_BLOCKED_MIN_L", "18"))
 
 
 def _make_general_kernel_blocked(L: int, S: int, q: int, b0: int,
@@ -529,8 +533,8 @@ def general_forward_batch(hs, phis, angles, keys, *, L, T, K, p, q,
 
     Lab-frame resident forward kernel for ANY kick schedule (all
     polarization families, per-cycle g). Requires 14 <= L <= 23, q < 14
-    (22 <= L <= 23 run the blocked-plane variant; see
-    _make_general_kernel_blocked).
+    (18 <= L <= 23 run the blocked-plane variant; see
+    _make_general_kernel_blocked and _blocked_min_L).
     """
     if not (14 <= L <= 23):
         raise ValueError("resident kernel supports 14 <= L <= 23")
@@ -621,7 +625,7 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
     pair, t forward cycles then t inverse cycles (slots reversed, daggered
     slot unitaries, D0^dagger leading each inverse cycle), events sampled
     from the same uniforms as core.sigma_evolve.sigma_echo_batch. Requires
-    14 <= L <= 23, q < 14 (22 <= L <= 23 run the blocked-plane variant).
+    14 <= L <= 23, q < 14 (18 <= L <= 23 run the blocked-plane variant).
     """
     if not (14 <= L <= 23):
         raise ValueError("resident kernel supports 14 <= L <= 23")

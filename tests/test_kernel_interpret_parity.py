@@ -102,6 +102,31 @@ def test_blocked_general_kernel_interpret_parity():
     assert np.min(se) < 0.0  # sign-flipped trajectory (events fired)
 
 
+def test_blocked_general_low_L_interpret_parity():
+    """The blocked-plane general body at L=18 — the new DEFAULT lower end
+    (general_blocked_probe.py measured it >= the full-plane body there).
+    TOP=16 clamps the pass-1 block height to the whole plane, a geometry
+    the L=22 test (TOP=256, 16 blocks) never hits."""
+    from dtc_tpu.ops.pallas_resident_general import (_blocked_min_L,
+                                                     general_echo_batch,
+                                                     general_forward_batch)
+
+    L, T, p, q = 18, 2, 0.6, 9
+    assert L >= _blocked_min_L()  # this test must exercise the blocked body
+    hs, phis, ang, keys = _setup(L, T, "y")
+    b = np.asarray(general_forward_batch(hs, phis, ang, keys, L=L, T=T,
+                                         K=1, p=p, q=q, interpret=True))
+    s = np.asarray(sigma_forward_batch(hs, phis, ang, keys, L=L, T=T, K=1,
+                                       p=p, q=q, has_y=True, **SKW))
+    assert np.max(np.abs(b - s)) < 1e-4
+    ts = jnp.asarray([2])
+    be = np.asarray(general_echo_batch(hs, phis, ang, keys, ts, L=L, T=T,
+                                       K=1, p=p, q=q, interpret=True))
+    se = np.asarray(sigma_echo_batch(hs, phis, ang, keys, ts, L=L, T=T,
+                                     K=1, p=p, q=q, has_y=True, **SKW))
+    assert np.max(np.abs(be - se)) < 1e-4
+
+
 def test_streamed_kernel_interpret_parity():
     """The HBM-streamed kernels' DMA machinery (async slab copies, the
     ANY-space aliased state pair, dynamic trip counts) runs under
