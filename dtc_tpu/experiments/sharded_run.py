@@ -19,6 +19,7 @@ from dtc_tpu.models.noise import NoiseSpec
 from dtc_tpu.parallel.mesh import make_mesh
 from dtc_tpu.parallel.sharded import (
     make_sharded_autocorr_forward,
+    make_sharded_autocorr_forward_kernel,
     make_sharded_echo,
     make_sharded_observables,
 )
@@ -33,6 +34,32 @@ def _auto_mesh(L: int, n_amp=None):
                and (1 << L) // (n_amp * 2) >= 2):
             n_amp *= 2
     return make_mesh(n_amp=n_amp, n_traj=n_dev // n_amp)
+
+
+def _cycle_kernel_ok(mesh, sched, cfg):
+    """Auto-dispatch test for the per-shard Pallas cycle kernel
+    (ops/pallas_cycle): TPU only, constant x-only schedule (same contract
+    as the single-chip fast kernels — engine._resident_dispatch), q < 14,
+    and shard-local bits within the blocked-kernel envelope 17..23."""
+    engine = os.environ.get("DTC_TPU_SHARDED_ENGINE", "auto")
+    if engine == "xla":
+        return False
+    if engine not in ("auto", "cycle_kernel"):
+        raise ValueError(f"DTC_TPU_SHARDED_ENGINE={engine!r} "
+                         "(want auto|xla|cycle_kernel)")
+    local_bits = cfg.L - int(np.log2(mesh.shape["amp"]))
+    ang = np.asarray(sched.angles)
+    eligible = (sched.K == 1 and cfg.probe_qubit < 14
+                and 17 <= local_bits <= 23
+                and bool(np.all(ang[:, :, 1] == 0.0))
+                and bool(np.all(ang == ang[0]))
+                and jax.default_backend() == "tpu")
+    if engine == "cycle_kernel" and not eligible:
+        raise ValueError(
+            "cycle_kernel sharded engine requires a constant x-only "
+            f"schedule, q < 14, TPU backend and 17 <= L - log2(n_amp) <= "
+            f"23 (got L={cfg.L}, n_amp={mesh.shape['amp']})")
+    return eligible
 
 
 def run_autocorr_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
@@ -54,7 +81,11 @@ def run_autocorr_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
         xy_cycle_period=cfg.xy_cycle_period)
     kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, p=noise.p, q=cfg.probe_qubit,
               initial_state=cfg.initial_state)
-    fwd = make_sharded_autocorr_forward(mesh, **kw)
+    if _cycle_kernel_ok(mesh, sched, cfg):
+        kkw = {k: v for k, v in kw.items() if k != "K"}
+        fwd = make_sharded_autocorr_forward_kernel(mesh, **kkw)
+    else:
+        fwd = make_sharded_autocorr_forward(mesh, **kw)
 
     n_traj = max(cfg.n_trajectories if noise.p > 0 else 1,
                  mesh.shape["traj"])

@@ -1,0 +1,248 @@
+"""Per-cycle VMEM-resident Floquet kernel — the per-shard engine for the
+amplitude-sharded path (docs/PERFORMANCE.md roadmap #4).
+
+One pallas_call = ONE sigma-frame factored Floquet cycle on the SHARD-LOCAL
+bits (17 <= L_loc <= 23): state streamed HBM -> VMEM scratch -> HBM through
+an ANY-space aliased input/output pair (Mosaic has no HBM scratch), all
+plane ops fused into the two blocked Karatsuba kick passes. The sharded
+scan (parallel/sharded.py, local_engine="cycle_kernel") calls this once per
+cycle; the global-qubit (shard-bit) kicks, their diagonal factors and the
+boundary bond stay in XLA between calls (they are ppermute pair exchanges +
+tiny per-shard factors — see _global_cycle_tail there).
+
+Math = one iteration of ops/pallas_resident_blocked._make_blocked_kernel's
+cycle loop (post-fold convention: kick, then this cycle's noise-Z signs and
+the sigma-conjugated D0 folded into the kick dots as angle offsets), on the
+LOCAL restriction: h[0:L_loc], phi[0:L_loc-1] and the low L_loc bits of
+(zm_t, csum_t) ride the same compact 128-lane parameter row
+(ops/pallas_noise.pack_cycle_params_compact at L=L_loc). Splitting the cycle
+at the shard boundary is exact because every factor is separable per
+qubit/bond: the local diagonal commutes with the global kicks that follow,
+and the bond phi[L_loc-1] straddling the boundary is applied by the caller
+AFTER its global kicks (it involves the local top bit, so it must follow
+ALL kicks — as every diagonal does in the post-fold convention).
+
+The A(t) partial sum is fused into pass 2 exactly like the blocked kernel.
+Measuring BEFORE the caller's global ops of the same cycle is exact: Z_q
+(q < 14, a column bit) commutes with every remaining op of the cycle
+(shard-bit kicks and diagonals).
+
+Physics/noise conventions mirror the reference simulation loop
+(autocorr-delta-a-single-qiskit-fast.py:111-147) via core/sigma_evolve.py,
+like every other kernel here; the distributed-hook parity target is the
+reference's unused Lightning-MPI flag (dtc_qasm.py:57-58) — this kernel is
+what makes the TPU-mesh replacement run at kernel rate per shard instead of
+XLA-scan rate.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dtc_tpu.ops.pallas_resident import _C, _HALF_PI, _cmul, _dot_f32
+from dtc_tpu.ops.pallas_resident_blocked import blocked_block_sizes
+
+
+def _make_cycle_kernel(L: int, q: int, bt: int, cs: int):  # noqa: C901
+    """One grid step = one trajectory's shard, ONE cycle, blocked plane ops.
+
+    L here is the LOCAL bit count (shard size log2). Body identical to
+    _make_blocked_kernel's per-cycle closure with T=1, except the state
+    arrives via DMA from the ANY-space aliased pair instead of living in a
+    persistent scratch across cycles.
+    """
+    TOP = 1 << (L - 14)
+    n_bt = TOP // bt
+    n_cs = (_C // 2) // cs
+
+    def kernel(u7r_ref, u7i_ref, utr_ref, uti_ref, par_ref, st_in_ref,
+               a_out_ref, st_hbm, st_ref, sems):
+        del st_in_ref  # aliased to st_hbm; all DMA through the output ref
+        i = pl.program_id(0)
+        pltpu.make_async_copy(st_hbm.at[i], st_ref, sems.at[0]).start()
+        pltpu.make_async_copy(st_hbm.at[i], st_ref, sems.at[0]).wait()
+
+        # loop-invariant tables (identical to the blocked kernel)
+        l7 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        z7 = [(1 - 2 * ((l7 >> k) & 1)).astype(jnp.float32) for k in range(7)]
+        lci = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
+        zz67 = (1 - 2 * (((lci >> 6) ^ (lci >> 7)) & 1)).astype(jnp.float32)
+        lcs = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1)
+        hti = jax.lax.broadcasted_iota(jnp.int32, (TOP, 1), 0)
+        zh = [(1 - 2 * ((hti >> k) & 1)).astype(jnp.float32)
+              for k in range(L - 14)]
+
+        u7rt = u7r_ref[0].T
+        u7it = u7i_ref[0].T
+
+        # compact row layout: n | sig | flip | h | phi at offsets
+        # 0, L, 2L, 3L-1, 4L-1 (pack_cycle_params_compact at L_loc)
+        def cz(qq):
+            return (par_ref[0, 0, 3 * L - 1 + qq]
+                    * (par_ref[0, 0, L + qq] - 0.5)
+                    - _HALF_PI * par_ref[0, 0, qq])
+
+        def cb(jj):
+            return (par_ref[0, 0, 4 * L - 1 + jj]
+                    * (par_ref[0, 0, 2 * L + jj] - 0.5))
+
+        def seven_bit_angle(base, bias):
+            th = jnp.full((1, 128), bias, jnp.float32)
+            for k in range(7):
+                th = th + cz(base + k) * z7[k]
+                if k > 0:
+                    th = th + cb(base + k - 1) * (z7[k - 1] * z7[k])
+            return th
+
+        def scaled(th):
+            dr = jnp.cos(th)
+            di = jnp.sin(th)
+            br = u7rt * dr - u7it * di
+            bi = u7rt * di + u7it * dr
+            return br, bi, br + bi
+
+        def kara_right(mr, mi, br, bi, bs):
+            p1 = _dot_f32(mr, br)
+            p2 = _dot_f32(mi, bi)
+            p3 = _dot_f32(mr + mi, bs)
+            return p1 - p2, p3 - p1 - p2
+
+        c0 = _HALF_PI * sum(par_ref[0, 0, qq] for qq in range(L))
+        blr, bli, bls = scaled(seven_bit_angle(0, c0))
+        bmr, bmi, bms = scaled(seven_bit_angle(7, 0.0))
+        s6 = cb(6)
+        c6, s6z = jnp.cos(s6), zz67 * jnp.sin(s6)
+
+        # ---- pass 1: bits 0..13 kicks + bond-6 straddle, per TOP block
+        def p1_block(i, _):
+            mr = st_ref[0, pl.ds(i * bt, bt), :].reshape(bt * 128, 128)
+            mi = st_ref[1, pl.ds(i * bt, bt), :].reshape(bt * 128, 128)
+            mr, mi = kara_right(mr, mi, blr, bli, bls)
+            mr = jnp.swapaxes(mr.reshape(bt, 128, 128), 1, 2).reshape(
+                bt * 128, 128)
+            mi = jnp.swapaxes(mi.reshape(bt, 128, 128), 1, 2).reshape(
+                bt * 128, 128)
+            mr, mi = kara_right(mr, mi, bmr, bmi, bms)
+            mr = jnp.swapaxes(mr.reshape(bt, 128, 128), 1, 2).reshape(
+                bt, _C)
+            mi = jnp.swapaxes(mi.reshape(bt, 128, 128), 1, 2).reshape(
+                bt, _C)
+            mr, mi = _cmul(mr, mi, c6, s6z)
+            st_ref[0, pl.ds(i * bt, bt), :] = mr
+            st_ref[1, pl.ds(i * bt, bt), :] = mi
+            return _
+
+        jax.lax.fori_loop(0, n_bt, p1_block, None)
+
+        # ---- pass 2: top kick + high diag + bond-13 straddle + measure
+        th_hi = jnp.zeros((TOP, 1), jnp.float32)
+        for k in range(L - 14):
+            th_hi = th_hi + cz(14 + k) * zh[k]
+            if k > 0:
+                th_hi = th_hi + cb(13 + k) * (zh[k - 1] * zh[k])
+        s13z14 = cb(13) * zh[0]
+        utr = utr_ref[0]
+        uti = uti_ref[0]
+
+        a_next = jnp.zeros((), jnp.float32)
+        for half, sgn in ((0, 1.0), (1, -1.0)):
+            th = th_hi + sgn * s13z14
+            dr = jnp.cos(th)
+            di = jnp.sin(th)
+            btr = utr * dr - uti * di
+            bti = utr * di + uti * dr
+            bts = btr + bti
+            base = half * (_C // 2)
+
+            def p2_chunk(j, acc, btr=btr, bti=bti, bts=bts, base=base):
+                off = base + j * cs
+                hr = st_ref[0, :, pl.ds(off, cs)]
+                hi_ = st_ref[1, :, pl.ds(off, cs)]
+                q1 = _dot_f32(btr, hr)
+                q2 = _dot_f32(bti, hi_)
+                q3 = _dot_f32(bts, hr + hi_)
+                kr = q1 - q2
+                ki = q3 - q1 - q2
+                st_ref[0, :, pl.ds(off, cs)] = kr
+                st_ref[1, :, pl.ds(off, cs)] = ki
+                zq = (1 - 2 * (((lcs + off) >> q) & 1)).astype(jnp.float32)
+                return acc + jnp.sum((kr * kr + ki * ki) * zq)
+
+            a_next = jax.lax.fori_loop(0, n_cs, p2_chunk, a_next)
+
+        pltpu.make_async_copy(st_ref, st_hbm.at[i], sems.at[1]).start()
+        pltpu.make_async_copy(st_ref, st_hbm.at[i], sems.at[1]).wait()
+
+        arow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        alane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        apos = arow * 128 + alane
+        a_out_ref[0] = jnp.where(apos == 0, a_next, 0.0)
+
+    return kernel
+
+
+def cycle_forward_apply(state, params, u7r, u7i, utr, uti, *, L, q,
+                        interpret=False):
+    """Apply ONE factored Floquet cycle to a batch of shard-local planar
+    states.
+
+    state: (n_traj, 2, TOP, 16384) f32 planar (TOP = 2**(L-14));
+    params: (n_traj, 128) f32 compact cycle rows (pack_cycle_params_compact
+    at L = L_loc with the LOCAL slices of this cycle's zm/csum words);
+    u7r/u7i: (1, 128, 128), utr/uti: (1, TOP, TOP) planar kick matrices
+    (ops/pallas_resident._kick_matrices, constant schedule).
+
+    Returns (state', a_partial (n_traj,)): the evolved states and the
+    shard-local sum(z_q * |psi|^2) measured after the cycle (psum over the
+    'amp' axis and the sigma sign are the caller's job).
+    """
+    if not (17 <= L <= 23):
+        raise ValueError("cycle kernel supports 17 <= L_loc <= 23")
+    if q >= 14:
+        raise ValueError("cycle kernel requires probe qubit q < 14")
+    TOP = 1 << (L - 14)
+    n_traj = state.shape[0]
+    if state.shape != (n_traj, 2, TOP, _C):
+        raise ValueError(f"state shape {state.shape} != "
+                         f"{(n_traj, 2, TOP, _C)}")
+    bt, cs = blocked_block_sizes(TOP)
+    params = params.reshape(n_traj, 1, 128)
+
+    a_raw, state = pl.pallas_call(
+        _make_cycle_kernel(L, q, bt, cs),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct(state.shape, jnp.float32),
+        ],
+        grid=(n_traj,),
+        in_specs=[
+            pl.BlockSpec((1, 128, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # u7r
+            pl.BlockSpec((1, 128, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # u7i
+            pl.BlockSpec((1, TOP, TOP), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # utr
+            pl.BlockSpec((1, TOP, TOP), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # uti
+            pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),  # cycle row
+            pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
+        ],
+        input_output_aliases={5: 1},
+        scratch_shapes=[
+            pltpu.VMEM((2, TOP, _C), jnp.float32),  # shard state
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(u7r, u7i, utr, uti, params, state)
+    return state, a_raw[:, 0, 0]

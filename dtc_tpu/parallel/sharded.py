@@ -208,6 +208,183 @@ def _sharded_forward_cycle(state, pending, ang, ev, d0, exp_h, exp_p, *, L,
     return state * d0, (pend_zm, sig_after)
 
 
+def _tail_phase_angles(zm_t, sig_t, hs, phis, aidx, *, L, local_bits):
+    """Per-(shard, trajectory) diagonal angles for the cycle-kernel path's
+    XLA tail: (theta_scalar (n,), theta_boundary (n,)) such that the
+    global part of the post-fold cycle diagonal is
+    exp(i*theta_scalar) * exp(i*theta_boundary*z_topbit) — the shard-bit h
+    terms with their sigma corrections, the noise-Z signs on shard bits,
+    the shard-shard bonds, and the boundary bond phi[local_bits-1] (whose
+    z_{local_bits} leg is shard bit 0, folded into theta_boundary; its
+    z_{local_bits-1} leg is the local TOP bit, applied by the caller as a
+    2-half broadcast). Mirrors the compact-row angle formula of the
+    resident kernels (cz = h*(sig-0.5) - pi/2*n, cb = phi*(flip-0.5),
+    c0 = pi/2*sum(n)) restricted to bits >= local_bits."""
+    half_pi = float(np.pi / 2)
+    qs = jnp.arange(L, dtype=jnp.uint32)
+    zb = ((sig_t[:, None] >> qs) & 1).astype(jnp.float32)   # (n, L)
+    nb = ((zm_t[:, None] >> qs) & 1).astype(jnp.float32)
+    hf = hs.astype(jnp.float32)
+    pf = phis.astype(jnp.float32)
+    th_sc = jnp.zeros(zm_t.shape, jnp.float32)
+    for qq in range(local_bits, L):
+        gb = qq - local_bits
+        z = (1 - 2 * ((aidx >> gb) & 1)).astype(jnp.float32)
+        czq = hf[qq] * (zb[:, qq] - 0.5) - half_pi * nb[:, qq]
+        th_sc = th_sc + czq * z + half_pi * nb[:, qq]
+    for b in range(local_bits, L - 1):
+        gb, gb1 = b - local_bits, b + 1 - local_bits
+        zz = ((1 - 2 * ((aidx >> gb) & 1))
+              * (1 - 2 * ((aidx >> gb1) & 1))).astype(jnp.float32)
+        flip = jnp.abs(zb[:, b] - zb[:, b + 1])
+        th_sc = th_sc + pf[b] * (flip - 0.5) * zz
+    b = local_bits - 1
+    flip = jnp.abs(zb[:, b] - zb[:, b + 1])
+    z_s0 = (1 - 2 * (aidx & 1)).astype(jnp.float32)
+    th_bnd = pf[b] * (flip - 0.5) * z_s0
+    return th_sc, th_bnd
+
+
+def _planar_phase(st, cr, ci):
+    """st (n, 2, ...) planar * per-trajectory complex scalar (cr + i*ci)."""
+    shape = (-1,) + (1,) * (st.ndim - 2)
+    cr = cr.reshape(shape)
+    ci = ci.reshape(shape)
+    return jnp.stack([cr * st[:, 0] - ci * st[:, 1],
+                      cr * st[:, 1] + ci * st[:, 0]], axis=1)
+
+
+def _global_cycle_tail(st, zm_t, sig_t, hs, phis, theta, *, L, local_bits,
+                       n_amp):
+    """XLA tail of one cycle-kernel cycle: pure RX kicks on every shard bit
+    (ppermute pair exchange + planar 2-term combine), then the global
+    diagonal factors from _tail_phase_angles. Runs AFTER the local kernel;
+    exact because the local diagonal commutes with shard-bit kicks and all
+    diagonals commute with each other (the boundary bond, which involves
+    the local top bit, correctly lands after ALL kicks here)."""
+    aidx = jax.lax.axis_index("amp")
+    k_bits = int(np.log2(n_amp))
+    c = jnp.cos(theta / 2).astype(jnp.float32)
+    s = jnp.sin(theta / 2).astype(jnp.float32)
+    for gb in range(k_bits):
+        partner = jax.lax.ppermute(st, "amp", _xor_perm(n_amp, gb))
+        # RX 2x2 = [[c, -i s], [-i s, c]]: new = c*mine + (-i s)*partner
+        st = jnp.stack([c * st[:, 0] + s * partner[:, 1],
+                        c * st[:, 1] - s * partner[:, 0]], axis=1)
+    th_sc, th_bnd = _tail_phase_angles(zm_t, sig_t, hs, phis, aidx,
+                                       L=L, local_bits=local_bits)
+    st = _planar_phase(st, jnp.cos(th_sc), jnp.sin(th_sc))
+    n, _, TOP, C = st.shape
+    st = st.reshape(n, 2, 2, TOP // 2, C)
+    lo = _planar_phase(st[:, :, 0], jnp.cos(th_bnd), jnp.sin(th_bnd))
+    hi = _planar_phase(st[:, :, 1], jnp.cos(th_bnd), -jnp.sin(th_bnd))
+    return jnp.stack([lo, hi], axis=2).reshape(n, 2, TOP, C)
+
+
+def make_sharded_autocorr_forward_kernel(
+    mesh, *, L, T, p, q, initial_state="vacuum", ancilla_factor=None,
+    interpret=False,
+):
+    """Cycle-kernel sharded forward autocorrelator (roadmap #4): the
+    shard-LOCAL part of every cycle runs in ONE fused Pallas call
+    (ops/pallas_cycle, kick + noise-Z + sigma-conjugated D0 + the A(t)
+    partial sum, state VMEM-resident within the cycle), and only the
+    shard-bit kicks + tiny diagonal factors stay in XLA. Requires a
+    constant x-only schedule (only angles[0,0,0] is read — the engine
+    dispatch contract shared with ops/pallas_streamed), K=1, q < 14, and
+    17 <= L - log2(n_amp) <= 23.
+
+    Same signature/semantics as make_sharded_autocorr_forward; matches it
+    (and the unsharded sigma engine) trajectory-for-trajectory at the
+    bf16x3 dot level with identical presampled noise.
+    """
+    from dtc_tpu.core.sigma_evolve import presample_noise
+    from dtc_tpu.ops.pallas_cycle import cycle_forward_apply
+    from dtc_tpu.ops.pallas_noise import pack_cycle_params_compact
+    from dtc_tpu.ops.pallas_resident import _C, _kick_matrices
+
+    n_amp = mesh.shape["amp"]
+    n_traj_dev = mesh.shape["traj"]
+    k_bits = int(np.log2(n_amp))
+    local_bits = L - k_bits
+    if not (17 <= local_bits <= 23):
+        raise ValueError(
+            f"cycle-kernel sharding needs 17 <= L - log2(n_amp) <= 23 "
+            f"(got L={L}, n_amp={n_amp}: local_bits={local_bits})")
+    if q >= 14:
+        raise ValueError("cycle-kernel sharding requires probe qubit q < 14")
+    M = 1 << local_bits
+    TOP = M // _C
+    af = ((1.0 - p) ** 6 if p > 0 else 1.0
+          ) if ancilla_factor is None else ancilla_factor
+    init_idx = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((init_idx >> q) & 1) == 0 else -1.0
+
+    def local_fn(angles, hs, phis, keys):
+        theta = angles[0, 0, 0]
+        u7r, u7i, utr, uti = _kick_matrices(
+            angles, local_bits, TOP, time_dependent=False)
+        offset = (jax.lax.axis_index("amp") * M).astype(jnp.uint32)
+        gidx = (jnp.arange(M, dtype=jnp.uint32) + offset).reshape(TOP, _C)
+        plane0 = (gidx == jnp.uint32(init_idx)).astype(jnp.float32)
+        n = keys.shape[0]
+        state0 = jnp.broadcast_to(
+            jnp.stack([plane0, jnp.zeros_like(plane0)])[None],
+            (n, 2, TOP, _C))
+        h_loc = hs[:local_bits]
+        ph_loc = phis[: local_bits - 1]
+
+        if p > 0.0:
+            def sample(key):
+                _, zm, _, csum = presample_noise(key, p, T, L)
+                rows = jax.vmap(
+                    lambda z, sg: pack_cycle_params_compact(
+                        z, sg, h_loc, ph_loc, local_bits))(zm, csum)
+                return rows, zm, csum
+
+            rows, zm, csum = jax.vmap(sample)(keys)  # (n,T,128), (n,T) x2
+        else:
+            row = pack_cycle_params_compact(
+                jnp.uint32(0), jnp.uint32(0), h_loc, ph_loc, local_bits)
+            rows = jnp.broadcast_to(row, (n, T, 128))
+            zm = csum = jnp.zeros((n, T), jnp.uint32)
+
+        def body(st, inp):
+            row_t, zm_t, sig_t = inp
+            st, a_part = cycle_forward_apply(
+                st, row_t, u7r, u7i, utr, uti, L=local_bits, q=q,
+                interpret=interpret)
+            if k_bits:
+                st = _global_cycle_tail(st, zm_t, sig_t, hs, phis, theta,
+                                        L=L, local_bits=local_bits,
+                                        n_amp=n_amp)
+            return st, jax.lax.psum(a_part, "amp")
+
+        # only T-1 cycles are needed for A(0..T-1) — A(0) is analytic
+        xs = (jnp.swapaxes(rows, 0, 1)[: T - 1], zm.T[: T - 1],
+              csum.T[: T - 1])
+        _, a_frames = jax.lax.scan(body, state0, xs)  # (T-1, n) = A(1..T-1)
+
+        # A(t >= 1) carries the sigma sign at measurement time (csum after
+        # cycle t-1); A(0) = af analytically (basis initial state)
+        sq = (1 - 2 * ((csum >> q) & jnp.uint32(1)).astype(jnp.int32)
+              ).astype(jnp.float32)                    # (n, T)
+        a_traj = af * s0 * sq[:, : T - 1] * a_frames.T  # (n, T-1)
+        a_traj = jnp.concatenate(
+            [jnp.full((n, 1), af, jnp.float32), a_traj], axis=1)
+        total = jax.lax.psum(jnp.sum(a_traj, axis=0), "traj")
+        return total / (n * n_traj_dev)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("traj", None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_autocorr_forward(
     mesh, *, L, T, K, p, q, initial_state="vacuum", dtype=jnp.complex64,
     ancilla_factor=None, has_y=False,
@@ -220,6 +397,10 @@ def make_sharded_autocorr_forward(
     per trajectory outside the scan and its X-part deferred into the XOR
     frame (shard-id bits included), so the scan body carries no PRNG, no
     gathers, and no per-string collectives.
+
+    For constant x-only schedules with 17 <= L - log2(n_amp) <= 23 the
+    cycle-kernel variant (make_sharded_autocorr_forward_kernel) runs the
+    local work at Pallas-kernel rate instead of XLA-scan rate.
     """
     from dtc_tpu.core.sigma_evolve import presample_noise
 

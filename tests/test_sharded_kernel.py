@@ -1,0 +1,91 @@
+"""Cycle-kernel sharded engine (docs/PERFORMANCE.md roadmap #4) vs the XLA
+sharded engine on the virtual CPU mesh, Pallas interpret mode.
+
+Both engines presample noise identically (one presample_noise call per
+trajectory key), so with the same keys they must agree trajectory-for-
+trajectory — any factorization error at the shard boundary (boundary bond
+placement, shard-bit kick order, sigma signs on global bits) shows up as a
+deterministic mismatch, not statistical noise. p=0.6 forces sampled Pauli
+events on most qubits every cycle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dtc_tpu.io.disorder import generate_disorder
+from dtc_tpu.models.drives import build_kick_schedule
+from dtc_tpu.parallel.mesh import make_mesh
+from dtc_tpu.parallel.sharded import (
+    make_sharded_autocorr_forward,
+    make_sharded_autocorr_forward_kernel,
+)
+
+
+@pytest.mark.parametrize("L,n_amp,n_traj", [(18, 2, 2), (19, 4, 2)])
+def test_cycle_kernel_matches_xla_sharded(L, n_amp, n_traj):
+    """L=18/n_amp=2 exercises the boundary bond + one global kick;
+    L=19/n_amp=4 adds a shard-shard bond and a second ppermute bit."""
+    T, p, q = 3, 0.6, L // 2
+    hs, phis = generate_disorder(L, 1, seed=5)
+    hs = jnp.asarray(hs[0])
+    phis = jnp.asarray(phis[0])
+    sched = build_kick_schedule("x", 0.97, T)
+    mesh = make_mesh(n_amp=n_amp, n_traj=n_traj)
+    keys = jax.random.split(jax.random.PRNGKey(11), 2 * n_traj)
+
+    f_x = make_sharded_autocorr_forward(mesh, L=L, T=T, K=1, p=p, q=q)
+    f_k = make_sharded_autocorr_forward_kernel(mesh, L=L, T=T, p=p, q=q,
+                                               interpret=True)
+    a_x = np.asarray(f_x(sched.angles, hs, phis, keys))
+    a_k = np.asarray(f_k(sched.angles, hs, phis, keys))
+    assert a_x.shape == a_k.shape == (T,)
+    assert np.max(np.abs(a_k - a_x)) < 1e-4, (a_k, a_x)
+
+
+def test_cycle_kernel_noiseless_and_rejects():
+    L, T, q = 18, 3, 9
+    hs, phis = generate_disorder(L, 1, seed=6)
+    hs = jnp.asarray(hs[0])
+    phis = jnp.asarray(phis[0])
+    sched = build_kick_schedule("x", 0.97, T)
+    mesh = make_mesh(n_amp=2, n_traj=4)
+    f_k = make_sharded_autocorr_forward_kernel(mesh, L=L, T=T, p=0.0, q=q,
+                                               interpret=True)
+    f_x = make_sharded_autocorr_forward(mesh, L=L, T=T, K=1, p=0.0, q=q)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    a_k = np.asarray(f_k(sched.angles, hs, phis, keys))
+    a_x = np.asarray(f_x(sched.angles, hs, phis, keys))
+    assert abs(a_k[0] - 1.0) < 1e-6  # A(0) = 1 noiseless
+    assert np.max(np.abs(a_k - a_x)) < 1e-4
+
+    # local_bits outside the blocked range and q >= 14 must raise
+    with pytest.raises(ValueError):
+        make_sharded_autocorr_forward_kernel(
+            make_mesh(n_amp=8, n_traj=1), L=18, T=T, p=0.0, q=q)
+    with pytest.raises(ValueError):
+        make_sharded_autocorr_forward_kernel(mesh, L=18, T=T, p=0.0, q=14)
+
+
+def test_sharded_run_dispatch(monkeypatch):
+    """_cycle_kernel_ok: off on CPU backend / non-x schedules, and an
+    explicit DTC_TPU_SHARDED_ENGINE=cycle_kernel request that cannot be
+    honored raises instead of silently deopting (ADVICE r1 pattern)."""
+    from dtc_tpu.experiments.sharded_run import _cycle_kernel_ok
+    from dtc_tpu.utils.config import SimConfig
+
+    cfg = SimConfig(L=19, tf=3, g=0.97)
+    sched = build_kick_schedule("x", 0.97, 3)
+    mesh = make_mesh(n_amp=2, n_traj=4)
+    assert _cycle_kernel_ok(mesh, sched, cfg) is (
+        jax.default_backend() == "tpu")
+    monkeypatch.setenv("DTC_TPU_SHARDED_ENGINE", "xla")
+    assert _cycle_kernel_ok(mesh, sched, cfg) is False
+    monkeypatch.setenv("DTC_TPU_SHARDED_ENGINE", "bogus")
+    with pytest.raises(ValueError):
+        _cycle_kernel_ok(mesh, sched, cfg)
+    if jax.default_backend() != "tpu":
+        monkeypatch.setenv("DTC_TPU_SHARDED_ENGINE", "cycle_kernel")
+        with pytest.raises(ValueError):
+            _cycle_kernel_ok(mesh, sched, cfg)
