@@ -1,4 +1,7 @@
 """Multi-chip simulation: device meshes + amplitude-sharded statevectors."""
 
 from dtc_tpu.parallel.mesh import make_mesh  # noqa: F401
-from dtc_tpu.parallel.sharded import make_sharded_autocorr_forward  # noqa: F401
+from dtc_tpu.parallel.sharded import (  # noqa: F401
+    make_sharded_autocorr_forward,
+    make_sharded_autocorr_forward_kernel,
+)
