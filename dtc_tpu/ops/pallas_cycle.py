@@ -184,6 +184,192 @@ def _make_cycle_kernel(L: int, q: int, bt: int, cs: int):  # noqa: C901
     return kernel
 
 
+def _make_inverse_kernel(L: int, bt: int, cs: int):  # noqa: C901
+    """PRE-fold cycle body: applies K·D (diagonal THEN kicks) with the SAME
+    compact-row angles as the forward kernel's D·K. Combined with one
+    imaginary-plane negation at the echo turnaround this yields the exact
+    inverse phase: RX kicks and diagonals are symmetric, so each
+    (D_j K_j)^dag = conj(K_j D_j) and the whole inverse-cycle product is
+    conj(K_1 D_1 ... K_t D_t) — run THIS kernel per cycle in reverse time
+    order inside the conjugated frame and never conjugate back (|amp|^2
+    observables are conjugation-invariant). Echo semantics per the
+    reference (autocorr-delta-a-single-qiskit-fast.py:140-147).
+
+    Pre-fold placement: low-bit diagonal terms scale the Karatsuba b-matrix
+    ROWS (contracted/old index) instead of columns; the s6 AND s13 straddle
+    bonds run at the top of pass 1 (before the bit-6/7 and bit-13 kicks;
+    s13's z14 leg is the block-row parity); the pure high-bit diagonal
+    pre-folds into pass 2's contracted axis, which is exact because it
+    commutes with pass 1's low-bit kicks."""
+    TOP = 1 << (L - 14)
+    n_bt = TOP // bt
+    n_cs = _C // cs
+
+    def kernel(u7r_ref, u7i_ref, utr_ref, uti_ref, par_ref, st_in_ref,
+               st_hbm, st_ref, sems):
+        del st_in_ref
+        i = pl.program_id(0)
+        pltpu.make_async_copy(st_hbm.at[i], st_ref, sems.at[0]).start()
+        pltpu.make_async_copy(st_hbm.at[i], st_ref, sems.at[0]).wait()
+
+        l7c = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        z7c = [(1 - 2 * ((l7c >> k) & 1)).astype(jnp.float32)
+               for k in range(7)]
+        lci = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
+        zz67 = (1 - 2 * (((lci >> 6) ^ (lci >> 7)) & 1)).astype(jnp.float32)
+        z13l = (1 - 2 * ((lci >> 13) & 1)).astype(jnp.float32)
+        hti = jax.lax.broadcasted_iota(jnp.int32, (1, TOP), 1)
+        zh = [(1 - 2 * ((hti >> k) & 1)).astype(jnp.float32)
+              for k in range(L - 14)]
+
+        u7rt = u7r_ref[0].T
+        u7it = u7i_ref[0].T
+
+        def cz(qq):
+            return (par_ref[0, 0, 3 * L - 1 + qq]
+                    * (par_ref[0, 0, L + qq] - 0.5)
+                    - _HALF_PI * par_ref[0, 0, qq])
+
+        def cb(jj):
+            return (par_ref[0, 0, 4 * L - 1 + jj]
+                    * (par_ref[0, 0, 2 * L + jj] - 0.5))
+
+        def seven_bit_angle_col(base, bias):
+            th = jnp.full((128, 1), bias, jnp.float32)
+            for k in range(7):
+                th = th + cz(base + k) * z7c[k]
+                if k > 0:
+                    th = th + cb(base + k - 1) * (z7c[k - 1] * z7c[k])
+            return th
+
+        def scaled_rows(th):
+            dr = jnp.cos(th)
+            di = jnp.sin(th)
+            br = u7rt * dr - u7it * di
+            bi = u7rt * di + u7it * dr
+            return br, bi, br + bi
+
+        def kara_right(mr, mi, br, bi, bs):
+            p1 = _dot_f32(mr, br)
+            p2 = _dot_f32(mi, bi)
+            p3 = _dot_f32(mr + mi, bs)
+            return p1 - p2, p3 - p1 - p2
+
+        c0 = _HALF_PI * sum(par_ref[0, 0, qq] for qq in range(L))
+        blr, bli, bls = scaled_rows(seven_bit_angle_col(0, c0))
+        bmr, bmi, bms = scaled_rows(seven_bit_angle_col(7, 0.0))
+        s6 = cb(6)
+        c6, s6z = jnp.cos(s6), zz67 * jnp.sin(s6)
+        s13 = cb(13)
+        c13 = jnp.cos(s13)
+
+        # ---- pass 1 (pre-fold): straddles s13, s6 first, then the kicks
+        def p1_block(i, _):
+            mr = st_ref[0, pl.ds(i * bt, bt), :]
+            mi = st_ref[1, pl.ds(i * bt, bt), :]
+            rp = jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0) + i * bt
+            z14r = (1 - 2 * (rp & 1)).astype(jnp.float32)
+            mr, mi = _cmul(mr, mi, c13, (z14r * z13l) * jnp.sin(s13))
+            mr, mi = _cmul(mr, mi, c6, s6z)
+            mr = mr.reshape(bt * 128, 128)
+            mi = mi.reshape(bt * 128, 128)
+            mr, mi = kara_right(mr, mi, blr, bli, bls)
+            mr = jnp.swapaxes(mr.reshape(bt, 128, 128), 1, 2).reshape(
+                bt * 128, 128)
+            mi = jnp.swapaxes(mi.reshape(bt, 128, 128), 1, 2).reshape(
+                bt * 128, 128)
+            mr, mi = kara_right(mr, mi, bmr, bmi, bms)
+            mr = jnp.swapaxes(mr.reshape(bt, 128, 128), 1, 2).reshape(
+                bt, _C)
+            mi = jnp.swapaxes(mi.reshape(bt, 128, 128), 1, 2).reshape(
+                bt, _C)
+            st_ref[0, pl.ds(i * bt, bt), :] = mr
+            st_ref[1, pl.ds(i * bt, bt), :] = mi
+            return _
+
+        jax.lax.fori_loop(0, n_bt, p1_block, None)
+
+        # ---- pass 2 (pre-fold): high diag scales the contracted columns
+        th_hi = jnp.zeros((1, TOP), jnp.float32)
+        for k in range(L - 14):
+            th_hi = th_hi + cz(14 + k) * zh[k]
+            if k > 0:
+                th_hi = th_hi + cb(13 + k) * (zh[k - 1] * zh[k])
+        dr = jnp.cos(th_hi)
+        di = jnp.sin(th_hi)
+        utr = utr_ref[0]
+        uti = uti_ref[0]
+        btr = utr * dr - uti * di
+        bti = utr * di + uti * dr
+        bts = btr + bti
+
+        def p2_chunk(j, _):
+            off = j * cs
+            hr = st_ref[0, :, pl.ds(off, cs)]
+            hi_ = st_ref[1, :, pl.ds(off, cs)]
+            q1 = _dot_f32(btr, hr)
+            q2 = _dot_f32(bti, hi_)
+            q3 = _dot_f32(bts, hr + hi_)
+            st_ref[0, :, pl.ds(off, cs)] = q1 - q2
+            st_ref[1, :, pl.ds(off, cs)] = q3 - q1 - q2
+            return _
+
+        jax.lax.fori_loop(0, n_cs, p2_chunk, None)
+
+        pltpu.make_async_copy(st_ref, st_hbm.at[i], sems.at[1]).start()
+        pltpu.make_async_copy(st_ref, st_hbm.at[i], sems.at[1]).wait()
+
+    return kernel
+
+
+def cycle_inverse_apply(state, params, u7r, u7i, utr, uti, *, L,
+                        interpret=False):
+    """Apply ONE conjugated-frame inverse Floquet cycle (K·D, pre-fold —
+    see _make_inverse_kernel) to a batch of shard-local planar states.
+    Same operands as cycle_forward_apply with the SAME un-negated angles;
+    the caller negates the imaginary plane once at the echo turnaround.
+    Returns the evolved states (no fused measurement — echo measures once
+    at the end of the inverse phase)."""
+    if not (17 <= L <= 23):
+        raise ValueError("cycle kernel supports 17 <= L_loc <= 23")
+    TOP = 1 << (L - 14)
+    n_traj = state.shape[0]
+    if state.shape != (n_traj, 2, TOP, _C):
+        raise ValueError(f"state shape {state.shape} != "
+                         f"{(n_traj, 2, TOP, _C)}")
+    bt, cs = blocked_block_sizes(TOP)
+    params = params.reshape(n_traj, 1, 128)
+
+    (state,) = pl.pallas_call(
+        _make_inverse_kernel(L, bt, cs),
+        out_shape=[jax.ShapeDtypeStruct(state.shape, jnp.float32)],
+        grid=(n_traj,),
+        in_specs=[
+            pl.BlockSpec((1, 128, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # u7r
+            pl.BlockSpec((1, 128, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # u7i
+            pl.BlockSpec((1, TOP, TOP), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # utr
+            pl.BlockSpec((1, TOP, TOP), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # uti
+            pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),  # cycle row
+            pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        input_output_aliases={5: 0},
+        scratch_shapes=[
+            pltpu.VMEM((2, TOP, _C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(u7r, u7i, utr, uti, params, state)
+    return state
+
+
 def cycle_forward_apply(state, params, u7r, u7i, utr, uti, *, L, q,
                         interpret=False):
     """Apply ONE factored Floquet cycle to a batch of shard-local planar

@@ -68,6 +68,43 @@ def test_cycle_kernel_noiseless_and_rejects():
         make_sharded_autocorr_forward_kernel(mesh, L=18, T=T, p=0.0, q=14)
 
 
+def test_cycle_inverse_roundtrip():
+    """inverse(conj(forward(s))) conj-restored must recover s: the
+    conjugation identity (D K)^dag = conj(K D) holds only if the inverse
+    kernel applies the diagonal BEFORE the kicks with un-negated angles —
+    a post-fold (or mis-staged straddle/sign) error breaks the round trip
+    deterministically since K and D do not commute."""
+    from dtc_tpu.core.sigma_evolve import presample_noise
+    from dtc_tpu.ops.pallas_cycle import (
+        cycle_forward_apply,
+        cycle_inverse_apply,
+    )
+    from dtc_tpu.ops.pallas_noise import pack_cycle_params_compact
+    from dtc_tpu.ops.pallas_resident import _C, _kick_matrices
+
+    L = 17
+    TOP = 1 << (L - 14)
+    hs, phis = generate_disorder(L, 1, seed=9)
+    sched = build_kick_schedule("x", 0.93, 2)
+    u7r, u7i, utr, uti = _kick_matrices(sched.angles, L, TOP,
+                                        time_dependent=False)
+    # a noisy cycle row: sampled Pauli events on most qubits (p=0.6)
+    _, zm, _, csum = presample_noise(jax.random.PRNGKey(4), 0.6, 2, L)
+    row = pack_cycle_params_compact(zm[1], csum[1], jnp.asarray(hs[0]),
+                                    jnp.asarray(phis[0]), L)[None]
+    k0, k1 = jax.random.split(jax.random.PRNGKey(2))
+    s0 = jax.random.normal(k0, (1, 2, TOP, _C), jnp.float32)
+    s0 = s0 / jnp.sqrt(jnp.sum(s0 * s0))
+    s1, _ = cycle_forward_apply(s0, row, u7r, u7i, utr, uti, L=L,
+                                q=L // 2, interpret=True)
+    conj = jnp.asarray([1.0, -1.0], jnp.float32).reshape(1, 2, 1, 1)
+    s2 = cycle_inverse_apply(s1 * conj, row, u7r, u7i, utr, uti, L=L,
+                             interpret=True)
+    back = np.asarray(s2 * conj)
+    assert abs(float(np.sum(back * back)) - 1.0) < 1e-4  # norm preserved
+    assert np.max(np.abs(back - np.asarray(s0))) < 2e-5
+
+
 def test_sharded_run_dispatch(monkeypatch):
     """_cycle_kernel_ok: off on CPU backend / non-x schedules, and an
     explicit DTC_TPU_SHARDED_ENGINE=cycle_kernel request that cannot be
