@@ -5,11 +5,13 @@ blocked_lowL_probe.py), so probe the general kernel the same way. The
 body choice is baked at trace time from DTC_TPU_GENERAL_BLOCKED_MIN_L, so
 run this twice — once per variant — and the second run cross-checks its
 values against the first's saved output (same math, same presampled
-trajectories; expect <= ~3e-4, the bf16x3 dot level):
+trajectories; expect <= ~3e-4, the bf16x3 dot level). The library DEFAULT
+is blocked at 18 <= L <= 23, so at L = 18..21 the FULL-PLANE run is the
+one that needs the env override:
 
-  python benchmarks/general_blocked_probe.py 20 32 y           # full-plane
-  DTC_TPU_GENERAL_BLOCKED_MIN_L=14 \
-      python benchmarks/general_blocked_probe.py 20 32 y       # blocked
+  DTC_TPU_GENERAL_BLOCKED_MIN_L=22 \
+      python benchmarks/general_blocked_probe.py 20 32 y       # full-plane
+  python benchmarks/general_blocked_probe.py 20 32 y           # blocked
 
 Timings are medians over repeated groups (CLAUDE.md rule 8).
 """
@@ -33,8 +35,11 @@ n_traj = int(_sys.argv[2]) if len(_sys.argv) > 2 else 32
 pol = _sys.argv[3] if len(_sys.argv) > 3 else "y"
 T, p = 50, 0.05
 q = L // 2
-min_l = _os.environ.get("DTC_TPU_GENERAL_BLOCKED_MIN_L", "22")
-variant = "blocked" if L >= int(min_l) else "full-plane"
+# label from the library's OWN dispatch rule (an env-less run at L=18..21
+# executes the blocked body — the default _blocked_min_L is 18)
+from dtc_tpu.ops.pallas_resident_general import _blocked_min_L  # noqa: E402
+
+variant = "blocked" if L >= _blocked_min_L() else "full-plane"
 hs_np, phis_np = generate_disorder(L, 1, seed=7)
 hs = jnp.asarray(hs_np[:, :L])
 phis = jnp.asarray(phis_np[:, :L - 1])

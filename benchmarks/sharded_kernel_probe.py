@@ -71,3 +71,55 @@ print(f"XLA sharded (sigma)  : {rate_x:8.0f} traj-cyc/s ({dt_x*1e3:.0f} ms)")
 print(f"speedup              : {dt_x / dt_k:.2f}x")
 print(f"max |diff|           : {err:.2e}")
 assert err < 5e-4, err
+
+# ---- echo builder (roadmap #5): masked-2T switch scan over the
+# forward/inverse cycle kernels. A t=T call runs 2T active steps (zero
+# padding), so its steps/s is directly comparable to the forward kernel's
+# per-cycle rate; the XLA sharded echo at the same t gives the speedup the
+# builder delivers on the echo half of every multi-chip forward+echo study.
+from dtc_tpu.parallel.sharded import (  # noqa: E402
+    make_sharded_echo,
+    make_sharded_echo_kernel,
+)
+
+t_full = jnp.asarray(T)
+t0 = time.time()
+e_k = make_sharded_echo_kernel(mesh, L=L, T=T, p=P, q=L // 2)
+
+
+def timed_scalar(fn, reps=3, groups=5):
+    v = float(np.asarray(fn()))
+    assert np.isfinite(v) and abs(v) <= 1 + 1e-3, v
+    dts = []
+    for _ in range(groups):
+        t0 = time.time()
+        for _ in range(reps):
+            v = float(np.asarray(fn()))
+        dts.append((time.time() - t0) / reps)
+    return v, float(np.median(dts))
+
+
+v_k, dte_k = timed_scalar(
+    lambda: e_k(sched.angles, hs_j, phis_j, keys, t_full))
+print(f"echo kernel compile+first: {time.time() - t0:.0f} s")
+e_x = make_sharded_echo(mesh, L=L, T=T, K=1, p=P, q=L // 2)
+v_x, dte_x = timed_scalar(
+    lambda: e_x(sched.angles, hs_j, phis_j, keys, t_full))
+steps = 2 * T * NTRAJ
+print(f"echo(T={T}) kernel   : {steps / dte_k:8.0f} steps/s "
+      f"({dte_k*1e3:.0f} ms)  value {v_k:.4f}")
+print(f"echo(T={T}) XLA      : {steps / dte_x:8.0f} steps/s "
+      f"({dte_x*1e3:.0f} ms)  value {v_x:.4f}")
+print(f"echo speedup         : {dte_x / dte_k:.2f}x")
+print(f"echo |diff|          : {abs(v_k - v_x):.2e}")
+assert abs(v_k - v_x) < 5e-4, (v_k, v_x)
+
+# sweep-level: t = 1..T (the shape every forward+echo study runs);
+# active steps = sum(2t) = T(T+1), padding steps are the no-op branch
+t0 = time.time()
+for t in range(1, T + 1):
+    v = float(np.asarray(e_k(sched.angles, hs_j, phis_j, keys,
+                             jnp.asarray(t))))
+dt_sweep = time.time() - t0
+print(f"echo sweep t=1..{T}  : {T * (T + 1) * NTRAJ / dt_sweep:8.0f} "
+      f"active steps/s ({dt_sweep:.1f} s)")

@@ -105,13 +105,18 @@ def fit_energy_envelope(t, y, maxfev: int = 20000) -> FitResult:
     y = np.asarray(y, dtype=float)
     names = ("a", "b", "c", "d", "e", "f", "g")
     try:
-        popt, _ = curve_fit(
-            energy_envelope_model, t, y,
-            p0=[1.0, 1.0, -0.5, 0.1, 1.0, 1.0, float(np.mean(y))],
-            maxfev=maxfev,
-        )
-        return FitResult(dict(zip(names, popt)), True,
-                         _r2(y, energy_envelope_model(t, *popt)), "energy_envelope")
+        # the optimizer legitimately probes e*x+f <= 0 and x+b < 0 while
+        # exploring (it steers away from the resulting NaNs) — keep that
+        # behavior but silence the invalid-domain warnings HERE rather
+        # than in every caller
+        with np.errstate(invalid="ignore", divide="ignore"):
+            popt, _ = curve_fit(
+                energy_envelope_model, t, y,
+                p0=[1.0, 1.0, -0.5, 0.1, 1.0, 1.0, float(np.mean(y))],
+                maxfev=maxfev,
+            )
+            r2 = _r2(y, energy_envelope_model(t, *popt))
+        return FitResult(dict(zip(names, popt)), True, r2, "energy_envelope")
     except Exception:
         return FitResult({k: np.nan for k in names}, False, model="energy_envelope")
 

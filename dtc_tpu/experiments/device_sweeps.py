@@ -38,20 +38,25 @@ def device_forward_sweep(cfg, sched, params, key) -> np.ndarray:
                   ancilla_factor=af)
         run = lambda h, ph, keys: device_autocorr_forward(
             h, ph, p1, p2, sched.angles, keys, **kw)
+    # instances ride a vmap axis like engine.forward_sweep (the reference's
+    # serial per-instance loop is the O(inst) structure we replace —
+    # autocorr-delta-a-single-qiskit-fast.py:228-239); the chunker budgets
+    # the inst x traj live-state product
+    run_v = jax.vmap(run, in_axes=(0, 0, 0))
+    hs_j = jnp.asarray(np.asarray(hs)[:, : cfg.L])
+    phis_j = jnp.asarray(np.asarray(phis)[:, : cfg.L - 1])
     n_traj = cfg.n_trajectories
-    chunk = traj_chunks(n_traj, cfg.L, extra_factor=2)
+    chunk = traj_chunks(n_traj, cfg.L, extra_factor=2 * cfg.inst)
     out = np.zeros((cfg.inst, cfg.tf))
-    for i in range(cfg.inst):
-        acc = np.zeros(cfg.tf)
-        done = 0
-        while done < n_traj:
-            c = min(chunk, n_traj - done)
-            keys = jax.random.split(jax.random.fold_in(key, 31 * i + done), c)
-            vals = run(hs[i], phis[i], keys)
-            acc += np.asarray(jnp.sum(vals, axis=0))
-            done += c
-        out[i] = acc / n_traj
-    return out
+    done = 0
+    while done < n_traj:
+        c = min(chunk, n_traj - done)
+        keys = jnp.stack([
+            jax.random.split(jax.random.fold_in(key, 31 * i + done), c)
+            for i in range(cfg.inst)])
+        out += np.asarray(jnp.sum(run_v(hs_j, phis_j, keys), axis=1))
+        done += c
+    return out / n_traj
 
 
 def device_echo_sweep(cfg, sched, params, key, *, t_chunk: int = 4) -> np.ndarray:
@@ -64,25 +69,27 @@ def device_echo_sweep(cfg, sched, params, key, *, t_chunk: int = 4) -> np.ndarra
               initial_state=cfg.initial_state, dtype_name=cfg.dtype,
               ancilla_factor=af)
     n_traj = cfg.n_trajectories
-    chunk = traj_chunks(n_traj, cfg.L, extra_factor=4)
+    chunk = traj_chunks(n_traj, cfg.L, extra_factor=4 * cfg.inst * t_chunk)
     out = np.zeros((cfg.inst, cfg.tf))
-    run = jax.jit(jax.vmap(
+    # vmap axes: t-chunk inner, instance outer (mirrors engine.echo_sweep)
+    run = jax.jit(jax.vmap(jax.vmap(
         lambda h, ph, keys, t: device_autocorr_echo(h, ph, p1, p2,
                                                     sched.angles, keys, t, **kw),
-        in_axes=(None, None, None, 0),
-    ), static_argnames=())
-    for i in range(cfg.inst):
-        for t0 in range(0, cfg.tf, t_chunk):
-            ts = np.arange(t0, min(t0 + t_chunk, cfg.tf))
-            ts_pad = jnp.asarray(np.pad(ts, (0, t_chunk - len(ts)), mode="edge"))
-            acc = np.zeros(t_chunk)
-            done = 0
-            while done < n_traj:
-                c = min(chunk, n_traj - done)
-                keys = jax.random.split(
-                    jax.random.fold_in(key, 7919 + 31 * i + done), c)
-                vals = run(hs[i], phis[i], keys, ts_pad)  # (t_chunk, c)
-                acc += np.asarray(jnp.sum(vals, axis=1))
-                done += c
-            out[i, t0 : t0 + len(ts)] = (acc / n_traj)[: len(ts)]
+        in_axes=(None, None, None, 0)), in_axes=(0, 0, 0, None)))
+    hs_j = jnp.asarray(np.asarray(hs)[:, : cfg.L])
+    phis_j = jnp.asarray(np.asarray(phis)[:, : cfg.L - 1])
+    for t0 in range(0, cfg.tf, t_chunk):
+        ts = np.arange(t0, min(t0 + t_chunk, cfg.tf))
+        ts_pad = jnp.asarray(np.pad(ts, (0, t_chunk - len(ts)), mode="edge"))
+        acc = np.zeros((cfg.inst, t_chunk))
+        done = 0
+        while done < n_traj:
+            c = min(chunk, n_traj - done)
+            keys = jnp.stack([
+                jax.random.split(jax.random.fold_in(key, 7919 + 31 * i + done), c)
+                for i in range(cfg.inst)])
+            vals = run(hs_j, phis_j, keys, ts_pad)  # (inst, t_chunk, c)
+            acc += np.asarray(jnp.sum(vals, axis=2))
+            done += c
+        out[:, t0 : t0 + len(ts)] = (acc / n_traj)[:, : len(ts)]
     return out

@@ -254,23 +254,25 @@ def _planar_phase(st, cr, ci):
                       cr * st[:, 1] + ci * st[:, 0]], axis=1)
 
 
-def _global_cycle_tail(st, zm_t, sig_t, hs, phis, theta, *, L, local_bits,
-                       n_amp):
-    """XLA tail of one cycle-kernel cycle: pure RX kicks on every shard bit
-    (ppermute pair exchange + planar 2-term combine), then the global
-    diagonal factors from _tail_phase_angles. Runs AFTER the local kernel;
-    exact because the local diagonal commutes with shard-bit kicks and all
-    diagonals commute with each other (the boundary bond, which involves
-    the local top bit, correctly lands after ALL kicks here)."""
-    aidx = jax.lax.axis_index("amp")
-    k_bits = int(np.log2(n_amp))
+def _global_shard_kicks(st, theta, n_amp):
+    """Pure RX(theta) kicks on every shard-id bit: ppermute pair exchange +
+    planar 2-term combine per bit. The per-bit kicks commute (disjoint
+    qubits), so bit order is free."""
     c = jnp.cos(theta / 2).astype(jnp.float32)
     s = jnp.sin(theta / 2).astype(jnp.float32)
-    for gb in range(k_bits):
+    for gb in range(int(np.log2(n_amp))):
         partner = jax.lax.ppermute(st, "amp", _xor_perm(n_amp, gb))
         # RX 2x2 = [[c, -i s], [-i s, c]]: new = c*mine + (-i s)*partner
         st = jnp.stack([c * st[:, 0] + s * partner[:, 1],
                         c * st[:, 1] - s * partner[:, 0]], axis=1)
+    return st
+
+
+def _global_diag(st, zm_t, sig_t, hs, phis, *, L, local_bits):
+    """Global diagonal factors of one cycle-kernel cycle, from
+    _tail_phase_angles: the replicated per-shard scalar phase plus the
+    boundary bond's local-top-bit split."""
+    aidx = jax.lax.axis_index("amp")
     th_sc, th_bnd = _tail_phase_angles(zm_t, sig_t, hs, phis, aidx,
                                        L=L, local_bits=local_bits)
     st = _planar_phase(st, jnp.cos(th_sc), jnp.sin(th_sc))
@@ -279,6 +281,51 @@ def _global_cycle_tail(st, zm_t, sig_t, hs, phis, theta, *, L, local_bits,
     lo = _planar_phase(st[:, :, 0], jnp.cos(th_bnd), jnp.sin(th_bnd))
     hi = _planar_phase(st[:, :, 1], jnp.cos(th_bnd), -jnp.sin(th_bnd))
     return jnp.stack([lo, hi], axis=2).reshape(n, 2, TOP, C)
+
+
+def _global_cycle_tail(st, zm_t, sig_t, hs, phis, theta, *, L, local_bits,
+                       n_amp):
+    """XLA tail of one cycle-kernel cycle: pure RX kicks on every shard bit,
+    then the global diagonal factors. Runs AFTER the local kernel; exact
+    because the local diagonal commutes with shard-bit kicks and all
+    diagonals commute with each other (the boundary bond, which involves
+    the local top bit, correctly lands after ALL kicks here)."""
+    st = _global_shard_kicks(st, theta, n_amp)
+    return _global_diag(st, zm_t, sig_t, hs, phis, L=L, local_bits=local_bits)
+
+
+def _global_cycle_head(st, zm_t, sig_t, hs, phis, theta, *, L, local_bits,
+                       n_amp):
+    """Conjugated-frame inverse counterpart of _global_cycle_tail: the SAME
+    global factors with UN-negated angles (RX kicks and diagonals are
+    symmetric, so inside the once-conjugated echo frame each physical
+    dagger IS the forward operator) in MIRRORED order — diagonal factors
+    BEFORE the shard-bit kicks, evaluated at this step's pre-event sigma
+    with the PREVIOUS event's Z word (the pre-fold deferral rule). Runs
+    BEFORE the local inverse kernel of the same step."""
+    st = _global_diag(st, zm_t, sig_t, hs, phis, L=L, local_bits=local_bits)
+    return _global_shard_kicks(st, theta, n_amp)
+
+
+def _check_constant_x(fn):
+    """Wrap a cycle-kernel sharded fn so a CONCRETE schedule that violates
+    the constant-x contract raises instead of silently reading angles[0,0,0]
+    (the CLI layer checks too, but direct library callers must not get
+    silently wrong physics — ADVICE r2). Tracer schedules pass through (the
+    caller jitted around us and owns the contract)."""
+
+    @functools.wraps(fn)
+    def checked(angles, *args):
+        if not isinstance(angles, jax.core.Tracer):
+            ang = np.asarray(angles)
+            if not (ang.shape[1] == 1 and np.all(ang[:, :, 1] == 0.0)
+                    and np.all(ang == ang[0])):
+                raise ValueError(
+                    "cycle-kernel sharded engine requires a constant x-only "
+                    "K=1 schedule (only angles[0,0,0] is read)")
+        return fn(angles, *args)
+
+    return checked
 
 
 def make_sharded_autocorr_forward_kernel(
@@ -382,7 +429,170 @@ def make_sharded_autocorr_forward_kernel(
         out_specs=P(),
         check_vma=False,
     )
-    return jax.jit(fn)
+    return _check_constant_x(jax.jit(fn))
+
+
+def make_sharded_echo_kernel(
+    mesh, *, L, T, p, q, initial_state="vacuum", ancilla_factor=None,
+    interpret=False,
+):
+    """Cycle-kernel sharded echo A0(t) (docs/PERFORMANCE.md roadmap #5):
+    fixed-length masked 2T scan where each ACTIVE step runs the shard-local
+    work as ONE fused Pallas call — forward steps the post-fold cycle
+    kernel, inverse steps the PRE-fold kernel
+    (ops/pallas_cycle.cycle_inverse_apply) inside the once-conjugated
+    frame: at the turnaround the imaginary plane is negated ONCE, after
+    which every physical U_j^dag equals the UN-negated forward operator
+    (RX kicks and diagonals are symmetric: (D K)^dag = conj(K D)), run in
+    reverse time order; |amp|^2 observables are conjugation-invariant so
+    the state is never conjugated back. Echo semantics per the reference
+    (autocorr-delta-a-single-qiskit-fast.py:140-147).
+
+    Step words (the pre-fold deferral rule, eager-correction convention of
+    the resident kernels — no pend_sig carry): forward step k folds
+    (zm[k], csum[k]) post-kick exactly like the forward builder; inverse
+    step k folds (zm[k-1], sig_b[k]) PRE-kick — the previous event's
+    Z-sign (diagonal, deferred across the step boundary) and the diagonal
+    evaluated at this step's pre-event sigma. The FIRST inverse step
+    carries zm=0 (the last forward step already applied its own event's
+    Z-sign), and the last inverse event's Z-sign is dropped (pure sign
+    before an |amp|^2 measurement); its X-part reaches the measurement via
+    sigma_final. Global (shard-bit) ops ride XLA inside the same switch
+    branch: forward kick-then-diag AFTER the kernel, inverse diag-then-kick
+    BEFORE it (_global_cycle_head). Padding steps are a no-op branch —
+    no kernel, no ppermutes, no phases.
+
+    Same signature as make_sharded_echo: fn(angles, hs, phis,
+    keys (n_traj,2), t_value) -> scalar; requires a constant x-only
+    schedule, q < 14, and 17 <= L - log2(n_amp) <= 23.
+    """
+    from dtc_tpu.ops.pallas_cycle import cycle_forward_apply, cycle_inverse_apply
+    from dtc_tpu.ops.pallas_noise import pack_cycle_params_compact
+    from dtc_tpu.ops.pallas_resident import _C, _kick_matrices
+
+    n_amp = mesh.shape["amp"]
+    n_traj_dev = mesh.shape["traj"]
+    k_bits = int(np.log2(n_amp))
+    local_bits = L - k_bits
+    if not (17 <= local_bits <= 23):
+        raise ValueError(
+            f"cycle-kernel sharding needs 17 <= L - log2(n_amp) <= 23 "
+            f"(got L={L}, n_amp={n_amp}: local_bits={local_bits})")
+    if q >= 14:
+        raise ValueError("cycle-kernel sharding requires probe qubit q < 14")
+    M = 1 << local_bits
+    TOP = M // _C
+    af = ((1.0 - p) ** 6 if p > 0 else 1.0
+          ) if ancilla_factor is None else ancilla_factor
+    init_idx = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((init_idx >> q) & 1) == 0 else -1.0
+    T2 = 2 * T
+
+    def local_fn(angles, hs, phis, keys, t_value):
+        from dtc_tpu.core.sigma_evolve import (
+            _codes_from_uniform,
+            _masks_from_codes,
+        )
+
+        theta = angles[0, 0, 0]
+        u7r, u7i, utr, uti = _kick_matrices(
+            angles, local_bits, TOP, time_dependent=False)
+        offset = (jax.lax.axis_index("amp") * M).astype(jnp.uint32)
+        gidx = (jnp.arange(M, dtype=jnp.uint32) + offset).reshape(TOP, _C)
+        plane0 = (gidx == jnp.uint32(init_idx)).astype(jnp.float32)
+        zq = z_sign_mask(q, L, offset=offset, size=M).astype(
+            jnp.float32).reshape(TOP, _C)
+        n = keys.shape[0]
+        state0 = jnp.broadcast_to(
+            jnp.stack([plane0, jnp.zeros_like(plane0)])[None],
+            (n, 2, TOP, _C))
+        h_loc = hs[:local_bits]
+        ph_loc = phis[: local_bits - 1]
+        step = jnp.arange(T2)
+
+        def sample(key):
+            # identical uniform draw to make_sharded_echo (K=1) so the two
+            # engines agree trajectory-for-trajectory with the same keys
+            if p > 0.0:
+                u = jax.random.uniform(key, (T2, 1, L), dtype=jnp.float32)
+                codes = _codes_from_uniform(u, p)
+                codes = jnp.where((step < 2 * t_value)[:, None, None],
+                                  codes, 0)
+                xm, zm = _masks_from_codes(codes, L)
+                xm, zm = xm[:, 0], zm[:, 0]
+                csum = jax.lax.associative_scan(jnp.bitwise_xor, xm)
+                sig_b = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.uint32), csum[:-1]])
+            else:
+                zm = csum = sig_b = jnp.zeros((T2,), jnp.uint32)
+            zm_prev = jnp.concatenate([jnp.zeros((1,), jnp.uint32), zm[:-1]])
+            zm_prev = jnp.where(step == t_value, jnp.uint32(0), zm_prev)
+            pack = lambda z, sg: pack_cycle_params_compact(  # noqa: E731
+                z, sg, h_loc, ph_loc, local_bits)
+            rows_f = jax.vmap(pack)(zm, csum)        # (T2, 128)
+            rows_i = jax.vmap(pack)(zm_prev, sig_b)  # (T2, 128)
+            return rows_f, rows_i, zm, zm_prev, sig_b, csum
+
+        rows_f, rows_i, zm, zm_prev, sig_b, csum = jax.vmap(sample)(keys)
+        conj_vec = jnp.asarray([1.0, -1.0], jnp.float32).reshape(1, 2, 1, 1)
+
+        def br_fwd(op):
+            st, row_f, row_i, zm_k, zmp_k, sigb_k, csum_k = op
+            st, _ = cycle_forward_apply(
+                st, row_f, u7r, u7i, utr, uti, L=local_bits, q=q,
+                interpret=interpret)
+            if k_bits:
+                st = _global_cycle_tail(st, zm_k, csum_k, hs, phis, theta,
+                                        L=L, local_bits=local_bits,
+                                        n_amp=n_amp)
+            return st
+
+        def br_inv(op, first):
+            st, row_f, row_i, zm_k, zmp_k, sigb_k, csum_k = op
+            if first:
+                st = st * conj_vec  # the single turnaround conjugation
+            if k_bits:
+                st = _global_cycle_head(st, zmp_k, sigb_k, hs, phis, theta,
+                                        L=L, local_bits=local_bits,
+                                        n_amp=n_amp)
+            return cycle_inverse_apply(st, row_i, u7r, u7i, utr, uti,
+                                       L=local_bits, interpret=interpret)
+
+        def body(st, inp):
+            k, op_rest = inp
+            op = (st,) + op_rest
+            fwd = k < t_value
+            act = k < 2 * t_value
+            kind = jnp.where(fwd, 0,
+                             jnp.where(~act, 3,
+                                       jnp.where(k == t_value, 1, 2)))
+            st = jax.lax.switch(
+                kind,
+                [br_fwd, functools.partial(br_inv, first=True),
+                 functools.partial(br_inv, first=False), lambda op: op[0]],
+                op)
+            return st, None
+
+        xs = (step, (jnp.swapaxes(rows_f, 0, 1), jnp.swapaxes(rows_i, 0, 1),
+                     zm.T, zm_prev.T, sig_b.T, csum.T))
+        st, _ = jax.lax.scan(body, state0, xs)
+
+        sigma_fin = csum[:, -1]
+        sq = (1 - 2 * ((sigma_fin >> q) & jnp.uint32(1)).astype(jnp.int32)
+              ).astype(jnp.float32)
+        part = jnp.sum((st[:, 0] ** 2 + st[:, 1] ** 2) * zq, axis=(1, 2))
+        e_traj = af * s0 * sq * jax.lax.psum(part, "amp")
+        total = jax.lax.psum(jnp.sum(e_traj), "traj")
+        return total / (n * n_traj_dev)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("traj", None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return _check_constant_x(jax.jit(fn))
 
 
 def make_sharded_autocorr_forward(

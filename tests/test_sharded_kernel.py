@@ -20,6 +20,8 @@ from dtc_tpu.parallel.mesh import make_mesh
 from dtc_tpu.parallel.sharded import (
     make_sharded_autocorr_forward,
     make_sharded_autocorr_forward_kernel,
+    make_sharded_echo,
+    make_sharded_echo_kernel,
 )
 
 
@@ -103,6 +105,87 @@ def test_cycle_inverse_roundtrip():
     back = np.asarray(s2 * conj)
     assert abs(float(np.sum(back * back)) - 1.0) < 1e-4  # norm preserved
     assert np.max(np.abs(back - np.asarray(s0))) < 2e-5
+
+
+@pytest.mark.parametrize("L,n_amp,n_traj,p", [(18, 2, 2, 0.6),
+                                              (19, 4, 2, 0.3)])
+def test_echo_kernel_matches_xla_sharded(L, n_amp, n_traj, p):
+    """Sharded-echo builder (roadmap #5): the masked-2T switch scan over
+    forward/inverse cycle kernels must match make_sharded_echo
+    trajectory-for-trajectory (identical uniform draws) at every t,
+    including the turnaround conjugation and the pre-fold (zm[k-1],
+    sig_b[k]) inverse word rule. n_amp=4 adds shard-shard bonds and a
+    second ppermute bit to the inverse global head."""
+    T, q = 3, L // 2
+    hs, phis = generate_disorder(L, 1, seed=5)
+    hs = jnp.asarray(hs[0])
+    phis = jnp.asarray(phis[0])
+    sched = build_kick_schedule("x", 0.97, T)
+    mesh = make_mesh(n_amp=n_amp, n_traj=n_traj)
+    keys = jax.random.split(jax.random.PRNGKey(11), 2 * n_traj)
+    e_x = make_sharded_echo(mesh, L=L, T=T, K=1, p=p, q=q)
+    e_k = make_sharded_echo_kernel(mesh, L=L, T=T, p=p, q=q, interpret=True)
+    for t in range(T + 1):
+        a = float(e_x(sched.angles, hs, phis, keys, jnp.asarray(t)))
+        b = float(e_k(sched.angles, hs, phis, keys, jnp.asarray(t)))
+        assert abs(a - b) < 1e-4, (t, a, b)
+
+
+def test_cycle_kernels_multiblock_and_noiseless_echo(monkeypatch):
+    """n_bt > 1 pass-1 fori_loop geometry in interpret parity (ADVICE r2:
+    the default bt=16 clamps every parity case to a single block):
+    DTC_TPU_BLOCKED_BT=8 at local_bits=18 gives n_bt=2 for both the
+    forward and the echo cycle kernels. Noiseless echo must be exactly 1
+    at every t (U^dag U = I — the reference's own self-validation
+    invariant)."""
+    monkeypatch.setenv("DTC_TPU_BLOCKED_BT", "8")
+    L, T, p, q = 18, 2, 0.4, 9
+    hs, phis = generate_disorder(L, 1, seed=8)
+    hs = jnp.asarray(hs[0])
+    phis = jnp.asarray(phis[0])
+    sched = build_kick_schedule("x", 0.91, T)
+    mesh = make_mesh(n_amp=1, n_traj=2)
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+    f_x = make_sharded_autocorr_forward(mesh, L=L, T=T, K=1, p=p, q=q)
+    f_k = make_sharded_autocorr_forward_kernel(mesh, L=L, T=T, p=p, q=q,
+                                               interpret=True)
+    a_x = np.asarray(f_x(sched.angles, hs, phis, keys))
+    a_k = np.asarray(f_k(sched.angles, hs, phis, keys))
+    assert np.max(np.abs(a_k - a_x)) < 1e-4, (a_k, a_x)
+
+    e_x = make_sharded_echo(mesh, L=L, T=T, K=1, p=p, q=q)
+    e_k = make_sharded_echo_kernel(mesh, L=L, T=T, p=p, q=q, interpret=True)
+    a = float(e_x(sched.angles, hs, phis, keys, jnp.asarray(T)))
+    b = float(e_k(sched.angles, hs, phis, keys, jnp.asarray(T)))
+    assert abs(a - b) < 1e-4, (a, b)
+
+    e_k0 = make_sharded_echo_kernel(mesh, L=L, T=T, p=0.0, q=q,
+                                    interpret=True)
+    for t in range(T + 1):
+        v = float(e_k0(sched.angles, hs, phis, keys, jnp.asarray(t)))
+        assert abs(v - 1.0) < 1e-5, (t, v)
+
+
+def test_echo_kernel_rejects_non_constant_x():
+    """_check_constant_x: a concrete y-component or time-dependent schedule
+    must raise instead of silently reading angles[0,0,0] (ADVICE r2)."""
+    L, T = 18, 3
+    hs, phis = generate_disorder(L, 1, seed=5)
+    hs = jnp.asarray(hs[0])
+    phis = jnp.asarray(phis[0])
+    mesh = make_mesh(n_amp=2, n_traj=2)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    e_k = make_sharded_echo_kernel(mesh, L=L, T=T, p=0.1, q=9, interpret=True)
+    f_k = make_sharded_autocorr_forward_kernel(mesh, L=L, T=T, p=0.1, q=9,
+                                               interpret=True)
+    bad_y = build_kick_schedule("y", 0.97, T).angles
+    ramp = np.asarray(build_kick_schedule("x", 0.97, T).angles).copy()
+    ramp[0, 0, 0] *= 0.5
+    for bad in (bad_y, jnp.asarray(ramp)):
+        with pytest.raises(ValueError):
+            e_k(bad, hs, phis, keys, jnp.asarray(1))
+        with pytest.raises(ValueError):
+            f_k(bad, hs, phis, keys)
 
 
 def test_sharded_run_dispatch(monkeypatch):
