@@ -1,0 +1,97 @@
+"""BASELINE config 4 anchor: device-noise (FakeBrisbane-analogue) forward
+trajectories at L=27 on the real chip — parity + throughput of the kernel
+path vs the sigma device engine (VERDICT r2 missing #3).
+
+The kernel path (core.device_evolve.device_kernel_forward_batch) runs the
+UNCHANGED HBM-streamed x kernel with device event structure packed into the
+compact rows (width=256 at L=27: per-class sigma checkpoints in the
+sig/flip lanes — ops.pallas_noise.pack_device_cycle_params_compact). The
+sigma device engine (device_sigma_forward_batch, the previous only path at
+this scale) is the parity oracle: identical keys -> identical presampled
+events -> deterministic agreement at the bf16x3 dot level.
+
+Calibration comes from the documented synthetic Eagle-class model
+(models.device_noise.fake_device_model('brisbane')), mirroring
+NoiseModel.from_backend(FakeBrisbane()) usage
+(autocorr-delta-a-single-qiskit-fast.py:77-79,
+...-energy-fakebrisbane.py:80-96).
+
+Usage: python benchmarks/device_l27_probe.py [L] [NTRAJ]
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dtc_tpu.core.device_evolve import (
+    device_kernel_forward_batch,
+    device_sigma_forward_batch,
+)
+from dtc_tpu.io.disorder import generate_disorder
+from dtc_tpu.models.device_noise import fake_device_model
+from dtc_tpu.models.drives import build_kick_schedule
+
+L = int(_sys.argv[1]) if len(_sys.argv) > 1 else 27
+NTRAJ = int(_sys.argv[2]) if len(_sys.argv) > 2 else 2
+T = 50
+hs, phis = generate_disorder(L, 1, seed=7)
+hs_j = jnp.asarray(hs[0, :L])
+phis_j = jnp.asarray(phis[0, : L - 1])
+model = fake_device_model(L, "brisbane", seed=9)
+af = model.ancilla_interferometric_factor() * model.readout_z_factor(L // 2)
+p1 = jnp.asarray(model.p_1q)
+p2 = jnp.asarray(model.p_2q)
+sched = build_kick_schedule("x", 0.97, T)
+keys = jax.random.split(jax.random.PRNGKey(3), NTRAJ)
+kw = dict(L=L, T=T, q=L // 2 if L // 2 < 14 else 11, ancilla_factor=float(af))
+
+
+def timed(fn, reps=2, groups=5):
+    out = np.asarray(fn())
+    assert np.all(np.isfinite(out)) and np.max(np.abs(out)) <= 1 + 1e-3
+    dts = []
+    for _ in range(groups):
+        t0 = time.time()
+        for _ in range(reps):
+            out = np.asarray(fn())
+        dts.append((time.time() - t0) / reps)
+    return out, float(np.median(dts))
+
+
+t0 = time.time()
+f_k = lambda: device_kernel_forward_batch(  # noqa: E731
+    hs_j, phis_j, p1, p2, sched.angles, keys, **kw)
+a_k, dt_k = timed(f_k)
+print(f"device kernel compile+first: {time.time() - t0:.0f} s")
+
+f_s = lambda: device_sigma_forward_batch(  # noqa: E731
+    hs_j, phis_j, p1, p2, sched.angles, keys, **kw)
+a_s, dt_s = timed(f_s, reps=1, groups=3)
+
+err = float(np.max(np.abs(a_k - a_s)))
+rate_k = T * NTRAJ / dt_k
+rate_s = T * NTRAJ / dt_s
+print(f"device kernel (streamed rows): {rate_k:8.1f} traj-cyc/s "
+      f"({dt_k*1e3:.0f} ms)")
+print(f"device sigma engine          : {rate_s:8.1f} traj-cyc/s "
+      f"({dt_s*1e3:.0f} ms)")
+print(f"speedup                      : {dt_s / dt_k:.2f}x")
+print(f"max |diff| (same keys)       : {err:.2e}")
+
+path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                     "parity_results.json")
+blob = json.load(open(path)) if _os.path.exists(path) else {}
+blob[f"device_l{L}"] = {
+    "n_traj": NTRAJ, "T": T, "kernel_traj_cyc_s": round(rate_k, 1),
+    "sigma_traj_cyc_s": round(rate_s, 1), "max_dev": err,
+}
+json.dump(blob, open(path, "w"), indent=1)
+print(f"recorded -> {path} device_l{L}")
+assert err < 5e-4, err

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,7 +25,31 @@ def device_forward_sweep(cfg, sched, params, key) -> np.ndarray:
     p1 = jnp.asarray(model.p_1q)
     p2 = jnp.asarray(model.p_2q)
     use_sigma = cfg.polarization == "x" and sched.K == 1
-    if use_sigma:
+    engine = os.environ.get("DTC_TPU_DEVICE_ENGINE", "auto")
+    if engine not in ("auto", "sigma", "kernel"):
+        raise ValueError(f"DTC_TPU_DEVICE_ENGINE={engine!r} "
+                         "(want auto|sigma|kernel)")
+    ang = np.asarray(sched.angles)
+    kernel_ok = (use_sigma and engine in ("auto", "kernel")
+                 and cfg.probe_qubit < 14 and 17 <= cfg.L <= 28
+                 and cfg.tf <= 1024 and bool(np.all(ang[:, :, 1] == 0.0))
+                 and bool(np.all(ang == ang[0]))
+                 and jax.default_backend() != "cpu")
+    if engine == "kernel" and not kernel_ok:
+        raise ValueError(
+            "device kernel engine requires a constant x-only schedule, "
+            "q < 14, TPU backend and 17 <= L <= 28")
+    if kernel_ok:
+        # device rows on the blocked/streamed x kernels — the kernels run
+        # unchanged with per-class sigma checkpoints packed into the row
+        # (core.device_evolve.device_kernel_forward_batch)
+        from dtc_tpu.core.device_evolve import device_kernel_forward_batch
+
+        kw = dict(L=cfg.L, T=cfg.tf, q=cfg.probe_qubit,
+                  initial_state=cfg.initial_state, ancilla_factor=af)
+        run = lambda h, ph, keys: device_kernel_forward_batch(
+            h, ph, p1, p2, sched.angles, keys, **kw)
+    elif use_sigma:
         # gather-free sigma-frame device engine (survives large L)
         from dtc_tpu.core.device_evolve import device_sigma_forward_batch
 

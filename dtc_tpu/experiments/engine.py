@@ -42,6 +42,37 @@ def traj_chunks(n_traj: int, L: int, extra_factor: int = 2,
     return max(1, min(n_traj, budget_bytes // max(1, bytes_per_traj)))
 
 
+def _kernel_dispatch_likely(cfg, sched, *, echo: bool) -> bool:
+    """Whether this sweep's _forward_batch/_echo_batch call will land on a
+    whole-trajectory Pallas kernel. Kernel paths keep the state in
+    VMEM/HBM-scratch PER GRID STEP — their HBM residency is the compact
+    parameter rows, not inst x traj live statevectors — so the sweeps
+    chunk them by trajectory count alone instead of the XLA engines'
+    state-bytes budget (measured: the old 2 GB/state-bytes chunking cut
+    L=20 echo-sweep dispatches into ~15-trajectory slivers, ~8x
+    dispatch-bound on the real chip)."""
+    import os
+
+    engine = os.environ.get("DTC_TPU_ENGINE", "auto")
+    kw = dict(K=sched.K, L=cfg.L, q=cfg.probe_qubit, T=cfg.tf,
+              dtype_name=cfg.dtype, engine=engine)
+    fast, ti = _resident_dispatch(sched.angles, has_y=cfg.polarization != "x",
+                                  max_L=23, **kw)
+    if fast and (ti or cfg.L <= 21):
+        return True
+    if _general_dispatch(sched.angles, max_steps=512 if echo else 1024,
+                         max_L=23, **kw):
+        return True
+    ang = np.asarray(sched.angles)
+    return (sched.K == 1 and 22 <= cfg.L <= 28 and cfg.probe_qubit < 14
+            and cfg.dtype == "complex64"
+            and cfg.tf <= (512 if echo else 1024)
+            and bool(np.all(ang[:, :, 1] == 0.0))
+            and bool(np.all(ang == ang[0]))
+            and engine in ("auto", "resident", "streamed", "blocked")
+            and jax.default_backend() != "cpu")
+
+
 def build_context(cfg, hs, phis):
     """Per-run precomputation: kick schedule + real parameter arrays."""
     sched = build_kick_schedule(
@@ -290,7 +321,10 @@ def forward_sweep(cfg, sched, params, noise, key) -> np.ndarray:
               ancilla_factor=af, has_y=cfg.polarization != "x")
 
     n_traj = cfg.n_trajectories if p > 0 else 1
-    chunk = traj_chunks(n_traj, cfg.L, extra_factor=2 * cfg.inst)
+    if _kernel_dispatch_likely(cfg, sched, echo=False):
+        chunk = min(n_traj, 4096)  # kernel HBM residency = param rows only
+    else:
+        chunk = traj_chunks(n_traj, cfg.L, extra_factor=2 * cfg.inst)
     acc = np.zeros((cfg.inst, cfg.tf))
     done = 0
     while done < n_traj:
@@ -318,7 +352,14 @@ def echo_sweep(cfg, sched, params, noise, key, *, t_chunk: int = 8) -> np.ndarra
               has_y=cfg.polarization != "x")
 
     n_traj = cfg.n_trajectories
-    chunk = traj_chunks(n_traj, cfg.L, extra_factor=2 * cfg.inst * t_chunk)
+    if _kernel_dispatch_likely(cfg, sched, echo=True):
+        # kernel echo: (traj, t) pairs are grid steps over a VMEM/HBM
+        # scratch — chunk by pair count, not state bytes (the old
+        # state-bytes budget sliced L=20 sweeps into ~15-trajectory
+        # dispatches)
+        chunk = min(n_traj, max(1, 4096 // t_chunk))
+    else:
+        chunk = traj_chunks(n_traj, cfg.L, extra_factor=2 * cfg.inst * t_chunk)
     out = np.zeros((cfg.inst, cfg.tf))
     for t0 in range(0, cfg.tf, t_chunk):
         ts = np.arange(t0, min(t0 + t_chunk, cfg.tf))

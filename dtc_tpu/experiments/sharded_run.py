@@ -19,6 +19,7 @@ from dtc_tpu.models.noise import NoiseSpec
 from dtc_tpu.parallel.mesh import make_mesh
 from dtc_tpu.parallel.sharded import (
     make_sharded_autocorr_forward,
+    make_sharded_autocorr_forward_general,
     make_sharded_autocorr_forward_kernel,
     make_sharded_echo,
     make_sharded_echo_kernel,
@@ -63,6 +64,19 @@ def _cycle_kernel_ok(mesh, sched, cfg):
     return eligible
 
 
+def _general_kernel_ok(mesh, cfg):
+    """Auto-dispatch test for the LAB-frame per-shard cycle kernel
+    (make_sharded_autocorr_forward_general): covers every polarization
+    family + per-cycle schedules where the specialized x kernel does not
+    apply. Same geometry envelope; TPU only."""
+    engine = os.environ.get("DTC_TPU_SHARDED_ENGINE", "auto")
+    if engine == "xla":
+        return False
+    local_bits = cfg.L - int(np.log2(mesh.shape["amp"]))
+    return (cfg.probe_qubit < 14 and 17 <= local_bits <= 23
+            and jax.default_backend() == "tpu")
+
+
 def run_autocorr_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
                          out_dir=None, disorder_dir=None, write=True,
                          with_echo=True, echo_ts=None) -> dict:
@@ -86,8 +100,15 @@ def run_autocorr_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
     kkw = {k: v for k, v in kw.items() if k != "K"}
     if use_kernel:
         fwd = make_sharded_autocorr_forward_kernel(mesh, **kkw)
+    elif _general_kernel_ok(mesh, cfg):
+        # lab-frame per-shard kernel: y/xy/yx/circular/xy_cycle + per-cycle
+        # schedules at kernel rate on the sharded path
+        fwd = make_sharded_autocorr_forward_general(mesh, **kw)
     else:
-        fwd = make_sharded_autocorr_forward(mesh, **kw)
+        # has_y engages the sigma-conjugated kick machinery for drives
+        # with a Y component (required for correct noisy evolution)
+        fwd = make_sharded_autocorr_forward(
+            mesh, has_y=cfg.polarization != "x", **kw)
 
     n_traj = max(cfg.n_trajectories if noise.p > 0 else 1,
                  mesh.shape["traj"])
@@ -107,7 +128,8 @@ def run_autocorr_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
         # echo half of every multi-chip forward+echo study ran at the
         # deopted XLA-scan rate (VERDICT r2 missing #1)
         ech = (make_sharded_echo_kernel(mesh, **kkw) if use_kernel
-               else make_sharded_echo(mesh, **kw))
+               else make_sharded_echo(
+                   mesh, has_y=cfg.polarization != "x", **kw))
         ts = list(range(cfg.tf)) if echo_ts is None else list(echo_ts)
         for i in range(cfg.inst):
             keys = jax.random.split(jax.random.fold_in(key, 7919 + i), n_traj)

@@ -109,6 +109,37 @@ def pack_cycle_params_compact(zm, sigma, hs, phis, L, width: int = 128):
         jnp.zeros((width - (5 * L - 2),), jnp.float32)])
 
 
+def pack_device_cycle_params_compact(zm, sig_a, sig_b, sig_c, hs, phis, L,
+                                     width: int = 128):
+    """Device-noise variant of pack_cycle_params_compact: the x-kernel row
+    format carries DEVICE event structure unchanged because the kernel's
+    angle formula reads the sig lanes only for h-corrections and the flip
+    lanes only for bonds — so per-coefficient-class sigma checkpoints
+    (core.device_evolve._device_presample: sig_a before the even-bond
+    sublayer, sig_b before the odd, sig_c at cycle end) pack as:
+    n = the cycle's COMBINED Z-mask (all 1q+2q events; signs compose by
+    XOR), sig = sig_c bits (the field h terms apply last), flip[j] from
+    sig_a for even bonds / sig_b for odd (each RZZ sublayer applies at its
+    own pre-event frame). The SAME Pallas kernels then evolve device-noise
+    trajectories exactly (constant x drives, K=1) — no kernel change.
+    Mirrors NoiseModel.from_backend usage
+    (autocorr-delta-a-single-qiskit-fast.py:77-79)."""
+    if 5 * L - 2 > width:
+        raise ValueError(f"L={L} needs {5 * L - 2} lanes > width={width}")
+    qs = jnp.arange(L, dtype=jnp.uint32)
+    zmb = ((zm >> qs) & 1).astype(jnp.int32).astype(jnp.float32)
+    scb = ((sig_c >> qs) & 1).astype(jnp.int32).astype(jnp.float32)
+    sab = ((sig_a >> qs) & 1).astype(jnp.int32).astype(jnp.float32)
+    sbb = ((sig_b >> qs) & 1).astype(jnp.int32).astype(jnp.float32)
+    flip_a = jnp.abs(sab[: L - 1] - sab[1:L])
+    flip_b = jnp.abs(sbb[: L - 1] - sbb[1:L])
+    even = (jnp.arange(L - 1) % 2 == 0)
+    flip = jnp.where(even, flip_a, flip_b)
+    return jnp.concatenate([
+        zmb, scb, flip, hs.astype(jnp.float32), phis.astype(jnp.float32),
+        jnp.zeros((width - (5 * L - 2),), jnp.float32)])
+
+
 @functools.partial(jax.jit, static_argnames=("L", "interpret"))
 def apply_noise_factor(state_planar, params, *, L, interpret=False):
     """state (2, 2**L) f32 planes; params (8, 128) from pack_cycle_params."""

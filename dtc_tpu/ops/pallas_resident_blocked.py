@@ -513,7 +513,8 @@ def blocked_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
 )
 def blocked_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
                           initial_state="vacuum", ancilla_factor=1.0,
-                          time_dependent=False, interpret=False):
+                          time_dependent=False, interpret=False,
+                          ext_rows=None, ext_sig=None):
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2) -> (inst, c, T).
 
     Blocked-plane VMEM-resident x-pol forward autocorrelator for
@@ -521,6 +522,13 @@ def blocked_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
     one full trajectory. Per-cycle x schedules (time_dependent) are
     limited to L=22: the (T, TOP, TOP) top-kick matrix block at L=23
     would not fit VMEM next to the 64 MB state.
+
+    ext_rows (inst, c, T, 128) / ext_sig (inst, c, T): externally packed
+    compact cycle rows + per-cycle measurement sigmas, overriding the flat
+    depolarizing presampler — the device-noise path packs its
+    per-coefficient-class sigma checkpoints here
+    (ops.pallas_noise.pack_device_cycle_params_compact) and the kernel
+    runs unchanged.
     """
     if not (17 <= L <= 23):
         raise ValueError("blocked resident kernel supports 17 <= L <= 23")
@@ -543,9 +551,11 @@ def blocked_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
     Tu = T if time_dependent else 1
     u7r, u7i, utr, uti = _kick_matrices(angles, L, TOP, time_dependent)
 
-    def per_instance(h, ph, ks):
+    def per_instance(h, ph, ks, ext_r, ext_s):
         n_traj = ks.shape[0]
-        if p > 0.0:
+        if ext_r is not None:
+            params, sig_after = ext_r, ext_s
+        elif p > 0.0:
             def sample(key):
                 _, zm, _, csum = presample_noise(key, p, T, L)
                 return jax.vmap(
@@ -593,4 +603,4 @@ def blocked_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
               ).astype(jnp.float32)
         return ancilla_factor * s0 * sq * a_raw
 
-    return jax.vmap(per_instance)(hs, phis, keys)
+    return jax.vmap(per_instance)(hs, phis, keys, ext_rows, ext_sig)

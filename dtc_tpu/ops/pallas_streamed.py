@@ -720,12 +720,16 @@ def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
 )
 def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
                            initial_state="vacuum", ancilla_factor=1.0,
-                           interpret=False):
+                           interpret=False, ext_rows=None, ext_sig=None):
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2) -> (inst, c, T).
 
     HBM-streamed x-polarized forward autocorrelator for 22 <= L <= 28
     (constant schedules; q < 14). Mirrors resident_forward_batch
     (ops/pallas_resident.py) above the VMEM limit.
+
+    ext_rows (inst, c, T, width) / ext_sig (inst, c, T): externally packed
+    compact cycle rows + measurement sigmas overriding the flat
+    presampler (the device-noise path — see blocked_forward_batch).
     """
     if not (22 <= L <= 28):
         # L=29 reproducibly SIGKILLs the shared Mosaic compile helper
@@ -759,9 +763,11 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
     u7r, u7i = _rx_kron(theta, 7)
     u21r, u21i = _rx_kron(theta, L - 21)
 
-    def per_instance(h, ph, ks):
+    def per_instance(h, ph, ks, ext_r, ext_s):
         n_traj = ks.shape[0]
-        if p > 0.0:
+        if ext_r is not None:
+            params, sig_after = ext_r, ext_s
+        elif p > 0.0:
             def sample(key):
                 _, zm, _, csum = presample_noise(key, p, T, L)
                 return jax.vmap(
@@ -827,4 +833,4 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
               ).astype(jnp.float32)
         return ancilla_factor * s0 * sq * a_raw
 
-    return jax.vmap(per_instance)(hs, phis, keys)
+    return jax.vmap(per_instance)(hs, phis, keys, ext_rows, ext_sig)

@@ -209,3 +209,63 @@ def test_sharded_run_dispatch(monkeypatch):
         monkeypatch.setenv("DTC_TPU_SHARDED_ENGINE", "cycle_kernel")
         with pytest.raises(ValueError):
             _cycle_kernel_ok(mesh, sched, cfg)
+
+
+@pytest.mark.parametrize("pol,L,n_amp,kwargs", [
+    ("y", 18, 2, {}),
+    ("xy", 19, 4, {}),
+    ("circular_left", 18, 2, {"circular_frequency": 0.5}),
+])
+def test_general_cycle_kernel_matches_xla_sharded(pol, L, n_amp, kwargs):
+    """LAB-frame per-shard cycle kernel (VERDICT r2 missing #5) vs the
+    sigma-frame XLA sharded engine (has_y): every polarization family and
+    the time-dependent circular schedule must agree trajectory-for-
+    trajectory — the hybrid frame (lab local bits, XOR shard bits with
+    per-trajectory conjugated global slot kicks) is exercised across the
+    boundary bond, shard-shard bonds and K=2 slot interleaving."""
+    from dtc_tpu.parallel.sharded import make_sharded_autocorr_forward_general
+
+    T, p, q, n_traj = 3, 0.5, L // 2, 2
+    hs, phis = generate_disorder(L, 1, seed=5)
+    hs = jnp.asarray(hs[0])
+    phis = jnp.asarray(phis[0])
+    sched = build_kick_schedule(pol, 0.97, T, **kwargs)
+    mesh = make_mesh(n_amp=n_amp, n_traj=n_traj)
+    keys = jax.random.split(jax.random.PRNGKey(11), 2 * n_traj)
+    f_x = make_sharded_autocorr_forward(mesh, L=L, T=T, K=sched.K, p=p, q=q,
+                                        has_y=True)
+    f_g = make_sharded_autocorr_forward_general(
+        mesh, L=L, T=T, K=sched.K, p=p, q=q, interpret=True)
+    a_x = np.asarray(f_x(sched.angles, hs, phis, keys))
+    a_g = np.asarray(f_g(sched.angles, hs, phis, keys))
+    assert np.max(np.abs(a_g - a_x)) < 1e-4, (pol, a_g, a_x)
+
+
+def test_sharded_driver_passes_has_y(monkeypatch):
+    """Regression: run_autocorr_sharded must engage has_y for drives with
+    a Y component on the XLA fallback paths — without it a noisy
+    y-polarized multi-chip run silently skips the sigma-conjugated kick
+    machinery (wrong physics, r3 driver fix)."""
+    import dtc_tpu.experiments.sharded_run as sr
+    from dtc_tpu.utils.config import SimConfig
+
+    seen = {}
+
+    def fake_fwd(mesh, **kw):
+        seen["fwd"] = kw
+        return lambda *a: np.zeros(3)
+
+    def fake_echo(mesh, **kw):
+        seen["echo"] = kw
+        return lambda *a: np.zeros(())
+
+    monkeypatch.setattr(sr, "make_sharded_autocorr_forward", fake_fwd)
+    monkeypatch.setattr(sr, "make_sharded_echo", fake_echo)
+    cfg = SimConfig(L=6, tf=3, g=0.97, noise_prob=0.05, use_noise=1,
+                    polarization="y", inst=1, n_trajectories=4)
+    hs, phis = generate_disorder(6, 1, seed=0)
+    mesh = make_mesh(n_amp=2, n_traj=4)
+    sr.run_autocorr_sharded(cfg, hs, phis, mesh=mesh, write=False,
+                            echo_ts=[1])
+    assert seen["fwd"]["has_y"] is True
+    assert seen["echo"]["has_y"] is True
