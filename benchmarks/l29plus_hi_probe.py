@@ -1,0 +1,122 @@
+"""TPU: the r2-blocked streamed kernel (ops/pallas_streamed_hi) at and past
+the original streamed-kernel envelope — the single-chip L=29/30 attempt
+(VERDICT r2 missing #4 / next #5).
+
+Per-L validation ladder (each L is one invocation so a failed compile
+doesn't lose earlier results):
+  28 — full noisy parity vs the ORIGINAL streamed kernel (identical
+       presampled keys) + rate comparison at the shared size.
+  29 — noisy parity vs the XLA sigma engine (1 trajectory fits: 4 GB
+       state; l29plus_probe.py established the sigma anchor) + rates.
+  30 — no other engine runs (sigma temporaries OOM a 15.75 GB chip):
+       cross-check two pass-B geometries (MS, CS) against each other —
+       different sub-slab cuts re-route every DMA boundary, so agreement
+       validates the strided-slab machinery — plus the A(0) init/measure
+       invariant; rates.
+
+Usage: python benchmarks/l29plus_hi_probe.py <L> [T]
+"""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dtc_tpu.io.disorder import generate_disorder
+from dtc_tpu.models.drives import build_kick_schedule
+from dtc_tpu.ops.pallas_streamed_hi import streamed_hi_forward_batch
+
+L = int(_sys.argv[1]) if len(_sys.argv) > 1 else 29
+T = int(_sys.argv[2]) if len(_sys.argv) > 2 else 50
+P, q = 0.05, 11
+AF = (1 - P) ** 6
+NTRAJ = 2 if L <= 28 else 1
+
+hs_np, phis_np = generate_disorder(L, 1, seed=7)
+hs = jnp.asarray(hs_np[:, :L])
+phis = jnp.asarray(phis_np[:, : L - 1])
+sched = build_kick_schedule("x", 0.97, T)
+keys = jax.random.split(jax.random.PRNGKey(3), NTRAJ)[None]
+kw = dict(L=L, T=T, p=P, q=q, ancilla_factor=AF)
+
+
+def timed(fn, reps=2, groups=5):
+    out = np.asarray(fn())
+    assert np.all(np.isfinite(out)) and np.max(np.abs(out)) <= 1 + 1e-3
+    dts = []
+    for _ in range(groups):
+        t0 = time.time()
+        for _ in range(reps):
+            out = np.asarray(fn())
+        dts.append((time.time() - t0) / reps)
+    return out, float(np.median(dts))
+
+
+print(f"L={L} T={T}: compiling streamed-hi...", flush=True)
+t0 = time.time()
+a_hi, dt_hi = timed(lambda: streamed_hi_forward_batch(
+    hs, phis, sched.angles, keys, **kw))
+print(f"  compile+first: {time.time() - t0:.0f} s", flush=True)
+assert abs(a_hi[0, 0, 0] - AF) < 1e-5, a_hi[0, 0, 0]  # init+measure sweep
+rate_hi = T * NTRAJ / dt_hi
+print(f"  streamed-hi: {rate_hi:8.1f} traj-cyc/s ({dt_hi*1e3:.0f} ms)  "
+      f"A(t<4)={a_hi[0, 0, :4].round(5)}", flush=True)
+
+rec = {"n_traj": NTRAJ, "T": T, "hi_traj_cyc_s": round(rate_hi, 1)}
+
+if L <= 28:
+    from dtc_tpu.ops.pallas_streamed import streamed_forward_batch
+    t0 = time.time()
+    a_ref, dt_ref = timed(lambda: streamed_forward_batch(
+        hs, phis, sched.angles, keys, **kw))
+    print(f"  original streamed compile+first: {time.time() - t0:.0f} s",
+          flush=True)
+    err = float(np.max(np.abs(a_hi - a_ref)))
+    rate_ref = T * NTRAJ / dt_ref
+    print(f"  original streamed: {rate_ref:8.1f} traj-cyc/s "
+          f"({dt_ref*1e3:.0f} ms)   hi/orig: {dt_ref/dt_hi:.2f}x   "
+          f"parity {err:.2e}", flush=True)
+    rec.update(ref="streamed", ref_traj_cyc_s=round(rate_ref, 1),
+               max_dev=err)
+    assert err < 5e-4, err
+elif L == 29:
+    from dtc_tpu.core.sigma_evolve import sigma_forward_batch
+    t0 = time.time()
+    a_s, dt_s = timed(lambda: sigma_forward_batch(
+        hs, phis, sched.angles, keys, L=L, T=T, K=1, p=P, q=q,
+        initial_state="vacuum", dtype_name="complex64",
+        ancilla_factor=AF, has_y=False), reps=1, groups=3)
+    print(f"  sigma compile+first: {time.time() - t0:.0f} s", flush=True)
+    err = float(np.max(np.abs(a_hi - a_s)))
+    rate_s = T * NTRAJ / dt_s
+    print(f"  sigma engine: {rate_s:8.1f} traj-cyc/s ({dt_s*1e3:.0f} ms)  "
+          f"speedup {dt_s/dt_hi:.2f}x   parity {err:.2e}", flush=True)
+    rec.update(ref="sigma", ref_traj_cyc_s=round(rate_s, 1), max_dev=err)
+    assert err < 5e-4, err
+else:
+    # geometry cross-check: re-cut every pass-B DMA boundary
+    from dtc_tpu.ops.pallas_streamed_hi import _hi_geometry
+    MS, CS = _hi_geometry(L)
+    alt = (MS // 2, 2 * CS)
+    t0 = time.time()
+    a_alt, dt_alt = timed(lambda: streamed_hi_forward_batch(
+        hs, phis, sched.angles, keys, geom=alt, **kw), reps=1, groups=3)
+    print(f"  alt-geom {alt} compile+first: {time.time() - t0:.0f} s",
+          flush=True)
+    err = float(np.max(np.abs(a_hi - a_alt)))
+    print(f"  alt geometry: {T * NTRAJ / dt_alt:8.1f} traj-cyc/s   "
+          f"cross-geom parity {err:.2e}", flush=True)
+    rec.update(ref=f"geom{alt}", max_dev=err)
+    assert err < 5e-4, err
+
+path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                     "parity_results.json")
+blob = json.load(open(path)) if _os.path.exists(path) else {}
+blob[f"streamed_hi_l{L}"] = rec
+json.dump(blob, open(path, "w"), indent=1)
+print(f"recorded -> {path} streamed_hi_l{L}", flush=True)

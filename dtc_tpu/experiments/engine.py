@@ -153,6 +153,23 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
             hs, phis, angles, keys, L=L, T=T, p=p, q=q,
             initial_state=initial_state, ancilla_factor=ancilla_factor)
 
+    if (time_independent and 22 <= L <= 30 and q < 14
+            and dtype_name == "complex64" and T <= 1024
+            and (29 <= L or engine == "streamed_hi")
+            and engine in ("auto", "resident", "streamed", "blocked",
+                           "streamed_hi")
+            and jax.default_backend() != "cpu"):
+        # r2-blocked HBM-streamed kernel: the single-chip L=29/30 engine
+        # (bounded slab sizes — ops/pallas_streamed_hi; the original
+        # streamed kernel's pass-B slab grows past VMEM at L >= 29).
+        # engine='streamed_hi' selects it explicitly at 22 <= L <= 28 for
+        # cross-checks.
+        from dtc_tpu.ops.pallas_streamed_hi import streamed_hi_forward_batch
+
+        return streamed_hi_forward_batch(
+            hs, phis, angles, keys, L=L, T=T, p=p, q=q,
+            initial_state=initial_state, ancilla_factor=ancilla_factor)
+
     if _general_dispatch(angles, K=K, L=L, q=q, T=T, dtype_name=dtype_name,
                          engine=engine, max_steps=1024, max_L=23):
         # lab-frame general resident kernel: any polarization family / K

@@ -618,3 +618,191 @@ def general_cycle_forward_apply(state, tiles, *, L, K, q, interpret=False):
         interpret=interpret,
     )(tiles, state)
     return state, a_raw[:, 0, 0]
+
+
+def _make_general_inverse_cycle_kernel(L: int, K: int, bt: int,
+                                       cs: int):  # noqa: C901
+    """LAB-frame per-shard INVERSE cycle kernel: one grid step = one
+    trajectory's shard, ONE daggered cycle = K slot steps of the general
+    ECHO body of pallas_resident_general._make_general_kernel_blocked
+    (TPS=2: each slot carries a (pre, post) compact-row pair), state via
+    DMA through the ANY-aliased pair.
+
+    No conjugation trick (Y-containing slot kicks are not symmetric):
+    the CALLER builds the pre/post rows exactly like
+    general_echo_batch.tiles_one's inverse steps — daggered slot
+    unitaries in reversed slot order (slot_u8(..., inverse=True) of the
+    cycle's slot K-1-j at processed index j), D0^dagger lead (negated
+    h/phi) on the first slot's pre row, the slot's X-mask on the pre row
+    and its noise-Z signs on the post row. Echo semantics per the
+    reference (autocorr-delta-a-single-qiskit-fast.py:140-147; reversed
+    per-cycle schedules ...-circular-polarization.py:164-172).
+
+    No measurement path: the sharded echo measures |amp|^2 z_q in XLA
+    after the full masked scan (lab-frame local bits -> no sigma sign)."""
+    from dtc_tpu.ops.pallas_resident_general import _LANE_U8, _tile_helpers
+
+    TOP = 1 << (L - 14)
+    n_bt = TOP // bt
+    n_cs = (_C // 2) // cs
+    FO = 4 * L - 1
+
+    def kernel(tiles_ref, st_in_ref, st_hbm, st_ref, sems):
+        del st_in_ref
+        i = pl.program_id(0)
+        pltpu.make_async_copy(st_hbm.at[i], st_ref, sems.at[0]).start()
+        pltpu.make_async_copy(st_hbm.at[i], st_ref, sems.at[0]).wait()
+
+        lci = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
+        l7r = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        z7o = [(1 - 2 * ((l7r >> k) & 1)).astype(jnp.float32)
+               for k in range(7)]
+        l7c = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        z7i = [(1 - 2 * ((l7c >> k) & 1)).astype(jnp.float32)
+               for k in range(7)]
+        zz67 = (1 - 2 * (((lci >> 6) ^ (lci >> 7)) & 1)).astype(jnp.float32)
+        z13c = (1 - 2 * ((lci >> 13) & 1)).astype(jnp.float32)
+        lcs = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1)
+        zz67c = (1 - 2 * (((lcs >> 6) ^ (lcs >> 7)) & 1)).astype(jnp.float32)
+        hti = jax.lax.broadcasted_iota(jnp.int32, (TOP, 1), 0)
+        zho = [(1 - 2 * ((hti >> k) & 1)).astype(jnp.float32)
+               for k in range(L - 14)]
+        htc = jax.lax.broadcasted_iota(jnp.int32, (1, TOP), 1)
+        zhi = [(1 - 2 * ((htc >> k) & 1)).astype(jnp.float32)
+               for k in range(L - 14)]
+        hbt = jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
+
+        czc, cbc, angle7, angle_hi, build_group = _tile_helpers(tiles_ref, L)
+
+        def _cmul2(ar, ai, br, bi):
+            return ar * br - ai * bi, ar * bi + ai * br
+
+        def kara_right(xr, xi, br, bi, bs):
+            p1 = _dot_f32(xr, br)
+            p2 = _dot_f32(xi, bi)
+            p3 = _dot_f32(xr + xi, bs)
+            return p1 - p2, p3 - p1 - p2
+
+        for si in range(K):
+            kt = 2 * si
+            post = 2 * si + 1
+            u8 = [tiles_ref[0, kt, FO + _LANE_U8 + j] for j in range(8)]
+
+            def scaled_group(nbits, off, th, kt=kt, u8=u8):
+                gr, gi = build_group(kt, u8, nbits, off,
+                                     transposed=(off < 14))
+                return _cmul2(gr, gi, jnp.cos(th), jnp.sin(th))
+
+            c0q = _HALF_PI * sum(tiles_ref[0, post, qq] for qq in range(L))
+            c0p = _HALF_PI * sum(tiles_ref[0, kt, qq] for qq in range(L))
+            th_lo = (angle7(post, 0, c0q, z7o) + angle7(kt, 0, c0p, z7i))
+            th_mi = (angle7(post, 7, 0.0, z7o) + angle7(kt, 7, 0.0, z7i))
+            blr, bli = scaled_group(7, 0, th_lo)
+            bls = blr + bli
+            bmr, bmi = scaled_group(7, 7, th_mi)
+            bms = bmr + bmi
+            s6p = cbc(kt, 6)
+            c6p, s6pz = jnp.cos(s6p), zz67 * jnp.sin(s6p)
+            s13p = cbc(kt, 13)
+
+            # pass 1: pre straddles + bits 0..13 kicks, per TOP block
+            def p1_block(ib, _, blr=blr, bli=bli, bls=bls, bmr=bmr,
+                         bmi=bmi, bms=bms, c6p=c6p, s6pz=s6pz, s13p=s13p):
+                mr = st_ref[0, pl.ds(ib * bt, bt), :]
+                mi = st_ref[1, pl.ds(ib * bt, bt), :]
+                mr, mi = _cmul(mr, mi, c6p, s6pz)
+                z14b = (1 - 2 * ((hbt + ib * bt) & 1)).astype(jnp.float32)
+                mr, mi = _cmul(mr, mi, jnp.cos(s13p),
+                               (z13c * z14b) * jnp.sin(s13p))
+                mr = mr.reshape(bt * 128, 128)
+                mi = mi.reshape(bt * 128, 128)
+                mr, mi = kara_right(mr, mi, blr, bli, bls)
+                mr = jnp.swapaxes(mr.reshape(bt, 128, 128), 1, 2).reshape(
+                    bt * 128, 128)
+                mi = jnp.swapaxes(mi.reshape(bt, 128, 128), 1, 2).reshape(
+                    bt * 128, 128)
+                mr, mi = kara_right(mr, mi, bmr, bmi, bms)
+                st_ref[0, pl.ds(ib * bt, bt), :] = jnp.swapaxes(
+                    mr.reshape(bt, 128, 128), 1, 2).reshape(bt, _C)
+                st_ref[1, pl.ds(ib * bt, bt), :] = jnp.swapaxes(
+                    mi.reshape(bt, 128, 128), 1, 2).reshape(bt, _C)
+                return _
+
+            jax.lax.fori_loop(0, n_bt, p1_block, None)
+
+            # pass 2: top kick (pre + post angle folds) + post straddles
+            utr, uti = build_group(kt, u8, L - 14, 14, transposed=False)
+            th_hi = angle_hi(post, zho) + angle_hi(kt, zhi)
+            s13q = cbc(post, 13)
+            s6q = cbc(post, 6)
+            c6q = jnp.cos(s6q)
+            s6qz = zz67c * jnp.sin(s6q)
+            for half, sgn in ((0, 1.0), (1, -1.0)):
+                th = th_hi + sgn * s13q * zho[0]
+                dr = jnp.cos(th)
+                di = jnp.sin(th)
+                htr, hti_ = _cmul2(utr, uti, dr, di)
+                hts = htr + hti_
+                base = half * (_C // 2)
+
+                def p2_chunk(j, _, htr=htr, hti_=hti_, hts=hts, base=base,
+                             c6q=c6q, s6qz=s6qz):
+                    off = base + j * cs
+                    hr = st_ref[0, :, pl.ds(off, cs)]
+                    hi2 = st_ref[1, :, pl.ds(off, cs)]
+                    q1 = _dot_f32(htr, hr)
+                    q2 = _dot_f32(hti_, hi2)
+                    q3 = _dot_f32(hts, hr + hi2)
+                    kr = q1 - q2
+                    ki = q3 - q1 - q2
+                    kr, ki = _cmul2(kr, ki, c6q, s6qz)
+                    st_ref[0, :, pl.ds(off, cs)] = kr
+                    st_ref[1, :, pl.ds(off, cs)] = ki
+                    return _
+
+                jax.lax.fori_loop(0, n_cs, p2_chunk, None)
+
+        pltpu.make_async_copy(st_ref, st_hbm.at[i], sems.at[1]).start()
+        pltpu.make_async_copy(st_ref, st_hbm.at[i], sems.at[1]).wait()
+
+    return kernel
+
+
+def general_cycle_inverse_apply(state, tiles, *, L, K, interpret=False):
+    """Apply ONE lab-frame DAGGERED Floquet cycle to a batch of shard-local
+    planar states.
+
+    state: (n_traj, 2, TOP, 16384) f32 planar; tiles: (n_traj, K, 2, 128)
+    per-slot (pre, post) compact general echo rows (layout of
+    general_echo_batch.tiles_one's inverse steps). Returns state'.
+    """
+    if not (17 <= L <= 23):
+        raise ValueError("general cycle kernel supports 17 <= L_loc <= 23")
+    TOP = 1 << (L - 14)
+    n_traj = state.shape[0]
+    if state.shape != (n_traj, 2, TOP, _C):
+        raise ValueError(f"state shape {state.shape} != "
+                         f"{(n_traj, 2, TOP, _C)}")
+    bt, cs = blocked_block_sizes(TOP)
+    tiles = tiles.reshape(n_traj, 2 * K, 128)
+
+    state = pl.pallas_call(
+        _make_general_inverse_cycle_kernel(L, K, bt, cs),
+        out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
+        grid=(n_traj,),
+        in_specs=[
+            pl.BlockSpec((1, 2 * K, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),  # (pre, post) rows
+            pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        input_output_aliases={1: 0},
+        scratch_shapes=[
+            pltpu.VMEM((2, TOP, _C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(tiles, state)
+    return state

@@ -20,7 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from dtc_tpu.core.sigma_evolve import sigma_echo_batch, sigma_forward_batch
+pytestmark = pytest.mark.slow  # minutes of interpret-mode kernel math;
+# `-m 'not slow'` gives the quick loop, the full suite runs them
+
+from dtc_tpu.core.sigma_evolve import sigma_echo_batch, sigma_forward_batch  # noqa: E402
 from dtc_tpu.io.disorder import generate_disorder
 from dtc_tpu.models.drives import build_kick_schedule, n_kick_slots
 
@@ -148,3 +151,22 @@ def test_streamed_kernel_interpret_parity():
                                      K=1, p=p, q=q, has_y=False, **SKW))
     assert np.max(np.abs(be - se)) < 1e-4
     assert np.max(np.abs(se - 1.0)) > 1e-3  # events fired (echo != 1)
+
+
+def test_streamed_hi_kernel_interpret_parity():
+    """The r2-blocked streamed kernel (the single-chip L=29/30 engine,
+    ops/pallas_streamed_hi) at its minimum geometry L=22/T=2: merged
+    m-kick pass A (16 MB r2-block slabs) + strided (R2, MS, CS) pass-B
+    sub-slabs, vs the sigma engine with identical presampled uniforms."""
+    from dtc_tpu.ops.pallas_streamed_hi import streamed_hi_forward_batch
+
+    L, T, p, q = 22, 2, 0.6, 11
+    hs, phis, ang, keys = _setup(L, T)
+    b = np.asarray(streamed_hi_forward_batch(hs, phis, ang, keys, L=L, T=T,
+                                             p=p, q=q, interpret=True))
+    s = np.asarray(sigma_forward_batch(hs, phis, ang, keys, L=L, T=T, K=1,
+                                       p=p, q=q, has_y=False, **SKW))
+    assert np.max(np.abs(b - s)) < 1e-4
+    # events fired: p=0.6 sigma-frame flips make A(1) positive (the
+    # noiseless g=0.97 period-doubled value is ~ -1)
+    assert s[0, 0, 1] > 0

@@ -14,7 +14,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from dtc_tpu.io.disorder import generate_disorder
+pytestmark = pytest.mark.slow  # minutes of interpret-mode kernel math;
+# `-m 'not slow'` gives the quick loop, the full suite runs them
+
+from dtc_tpu.io.disorder import generate_disorder  # noqa: E402
 from dtc_tpu.models.drives import build_kick_schedule
 from dtc_tpu.parallel.mesh import make_mesh
 from dtc_tpu.parallel.sharded import (
