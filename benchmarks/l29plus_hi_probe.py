@@ -85,18 +85,30 @@ if L <= 28:
                max_dev=err)
     assert err < 5e-4, err
 elif L == 29:
+    # the sigma L=29/T=50 program is uncompilable here (the XLA scan's
+    # 4 GB temporaries SIGKILL the shared compile helper — measured this
+    # session); the anchor runs both engines at T=10 (the T the original
+    # l29plus_probe.py sigma anchor compiled at) for value parity + the
+    # sigma rate, while the hi rate above stays at the requested T
     from dtc_tpu.core.sigma_evolve import sigma_forward_batch
+    T10 = 10
+    sched10 = build_kick_schedule("x", 0.97, T10)
+    a_hi10, _ = timed(lambda: streamed_hi_forward_batch(
+        hs, phis, sched10.angles, keys, L=L, T=T10, p=P, q=q,
+        ancilla_factor=AF), reps=1, groups=1)
     t0 = time.time()
     a_s, dt_s = timed(lambda: sigma_forward_batch(
-        hs, phis, sched.angles, keys, L=L, T=T, K=1, p=P, q=q,
+        hs, phis, sched10.angles, keys, L=L, T=T10, K=1, p=P, q=q,
         initial_state="vacuum", dtype_name="complex64",
         ancilla_factor=AF, has_y=False), reps=1, groups=3)
     print(f"  sigma compile+first: {time.time() - t0:.0f} s", flush=True)
-    err = float(np.max(np.abs(a_hi - a_s)))
-    rate_s = T * NTRAJ / dt_s
-    print(f"  sigma engine: {rate_s:8.1f} traj-cyc/s ({dt_s*1e3:.0f} ms)  "
-          f"speedup {dt_s/dt_hi:.2f}x   parity {err:.2e}", flush=True)
-    rec.update(ref="sigma", ref_traj_cyc_s=round(rate_s, 1), max_dev=err)
+    err = float(np.max(np.abs(a_hi10 - a_s)))
+    rate_s = T10 * NTRAJ / dt_s
+    print(f"  sigma engine (T={T10}): {rate_s:8.1f} traj-cyc/s "
+          f"({dt_s*1e3:.0f} ms)  speedup {rate_hi/rate_s:.2f}x   "
+          f"parity {err:.2e}", flush=True)
+    rec.update(ref=f"sigma_T{T10}", ref_traj_cyc_s=round(rate_s, 1),
+               max_dev=err)
     assert err < 5e-4, err
 else:
     # geometry cross-check: re-cut every pass-B DMA boundary

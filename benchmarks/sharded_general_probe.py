@@ -4,9 +4,11 @@ engine on a (traj=1, amp=1) mesh — the single-chip bound on the multi-chip
 path for y/xy/circular and per-cycle-g drives (VERDICT r2 missing #5).
 
 Measures the y drive (K=1) and the time-dependent circular drive (K=2, the
-reference's ...-fast-circular-polarization.py:110-142 family). Values must
-agree with the XLA sharded engine to the bf16x3 dot level (identical
-presampled keys).
+reference's ...-fast-circular-polarization.py:110-142 family), forward AND
+echo (make_sharded_echo_general — the masked-2T switch scan over the
+forward/daggered general cycle kernels; reversed per-cycle schedules per
+...-fast-circular-polarization.py:164-172). Values must agree with the XLA
+sharded engine to the bf16x3 dot level (identical presampled keys).
 
 Usage: python benchmarks/sharded_general_probe.py [L] [NTRAJ]
 """
@@ -27,6 +29,8 @@ from dtc_tpu.parallel.mesh import make_mesh
 from dtc_tpu.parallel.sharded import (
     make_sharded_autocorr_forward,
     make_sharded_autocorr_forward_general,
+    make_sharded_echo,
+    make_sharded_echo_general,
 )
 
 L = int(_sys.argv[1]) if len(_sys.argv) > 1 else 20
@@ -81,6 +85,29 @@ for name, kwargs in [("y", {}),
         "speedup": round(dt_x / dt_g, 2), "max_dev": err,
     }
     assert err < 5e-4, err
+
+    # echo at t=T (2T active steps per evaluation)
+    t0 = time.time()
+    e_g = make_sharded_echo_general(
+        mesh, L=L, T=T, K=sched.K, p=P, q=L // 2)
+    tv = jnp.asarray(T)
+    v_g, dt_eg = timed(lambda: e_g(sched.angles, hs_j, phis_j, keys, tv))
+    print(f"[{name}] general echo compile+first: {time.time() - t0:.0f} s")
+    e_x = make_sharded_echo(mesh, L=L, T=T, K=sched.K, p=P, q=L // 2,
+                            has_y=True)
+    v_x, dt_ex = timed(lambda: e_x(sched.angles, hs_j, phis_j, keys, tv))
+    err_e = abs(float(v_g) - float(v_x))
+    rate_eg = 2 * T * NTRAJ / dt_eg
+    rate_ex = 2 * T * NTRAJ / dt_ex
+    print(f"[{name}] general echo kernel   : {rate_eg:8.0f} steps/s "
+          f"({dt_eg*1e3:.0f} ms)  XLA {rate_ex:8.0f} "
+          f"({dt_ex*1e3:.0f} ms)  speedup {dt_ex / dt_eg:.2f}x  "
+          f"dev {err_e:.2e}")
+    results[name]["echo_steps_s"] = round(rate_eg)
+    results[name]["echo_xla_steps_s"] = round(rate_ex)
+    results[name]["echo_speedup"] = round(dt_ex / dt_eg, 2)
+    results[name]["echo_max_dev"] = err_e
+    assert err_e < 5e-4, err_e
 
 path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                      "parity_results.json")

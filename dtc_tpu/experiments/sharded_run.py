@@ -22,6 +22,7 @@ from dtc_tpu.parallel.sharded import (
     make_sharded_autocorr_forward_general,
     make_sharded_autocorr_forward_kernel,
     make_sharded_echo,
+    make_sharded_echo_general,
     make_sharded_echo_kernel,
     make_sharded_observables,
 )
@@ -127,9 +128,13 @@ def run_autocorr_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
         # echo rides the cycle kernels too (roadmap #5) — without this the
         # echo half of every multi-chip forward+echo study ran at the
         # deopted XLA-scan rate (VERDICT r2 missing #1)
-        ech = (make_sharded_echo_kernel(mesh, **kkw) if use_kernel
-               else make_sharded_echo(
-                   mesh, has_y=cfg.polarization != "x", **kw))
+        if use_kernel:
+            ech = make_sharded_echo_kernel(mesh, **kkw)
+        elif _general_kernel_ok(mesh, cfg):
+            ech = make_sharded_echo_general(mesh, **kw)
+        else:
+            ech = make_sharded_echo(
+                mesh, has_y=cfg.polarization != "x", **kw)
         ts = list(range(cfg.tf)) if echo_ts is None else list(echo_ts)
         for i in range(cfg.inst):
             keys = jax.random.split(jax.random.fold_in(key, 7919 + i), n_traj)

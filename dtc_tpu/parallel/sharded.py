@@ -283,6 +283,22 @@ def _global_diag(st, zm_t, sig_t, hs, phis, *, L, local_bits):
     return jnp.stack([lo, hi], axis=2).reshape(n, 2, TOP, C)
 
 
+def _global_diag_inv(st, zm_t, sig_t, hs, phis, *, L, local_bits):
+    """Daggered counterpart of _global_diag (negated angles) — the general
+    echo's inverse-step global diagonal, evaluated at the step's pre-event
+    sigma with the PREVIOUS event's Z word (the Z-fold is its own
+    conjugate, so negating the whole angle is exact)."""
+    aidx = jax.lax.axis_index("amp")
+    th_sc, th_bnd = _tail_phase_angles(zm_t, sig_t, hs, phis, aidx,
+                                       L=L, local_bits=local_bits)
+    st = _planar_phase(st, jnp.cos(th_sc), -jnp.sin(th_sc))
+    n, _, TOP, C = st.shape
+    st = st.reshape(n, 2, 2, TOP // 2, C)
+    lo = _planar_phase(st[:, :, 0], jnp.cos(th_bnd), -jnp.sin(th_bnd))
+    hi = _planar_phase(st[:, :, 1], jnp.cos(th_bnd), jnp.sin(th_bnd))
+    return jnp.stack([lo, hi], axis=2).reshape(n, 2, TOP, C)
+
+
 def _global_cycle_tail(st, zm_t, sig_t, hs, phis, theta, *, L, local_bits,
                        n_amp):
     """XLA tail of one cycle-kernel cycle: pure RX kicks on every shard bit,
@@ -596,12 +612,16 @@ def make_sharded_echo_kernel(
 
 
 def _global_general_slot_kick(st, tx, ty, sig_w, zmp_w, *, local_bits,
-                              n_amp):
+                              n_amp, dagger=False):
     """Per-trajectory sigma-conjugated slot kick (RY(±ty)RX(tx)) on every
     shard-id bit, with the PREVIOUS event's global Z-signs folded into the
     2x2 columns (the deferral rule of _sharded_kick_factored). The ±ty
     sign is the trajectory's shard-bit XOR frame at this slot (X RY X =
     RY(-ty)); pure-x drives reduce to _global_shard_kicks' math.
+    ``dagger`` applies the DAGGERED slot unitary (X^s U X^s)^dag =
+    X^s U^dag X^s — the general echo's inverse steps (conj-transpose of
+    the forward entries; the column Z-fold placement is unchanged because
+    the deferred previous event precedes the kick in both directions).
     st (n,2,TOP,C); tx/ty traced scalars; sig_w/zmp_w (n,) uint32."""
     aidx = jax.lax.axis_index("amp")
     cx = jnp.cos(tx / 2).astype(jnp.float32)
@@ -616,10 +636,18 @@ def _global_general_slot_kick(st, tx, ty, sig_w, zmp_w, *, local_bits,
         # u11=(cy cx, -sy sx); column scaling B = U diag(1, f1)
         f1 = 1.0 - 2.0 * ((zmp_w >> qq) & 1).astype(jnp.float32)
         mybit = (aidx >> gb) & 1
-        dr = jnp.where(mybit == 0, cy * cx, cy * cx * f1)
-        di = jnp.where(mybit == 0, sy * sx, -sy * sx * f1)
-        orr = jnp.where(mybit == 0, -sy * cx * f1, sy * cx)
-        oii = jnp.where(mybit == 0, -cy * sx * f1, -cy * sx)
+        if dagger:
+            # conj-transpose: u00d=(cy cx,-sy sx) u01d=(sy cx, cy sx)
+            # u10d=(-sy cx, cy sx) u11d=(cy cx, sy sx)
+            dr = jnp.where(mybit == 0, cy * cx, cy * cx * f1)
+            di = jnp.where(mybit == 0, -sy * sx, sy * sx * f1)
+            orr = jnp.where(mybit == 0, sy * cx * f1, -sy * cx)
+            oii = jnp.where(mybit == 0, cy * sx * f1, cy * sx)
+        else:
+            dr = jnp.where(mybit == 0, cy * cx, cy * cx * f1)
+            di = jnp.where(mybit == 0, sy * sx, -sy * sx * f1)
+            orr = jnp.where(mybit == 0, -sy * cx * f1, sy * cx)
+            oii = jnp.where(mybit == 0, -cy * sx * f1, -cy * sx)
         partner = jax.lax.ppermute(st, "amp", _xor_perm(n_amp, gb))
         shape = (-1, 1, 1)
         dr, di, orr, oii = (a.reshape(shape) for a in (dr, di, orr, oii))
@@ -754,6 +782,209 @@ def make_sharded_autocorr_forward_general(
         local_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(), P("traj", None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_sharded_echo_general(
+    mesh, *, L, T, K, p, q, initial_state="vacuum", ancilla_factor=None,
+    interpret=False,
+):
+    """LAB-frame cycle-kernel sharded echo A0(t) for EVERY polarization
+    family and per-cycle schedule — the echo half of multi-chip
+    y/xy/yx/circular/xy_cycle and adaptive-g studies previously fell to
+    the XLA sharded engine (the general counterpart of
+    make_sharded_echo_kernel; reference echo semantics with reversed
+    per-cycle schedules:
+    autocorr-delta-a-single-qiskit-fast-circular-polarization.py:164-172).
+
+    Fixed-length masked 2T switch scan. Forward steps run the forward
+    hybrid's body (general_cycle_forward_apply + sigma-conjugated global
+    slot kicks + eager global diagonal). Inverse steps have NO conjugation
+    trick (Y-containing slot kicks are not symmetric): the global head
+    applies the DAGGERED diagonal (_global_diag_inv, evaluated at the
+    step's pre-event sigma with the previous event's deferred Z word,
+    zeroed at the turnaround) then the daggered global slot kicks in
+    REVERSED slot order; the local half is ONE
+    ops/pallas_cycle.general_cycle_inverse_apply call per step with
+    (pre, post) compact rows built exactly like
+    pallas_resident_general.general_echo_batch.tiles_one's inverse steps
+    restricted to local bits. Padding steps are a no-op branch.
+
+    Same signature as make_sharded_echo: fn(angles, hs, phis,
+    keys (n_traj,2), t_value) -> scalar; requires q < 14 and
+    17 <= L - log2(n_amp) <= 23. Matches make_sharded_echo
+    trajectory-for-trajectory (identical uniform draws).
+    """
+    from dtc_tpu.core.sigma_evolve import _codes_from_uniform, _masks_from_codes
+    from dtc_tpu.ops.pallas_cycle import (
+        general_cycle_forward_apply,
+        general_cycle_inverse_apply,
+    )
+    from dtc_tpu.ops.pallas_resident import _C
+    from dtc_tpu.ops.pallas_resident_general import (
+        _LANE_U8,
+        _bits_row,
+        _flag_lanes,
+        slot_u8,
+    )
+
+    n_amp = mesh.shape["amp"]
+    n_traj_dev = mesh.shape["traj"]
+    k_bits = int(np.log2(n_amp))
+    local_bits = L - k_bits
+    if not (17 <= local_bits <= 23):
+        raise ValueError(
+            f"general cycle-kernel sharding needs 17 <= L - log2(n_amp) "
+            f"<= 23 (got L={L}, n_amp={n_amp}: local_bits={local_bits})")
+    if q >= 14:
+        raise ValueError("cycle-kernel sharding requires probe qubit q < 14")
+    M = 1 << local_bits
+    TOP = M // _C
+    af = ((1.0 - p) ** 6 if p > 0 else 1.0
+          ) if ancilla_factor is None else ancilla_factor
+    init_idx = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((init_idx >> q) & 1) == 0 else -1.0
+    T2 = 2 * T
+    gmask = jnp.uint32(((1 << L) - 1) & ~(M - 1))
+    mlow = jnp.uint32(M - 1)
+
+    def local_fn(angles, hs, phis, keys, t_value):
+        step = jnp.arange(T2)
+        fwd = step < t_value
+        active = step < 2 * t_value
+        # cycle index: forward i = step, inverse i = 2t-1-step (reversed
+        # time order for time-dependent schedules)
+        ci = jnp.where(fwd, jnp.minimum(step, T - 1),
+                       jnp.clip(2 * t_value - 1 - step, 0, T - 1))
+        ang_c = jnp.take(angles, ci, axis=0)                 # (T2, K, 2)
+        # processed-slot angles: forward slot j = cycle slot j, inverse
+        # slot j = cycle slot K-1-j (daggered in-branch)
+        ang_step = jnp.where(fwd[:, None, None], ang_c,
+                             jnp.flip(ang_c, axis=1))
+        u8f = jax.vmap(jax.vmap(lambda a: slot_u8(a[0], a[1])))(ang_c)
+        u8i = jax.vmap(jax.vmap(
+            lambda a: slot_u8(a[0], a[1], inverse=True)))(
+                jnp.flip(ang_c, axis=1))                     # (T2, K, 8)
+
+        FL = _flag_lanes(local_bits)
+        h_loc = hs[:local_bits].astype(jnp.float32)
+        ph_loc = phis[: local_bits - 1].astype(jnp.float32)
+        flags_f = jnp.zeros((T2, K, FL), jnp.float32
+                            ).at[:, :, _LANE_U8:_LANE_U8 + 8].set(u8f)
+        flags_i = jnp.zeros((T2, K, FL), jnp.float32
+                            ).at[:, :, _LANE_U8:_LANE_U8 + 8].set(u8i)
+        final = jnp.zeros((T2, K, 1), jnp.float32).at[:, K - 1, :].set(1.0)
+        first = jnp.zeros((T2, K, 1), jnp.float32).at[:, 0, :].set(1.0)
+        hrow_f = final * h_loc[None, None]
+        prow_f = final * ph_loc[None, None]
+        hrow_i = -first * h_loc[None, None]    # D0^dag lead, first slot
+        prow_i = -first * ph_loc[None, None]
+        zl = jnp.zeros((T2, K, local_bits), jnp.float32)
+        zp = jnp.zeros((T2, K, local_bits - 1), jnp.float32)
+        zfl = jnp.zeros((T2, K, FL), jnp.float32)
+
+        offset = (jax.lax.axis_index("amp") * M).astype(jnp.uint32)
+        gidx = (jnp.arange(M, dtype=jnp.uint32) + offset).reshape(TOP, _C)
+        plane0 = (gidx == jnp.uint32(init_idx)).astype(jnp.float32)
+        zq = z_sign_mask(q, L, offset=offset, size=M).astype(
+            jnp.float32).reshape(TOP, _C)
+        n = keys.shape[0]
+        state0 = jnp.broadcast_to(
+            jnp.stack([plane0, jnp.zeros_like(plane0)])[None],
+            (n, 2, TOP, _C))
+
+        def sample(key):
+            # identical uniform draw to make_sharded_echo so the engines
+            # agree trajectory-for-trajectory with the same keys
+            if p > 0.0:
+                u = jax.random.uniform(key, (T2, K, L), dtype=jnp.float32)
+                codes = _codes_from_uniform(u, p)
+                codes = jnp.where(active[:, None, None], codes, 0)
+                xm, zm = _masks_from_codes(codes, L)         # (T2, K)
+            else:
+                xm = zm = jnp.zeros((T2, K), jnp.uint32)
+            csum = jax.lax.associative_scan(
+                jnp.bitwise_xor, xm.reshape(-1))
+            sig_b = jnp.concatenate(
+                [jnp.zeros((1,), jnp.uint32), csum[:-1]]).reshape(T2, K)
+            zm_prev = jnp.concatenate(
+                [jnp.zeros((1,), jnp.uint32),
+                 zm.reshape(-1)[:-1]]).reshape(T2, K)
+            # turnaround: the last forward cycle folded its own final
+            # event eagerly (diag), so the first inverse step defers zero
+            zm_prev = zm_prev.at[:, 0].set(
+                jnp.where(step == t_value, jnp.uint32(0), zm_prev[:, 0]))
+            zmb = _bits_row(zm & mlow, local_bits)
+            xmb = _bits_row(xm & mlow, local_bits)
+            rows_f = jnp.concatenate(
+                [zmb, xmb, hrow_f, prow_f, flags_f], axis=-1)
+            pre = jnp.concatenate([zl, xmb, hrow_i, prow_i, flags_i],
+                                  axis=-1)
+            post = jnp.concatenate([zmb, zl, 0.0 * hrow_f, zp, zfl],
+                                   axis=-1)
+            rows_i = jnp.stack([pre, post], axis=2)   # (T2, K, 2, 128)
+            return (rows_f, rows_i, sig_b, zm_prev,
+                    zm[:, K - 1], csum.reshape(T2, K)[:, K - 1])
+
+        (rows_f, rows_i, sig_b, zm_prev, zm_fin,
+         csum_fin) = jax.vmap(sample)(keys)
+
+        def br_fwd(op):
+            st, ang_t, rf, ri, sigb, zmp, zmf, csf = op
+            st, _ = general_cycle_forward_apply(
+                st, rf, L=local_bits, K=K, q=q, interpret=interpret)
+            if k_bits:
+                for k in range(K):
+                    st = _global_general_slot_kick(
+                        st, ang_t[k, 0], ang_t[k, 1], sigb[:, k],
+                        zmp[:, k], local_bits=local_bits, n_amp=n_amp)
+                st = _global_diag(st, zmf & gmask, csf & gmask, hs, phis,
+                                  L=L, local_bits=local_bits)
+            return st
+
+        def br_inv(op):
+            st, ang_t, rf, ri, sigb, zmp, zmf, csf = op
+            if k_bits:
+                st = _global_diag_inv(
+                    st, zmp[:, 0] & gmask, sigb[:, 0] & gmask, hs, phis,
+                    L=L, local_bits=local_bits)
+                for j in range(K):
+                    zw = (jnp.zeros_like(zmp[:, 0]) if j == 0
+                          else zmp[:, j])
+                    st = _global_general_slot_kick(
+                        st, ang_t[j, 0], ang_t[j, 1], sigb[:, j], zw,
+                        local_bits=local_bits, n_amp=n_amp, dagger=True)
+            return general_cycle_inverse_apply(
+                st, ri, L=local_bits, K=K, interpret=interpret)
+
+        def body(st, inp):
+            k, op_rest = inp
+            op = (st,) + op_rest
+            kind = jnp.where(k < t_value, 0,
+                             jnp.where(k < 2 * t_value, 1, 2))
+            st = jax.lax.switch(kind, [br_fwd, br_inv, lambda op: op[0]],
+                                op)
+            return st, None
+
+        xs = (step, (ang_step, jnp.swapaxes(rows_f, 0, 1),
+                     jnp.swapaxes(rows_i, 0, 1),
+                     jnp.swapaxes(sig_b, 0, 1), jnp.swapaxes(zm_prev, 0, 1),
+                     zm_fin.T, csum_fin.T))
+        st, _ = jax.lax.scan(body, state0, xs)
+
+        part = jnp.sum((st[:, 0] ** 2 + st[:, 1] ** 2) * zq, axis=(1, 2))
+        # q is lab-frame local: no sigma measurement sign
+        e_traj = af * s0 * jax.lax.psum(part, "amp")
+        total = jax.lax.psum(jnp.sum(e_traj), "traj")
+        return total / (n * n_traj_dev)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("traj", None), P()),
         out_specs=P(),
         check_vma=False,
     )

@@ -244,6 +244,42 @@ def test_general_cycle_kernel_matches_xla_sharded(pol, L, n_amp, kwargs):
     assert np.max(np.abs(a_g - a_x)) < 1e-4, (pol, a_g, a_x)
 
 
+@pytest.mark.parametrize("pol,L,n_amp,kwargs", [
+    ("y", 18, 2, {}),
+    ("xy", 19, 4, {}),
+    ("circular_left", 18, 2, {"circular_frequency": 0.5}),
+])
+def test_general_echo_kernel_matches_xla_sharded(pol, L, n_amp, kwargs):
+    """General sharded echo (make_sharded_echo_general) vs make_sharded_echo
+    trajectory-for-trajectory: reversed per-cycle schedules, daggered slot
+    unitaries (no conjugation trick — Y slots are not symmetric), the
+    daggered global head (_global_diag_inv + dagger slot kicks in reversed
+    slot order) and the turnaround deferred-word zeroing. K=2 cases
+    (xy/circular) exercise reversed slot interleaving; n_amp=4 adds
+    shard-shard bonds."""
+    from dtc_tpu.parallel.sharded import make_sharded_echo_general
+
+    T, p, q, n_traj = 3, 0.5, L // 2, 2
+    hs, phis = generate_disorder(L, 1, seed=5)
+    hs = jnp.asarray(hs[0])
+    phis = jnp.asarray(phis[0])
+    sched = build_kick_schedule(pol, 0.97, T, **kwargs)
+    mesh = make_mesh(n_amp=n_amp, n_traj=n_traj)
+    keys = jax.random.split(jax.random.PRNGKey(11), 2 * n_traj)
+    e_x = make_sharded_echo(mesh, L=L, T=T, K=sched.K, p=p, q=q, has_y=True)
+    e_g = make_sharded_echo_general(mesh, L=L, T=T, K=sched.K, p=p, q=q,
+                                    interpret=True)
+    for t in (0, 1, T):
+        a = float(e_x(sched.angles, hs, phis, keys, jnp.asarray(t)))
+        b = float(e_g(sched.angles, hs, phis, keys, jnp.asarray(t)))
+        assert abs(a - b) < 1e-4, (pol, t, a, b)
+    # noiseless invariant: A0(t) == 1 exactly (U^dag U = I)
+    e_g0 = make_sharded_echo_general(mesh, L=L, T=T, K=sched.K, p=0.0, q=q,
+                                     interpret=True)
+    v = float(e_g0(sched.angles, hs, phis, keys, jnp.asarray(T)))
+    assert abs(v - 1.0) < 1e-4, (pol, v)
+
+
 def test_sharded_driver_passes_has_y(monkeypatch):
     """Regression: run_autocorr_sharded must engage has_y for drives with
     a Y component on the XLA fallback paths — without it a noisy
