@@ -95,3 +95,44 @@ blob[f"device_l{L}"] = {
 json.dump(blob, open(path, "w"), indent=1)
 print(f"recorded -> {path} device_l{L}")
 assert err < 5e-4, err
+
+if "--no-echo" not in _sys.argv:
+    # ------------------------------------------------------------------
+    # device ECHO at kernel rate (the half that previously had NO path at
+    # all at this scale: the dense gather engine crashes the worker above
+    # ~L=24). Rate over the full t=1..T sweep; value parity vs the eager
+    # sigma-frame oracle (device_sigma_echo_batch, identical presampled
+    # events) at small t where the deopted oracle is affordable.
+    from dtc_tpu.core.device_evolve import (
+        device_kernel_echo_batch,
+        device_sigma_echo_batch,
+    )
+
+    ts_sweep = jnp.arange(1, T + 1)
+    t0 = time.time()
+    e_k = lambda: device_kernel_echo_batch(  # noqa: E731
+        hs_j, phis_j, p1, p2, sched.angles, keys, ts_sweep, **kw)
+    a_ek, dt_ek = timed(e_k, reps=1, groups=3)
+    print(f"device echo kernel compile+first: {time.time() - t0:.0f} s")
+    # active steps: sum over t of 2t, per trajectory
+    steps = NTRAJ * T * (T + 1)
+    rate_ek = steps / dt_ek
+    print(f"device echo kernel: sweep t=1..{T} x {NTRAJ} traj = "
+          f"{rate_ek:8.1f} active steps/s ({dt_ek:.2f} s) "
+          f"A0(1,2)={np.asarray(a_ek)[0, :2].round(4)}")
+
+    ts_small = jnp.arange(1, 4)
+    a_eks = np.asarray(device_kernel_echo_batch(
+        hs_j, phis_j, p1, p2, sched.angles, keys[:1], ts_small, **kw))
+    t0 = time.time()
+    a_es = np.asarray(device_sigma_echo_batch(
+        hs_j, phis_j, p1, p2, sched.angles, keys[:1], ts_small, **kw))
+    err_e = float(np.max(np.abs(a_eks - a_es)))
+    print(f"sigma echo oracle (t<=3): {time.time() - t0:.0f} s, "
+          f"max |diff| (same keys) = {err_e:.2e}")
+    blob = json.load(open(path))
+    blob[f"device_l{L}"].update(
+        echo_steps_s=round(rate_ek, 1), echo_max_dev=err_e)
+    json.dump(blob, open(path, "w"), indent=1)
+    print(f"recorded -> {path} device_l{L} (echo)")
+    assert err_e < 5e-4, err_e

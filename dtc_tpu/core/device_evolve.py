@@ -211,14 +211,13 @@ def device_autocorr_echo(hs, phis, p_1q, p_2q, angles, keys, t_value, *, L, T,
 # has no gathers and was validated alive at L=27).
 
 
-def _device_presample(key, model_p1, model_p2, epk, T, L):
-    """Presample all device-noise events for one trajectory.
+def _device_presample_split(key, model_p1, model_p2, epk, T, L):
+    """Presample all device-noise events for one trajectory, per-event.
 
-    Per cycle, in order: epk per-site 1q events (after the kick), one 2q
-    event after the even-bond RZZ sublayer, one after the odd sublayer.
-    Returns per-cycle combined z-mask, the three sigma checkpoints
-    (sig_a: before D_even, sig_b: before D_odd, sig_c: cycle end), all
-    (T,) uint32.
+    RNG consumption (the determinism contract shared with the kernel and
+    sigma engines): k1/k2/k3 = split(key, 3); u1 (T, epk, L) for the 1q
+    events, ue/uo (T, n_bonds) for the even/odd 2q events. Returns per-step
+    ((T, epk) xm1/zm1, (T,) xme/zme, xmo/zmo) Pauli masks.
     """
     from dtc_tpu.core.sigma_evolve import _masks_from_codes
 
@@ -254,13 +253,31 @@ def _device_presample(key, model_p1, model_p2, epk, T, L):
     co = bond_codes(uo, p2[1::2], 1)
     xme, zme = _masks_from_codes(ce, L)          # (T,)
     xmo, zmo = _masks_from_codes(co, L)
+    return xm1, zm1, xme, zme, xmo, zmo
 
-    xm_kick = xm1[:, 0]
-    zm_all = zm1[:, 0]
+
+def _compose_1q(xm1, zm1, epk):
+    """XOR-compose the epk per-kick 1q events (exact up to global phase)."""
+    xm_kick, zm_1q = xm1[..., 0], zm1[..., 0]
     for e in range(1, epk):
-        xm_kick = xm_kick ^ xm1[:, e]
-        zm_all = zm_all ^ zm1[:, e]
-    zm_all = zm_all ^ zme ^ zmo
+        xm_kick = xm_kick ^ xm1[..., e]
+        zm_1q = zm_1q ^ zm1[..., e]
+    return xm_kick, zm_1q
+
+
+def _device_presample(key, model_p1, model_p2, epk, T, L):
+    """Presample all device-noise events for one trajectory.
+
+    Per cycle, in order: epk per-site 1q events (after the kick), one 2q
+    event after the even-bond RZZ sublayer, one after the odd sublayer.
+    Returns per-cycle combined z-mask, the three sigma checkpoints
+    (sig_a: before D_even, sig_b: before D_odd, sig_c: cycle end), all
+    (T,) uint32.
+    """
+    xm1, zm1, xme, zme, xmo, zmo = _device_presample_split(
+        key, model_p1, model_p2, epk, T, L)
+    xm_kick, zm_1q = _compose_1q(xm1, zm1, epk)
+    zm_all = zm_1q ^ zme ^ zmo
 
     # prefix sigmas: sig_a after kick events, sig_b after even bond event,
     # sig_c after odd bond event (cycle end)
@@ -274,6 +291,96 @@ def _device_presample(key, model_p1, model_p2, epk, T, L):
     _, (sig_a, sig_b, sig_c) = jax.lax.scan(
         scan_sig, jnp.uint32(0), (xm_kick, xme, xmo))
     return zm_all, sig_a, sig_b, sig_c
+
+
+def _device_presample_echo(key, model_p1, model_p2, epk, t_value, T, L):
+    """Echo-schedule device events: 2T potential steps, codes zeroed on
+    inactive steps (k >= 2*t_value), per-step split masks + the running
+    sigma frame.
+
+    A forward step's events fire kick-first (sa = sig0 ^ xm_kick); an
+    inverse step's fire odd-bond-first (s1 = sig0 ^ xm_odd) — but the
+    END-of-step frame is the XOR of all three either way, so one uniform
+    csum serves both branches. RNG consumption matches _device_presample
+    with T -> 2T (identical uniforms regardless of t_value).
+    """
+    T2 = 2 * T
+    xm1, zm1, xme, zme, xmo, zmo = _device_presample_split(
+        key, model_p1, model_p2, epk, T2, L)
+    xm_kick, zm_1q = _compose_1q(xm1, zm1, epk)
+    step = jnp.arange(T2)
+    act = step < 2 * t_value
+    z32 = jnp.uint32(0)
+    xm_kick, zm_1q, xme, zme, xmo, zmo = (
+        jnp.where(act, m, z32) for m in (xm_kick, zm_1q, xme, zme, xmo, zmo))
+    csum = jax.lax.associative_scan(jnp.bitwise_xor, xm_kick ^ xme ^ xmo)
+    sig_start = jnp.concatenate([jnp.zeros((1,), jnp.uint32), csum[:-1]])
+    fwd = step < t_value
+    inv = (step >= t_value) & (step < 2 * t_value)
+    return (xm_kick, zm_1q, xme, zme, xmo, zmo, sig_start, csum, fwd, inv)
+
+
+def device_echo_pair_tiles(key, t_value, h, ph, p_1q, p_2q, *, L, T, epk,
+                           width: int = 128):
+    """(2*2T, width) interleaved (pre, post) compact step tiles for one
+    (trajectory, t) DEVICE-noise echo pair, plus the final sigma — the
+    device counterpart of ops.pallas_resident.echo_pair_tiles; the echo
+    kernels run UNCHANGED.
+
+    Forward step (kick; epk 1q events; D_even; even 2q event; D_odd; odd
+    event; D_field — device_forward_cycle): pre row inactive, post row =
+    pack_device_cycle_params_compact at the per-class frames (even bonds
+    at sa, odd at sb, field at sc) with ALL the step's Z-masks composed
+    into the n lanes (every event sits after the kick, so post placement
+    is exact).
+
+    Inverse step (D_field*; D_odd*; odd event; D_even*; even event; K*;
+    1q events — device_inverse_cycle): pre row = the DAGGERED split
+    diagonal, i.e. pack_device with permuted frames (even bonds at
+    s1 = sig0 ^ xm_odd, odd AND field at the step-start sig0) and negated
+    h/phi, carrying the 2q events' Z-masks (they precede the kick); post
+    row = the 1q events' Z-mask only (they follow the inverse kick).
+    """
+    if 5 * L - 2 > width - 4:
+        raise ValueError(
+            f"L={L} data lanes collide with the flag lanes at width={width}")
+    from dtc_tpu.ops.pallas_noise import pack_device_cycle_params_compact
+
+    T2 = 2 * T
+    (xm_kick, zm_1q, xme, zme, xmo, zmo, sig0, csum, fwd, inv) = (
+        _device_presample_echo(key, p_1q, p_2q, epk, t_value, T, L))
+    zeros_h = jnp.zeros_like(h)
+    zeros_p = jnp.zeros_like(ph)
+    step_i = jnp.arange(T2)
+
+    def one_step(xmk_k, zm1_k, xme_k, zme_k, xmo_k, zmo_k, sig0_k, sc_k,
+                 fwd_k, inv_k, aidx_k):
+        sa = sig0_k ^ xmk_k
+        sb = sa ^ xme_k
+        post_f = pack_device_cycle_params_compact(
+            zm1_k ^ zme_k ^ zmo_k, sa, sb, sc_k, h, ph, L, width=width)
+        s1 = sig0_k ^ xmo_k
+        pre_i = pack_device_cycle_params_compact(
+            zme_k ^ zmo_k, s1, sig0_k, sig0_k, -h, -ph, L, width=width)
+        post_i = pack_device_cycle_params_compact(
+            zm1_k, jnp.uint32(0), jnp.uint32(0), jnp.uint32(0),
+            zeros_h, zeros_p, L, width=width)
+        pre = pre_i * inv_k.astype(jnp.float32)
+        post = (post_f * fwd_k.astype(jnp.float32)
+                + post_i * inv_k.astype(jnp.float32))
+        imag_sign = jnp.where(inv_k, -1.0, 1.0)
+        active = (fwd_k | inv_k).astype(jnp.float32)
+        pre = (pre.at[width - 3].set(imag_sign).at[width - 2].set(active)
+               .at[width - 1].set(aidx_k.astype(jnp.float32)))
+        return jnp.stack([pre, post])
+
+    aidx = jnp.where(fwd, step_i,
+                     jnp.clip(2 * t_value - 1 - step_i, 0, T - 1))
+    tiles = jax.vmap(one_step)(xm_kick, zm_1q, xme, zme, xmo, zmo, sig0,
+                               csum, fwd, inv, aidx)
+    tiles = tiles.reshape(2 * T2, width)
+    tiles = tiles.at[0, width - 4].set((2 * t_value).astype(jnp.float32))
+    return tiles, csum[-1]
 
 
 def _device_column_factors(q0, k, pend_zm, sa, sb, sc, exp_h, exp_p, L, dtype):
@@ -349,6 +456,146 @@ def device_kernel_forward_batch(hs, phis, p_1q, p_2q, angles, keys, *, L, T,
                  ancilla_factor=ancilla_factor, interpret=interpret,
                  ext_rows=rows[None], ext_sig=sig[None])
     return vals[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "q", "initial_state", "ancilla_factor",
+                     "events_per_kick", "interpret"),
+)
+def device_kernel_echo_batch(hs, phis, p_1q, p_2q, angles, keys, ts, *, L, T,
+                             q, initial_state="vacuum", ancilla_factor=1.0,
+                             events_per_kick=2, interpret=False):
+    """Device-noise echo A0(t) through the x-only Pallas ECHO kernels.
+
+    Per (trajectory, t) pair the UNCHANGED blocked (17 <= L <= 23) /
+    streamed (24 <= L <= 28) echo kernel runs 2t active masked steps whose
+    (pre, post) compact rows carry the device event structure
+    (device_echo_pair_tiles). Previously device echo only had the dense
+    gather path (device_autocorr_echo), which crashes the TPU worker above
+    ~L=24 — this is the echo half of BASELINE config 4
+    (autocorr-delta-a-single-qiskit-fast.py:77-79,140-147).
+
+    hs (L,), phis (L-1,), p_1q (L,), p_2q (L-1,), keys (n_traj, 2),
+    ts (n_ts,) int32 -> (n_traj, n_ts).
+    """
+    from dtc_tpu.ops.pallas_resident_blocked import blocked_echo_batch
+    from dtc_tpu.ops.pallas_streamed import streamed_echo_batch
+
+    if not (17 <= L <= 28):
+        raise ValueError("device kernel path supports 17 <= L <= 28")
+    width = 128 if 5 * L - 2 <= 124 else 256
+
+    def tiles_one(key):
+        return jax.vmap(lambda t: device_echo_pair_tiles(
+            key, t, hs, phis, p_1q, p_2q, L=L, T=T, epk=events_per_kick,
+            width=width))(ts)
+
+    tiles, sig_fin = jax.vmap(tiles_one)(keys)  # (n, n_ts, 4T, width), (n, n_ts)
+    batch = blocked_echo_batch if L <= 23 else streamed_echo_batch
+    vals = batch(hs[None], phis[None], angles, keys[None], ts, L=L, T=T,
+                 p=0.0, q=q, initial_state=initial_state,
+                 ancilla_factor=ancilla_factor, interpret=interpret,
+                 ext_tiles=tiles[None], ext_sig=sig_fin[None])
+    return vals[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "q", "initial_state", "dtype_name",
+                     "events_per_kick"),
+)
+def device_sigma_echo_batch(hs, phis, p_1q, p_2q, angles, keys, ts, *, L, T,
+                            q, initial_state="vacuum", dtype_name="complex64",
+                            ancilla_factor=1.0, events_per_kick=2):
+    """Gather-free device-noise echo A0(t) — the exact-event ORACLE for the
+    kernel path and the large-L fallback engine (the dense gather path,
+    device_autocorr_echo, crashes the TPU worker above ~L=24).
+
+    x-polarized constant drives (K=1). Masked fixed-length 2T scan; every
+    step applies [pre-mask] -> kick -> [post-mask] where the masks are
+    EAGER frame-corrected diagonals built from branch-selected small
+    parameters: stored state s~ with physical = X^sigma s~; a diagonal
+    applied physically at frame sigma becomes the mask with h_q -> h_q *
+    (1 - 2 sigma_q) and phi_b -> phi_b * (1 - 2 flip_b); a Pauli Z-mask
+    becomes a popcount-parity sign (global signs cancel in |amp|^2). The
+    per-step 2^L mask construction deopts the scan (docs/PERFORMANCE.md
+    rule 4) — that is the point: an independent data path from the kernel,
+    sharing only the presampled events.
+
+    keys (n_traj, 2), ts (n_ts,) -> (n_traj, n_ts).
+    """
+    from dtc_tpu.core.sigma_evolve import _bits
+    from dtc_tpu.experiments.engine import resolve_dtype
+    from dtc_tpu.models.drives import slot_unitary_inverse
+    from dtc_tpu.ops.kick import apply_uniform_1q_layer
+
+    dtype = resolve_dtype(dtype_name)
+    b0 = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
+    zq = z_sign_mask(q, L)
+    psi0 = initial_statevector(L, initial_state, dtype=dtype)
+    theta = angles[0, 0, 0]
+    u_f = slot_unitary(theta, angles[0, 0, 1], dtype)
+    u_i = slot_unitary_inverse(theta, angles[0, 0, 1], dtype)
+    eye2 = jnp.eye(2, dtype=dtype)
+    idx = jnp.arange(1 << L, dtype=jnp.uint32)
+    epk = events_per_kick
+    bond_even = (jnp.arange(L - 1) % 2 == 0)
+
+    def frame_params(h_sig, even_sig, odd_sig):
+        """(h signs, phi signs) for a split diagonal at per-class frames."""
+        sh = (1 - 2 * _bits(h_sig, L)).astype(jnp.float32)
+        be = _bits(even_sig, L)
+        bo = _bits(odd_sig, L)
+        fe = (be[:-1] ^ be[1:]).astype(jnp.float32)
+        fo = (bo[:-1] ^ bo[1:]).astype(jnp.float32)
+        flip = jnp.where(bond_even, fe, fo)
+        return hs * sh, phis * (1.0 - 2.0 * flip)
+
+    def zpar(zm):
+        par = jax.lax.population_count(idx & zm) & jnp.uint32(1)
+        return (1.0 - 2.0 * par.astype(jnp.float32))
+
+    def one(key, t_value):
+        (xmk, zm1, xme, zme, xmo, zmo, sig0, scend, fwd, inv) = (
+            _device_presample_echo(key, p_1q, p_2q, epk, t_value, T, L))
+
+        def body(st, inp):
+            xmk_k, zm1_k, xme_k, zme_k, xmo_k, zmo_k, s0_k, sc_k, f_k, i_k = inp
+            ff = f_k.astype(jnp.float32)
+            fi = i_k.astype(jnp.float32)
+            # pre mask: inverse-only daggered split diagonal (even bonds at
+            # s1 = sig0 ^ xm_odd, odd + field at sig0) + the 2q Z-parities
+            h_pre, p_pre = frame_params(s0_k, s0_k ^ xmo_k, s0_k)
+            m_pre = zz_z_phase_mask(-fi * h_pre, -fi * p_pre, L, dtype=dtype)
+            m_pre = m_pre * zpar(jnp.where(i_k, zme_k ^ zmo_k, jnp.uint32(0)))
+            # kick: u (fwd) / u-dagger (inv) / identity (padding)
+            uk = (ff * u_f + fi * u_i
+                  + (1.0 - ff - fi) * eye2).astype(dtype)
+            # post mask: forward split diagonal at (sa, sb, sc) frames with
+            # all the step's Z-parities; inverse keeps only the 1q Z-parity
+            sa = s0_k ^ xmk_k
+            h_post, p_post = frame_params(sc_k, sa, sa ^ xme_k)
+            m_post = zz_z_phase_mask(ff * h_post, ff * p_post, L, dtype=dtype)
+            zm_post = jnp.where(f_k, zm1_k ^ zme_k ^ zmo_k,
+                                jnp.where(i_k, zm1_k, jnp.uint32(0)))
+            m_post = m_post * zpar(zm_post)
+            st = apply_uniform_1q_layer(st * m_pre, uk, L) * m_post
+            return st, None
+
+        st, _ = jax.lax.scan(
+            body, psi0, (xmk, zm1, xme, zme, xmo, zmo, sig0, scend, fwd, inv))
+        val = jnp.sum((jnp.real(st) ** 2 + jnp.imag(st) ** 2)
+                      * zq.astype(jnp.real(psi0).dtype))
+        # cast the +-1 sigma sign to the accumulator dtype BEFORE the python
+        # ancilla_factor multiply — a float32 sq would weak-type-demote
+        # af*sq to f32 and cap the c128 oracle at ~3e-8
+        sq = (1 - 2 * ((scend[-1] >> q) & jnp.uint32(1)).astype(jnp.int32)
+              ).astype(val.dtype)
+        return ancilla_factor * s0 * sq * val
+
+    return jax.vmap(lambda k: jax.vmap(lambda t: one(k, t))(ts))(keys)
 
 
 @functools.partial(

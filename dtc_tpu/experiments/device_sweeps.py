@@ -86,24 +86,77 @@ def device_forward_sweep(cfg, sched, params, key) -> np.ndarray:
 
 
 def device_echo_sweep(cfg, sched, params, key, *, t_chunk: int = 4) -> np.ndarray:
+    """Device-noise echo A0(t) sweep. Engine dispatch (DTC_TPU_DEVICE_ENGINE
+    = auto|sigma|kernel, same contract as device_forward_sweep): constant
+    x-only schedules at 17 <= L <= 28 ride the UNCHANGED blocked/streamed
+    echo kernels (core.device_evolve.device_kernel_echo_batch); other
+    x-only runs the gather-free sigma-frame engine (survives large L);
+    general polarizations the dense gather path (L <= ~24)."""
     hs, phis = params
     model = _model(cfg)
     af = model.ancilla_interferometric_factor() * model.readout_z_factor(cfg.probe_qubit)
     p1 = jnp.asarray(model.p_1q)
     p2 = jnp.asarray(model.p_2q)
+    n_traj = cfg.n_trajectories
+    hs_j = jnp.asarray(np.asarray(hs)[:, : cfg.L])
+    phis_j = jnp.asarray(np.asarray(phis)[:, : cfg.L - 1])
+    out = np.zeros((cfg.inst, cfg.tf))
+
+    use_sigma = cfg.polarization == "x" and sched.K == 1
+    engine = os.environ.get("DTC_TPU_DEVICE_ENGINE", "auto")
+    if engine not in ("auto", "sigma", "kernel"):
+        raise ValueError(f"DTC_TPU_DEVICE_ENGINE={engine!r} "
+                         "(want auto|sigma|kernel)")
+    ang = np.asarray(sched.angles)
+    kernel_ok = (use_sigma and engine in ("auto", "kernel")
+                 and cfg.probe_qubit < 14 and 17 <= cfg.L <= 28
+                 and cfg.tf <= 512 and bool(np.all(ang[:, :, 1] == 0.0))
+                 and bool(np.all(ang == ang[0]))
+                 and jax.default_backend() != "cpu")
+    if engine == "kernel" and not kernel_ok:
+        raise ValueError(
+            "device kernel echo engine requires a constant x-only schedule, "
+            "q < 14, TPU backend, 17 <= L <= 28 and tf <= 512")
+
+    if kernel_ok or (use_sigma and engine in ("auto", "sigma")):
+        from dtc_tpu.core.device_evolve import (
+            device_kernel_echo_batch,
+            device_sigma_echo_batch,
+        )
+
+        batch = device_kernel_echo_batch if kernel_ok else (
+            lambda *a, **k: device_sigma_echo_batch(
+                *a, dtype_name=cfg.dtype, **k))
+        kw = dict(L=cfg.L, T=cfg.tf, q=cfg.probe_qubit,
+                  initial_state=cfg.initial_state, ancilla_factor=af)
+        run_v = jax.vmap(
+            lambda h, ph, keys, ts: batch(h, ph, p1, p2, sched.angles, keys,
+                                          ts, **kw),
+            in_axes=(0, 0, 0, None))
+        ts_all = jnp.arange(cfg.tf)  # t=0 rows measure the init state (= af)
+        # per-pair kernel work scales with t; chunk trajectories only
+        chunk = max(1, traj_chunks(n_traj, cfg.L,
+                                   extra_factor=2 * cfg.inst * cfg.tf))
+        done = 0
+        while done < n_traj:
+            c = min(chunk, n_traj - done)
+            keys = jnp.stack([
+                jax.random.split(jax.random.fold_in(key, 7919 + 31 * i + done), c)
+                for i in range(cfg.inst)])
+            out += np.asarray(jnp.sum(run_v(hs_j, phis_j, keys, ts_all),
+                                      axis=1))  # (inst, c, tf) -> (inst, tf)
+            done += c
+        return out / n_traj
+
     kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, q=cfg.probe_qubit,
               initial_state=cfg.initial_state, dtype_name=cfg.dtype,
               ancilla_factor=af)
-    n_traj = cfg.n_trajectories
     chunk = traj_chunks(n_traj, cfg.L, extra_factor=4 * cfg.inst * t_chunk)
-    out = np.zeros((cfg.inst, cfg.tf))
     # vmap axes: t-chunk inner, instance outer (mirrors engine.echo_sweep)
     run = jax.jit(jax.vmap(jax.vmap(
         lambda h, ph, keys, t: device_autocorr_echo(h, ph, p1, p2,
                                                     sched.angles, keys, t, **kw),
         in_axes=(None, None, None, 0)), in_axes=(0, 0, 0, None)))
-    hs_j = jnp.asarray(np.asarray(hs)[:, : cfg.L])
-    phis_j = jnp.asarray(np.asarray(phis)[:, : cfg.L - 1])
     for t0 in range(0, cfg.tf, t_chunk):
         ts = np.arange(t0, min(t0 + t_chunk, cfg.tf))
         ts_pad = jnp.asarray(np.pad(ts, (0, t_chunk - len(ts)), mode="edge"))

@@ -430,7 +430,8 @@ def _make_blocked_echo_kernel(L: int, T2: int, q: int, b0: int,
 )
 def blocked_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                        initial_state="vacuum", ancilla_factor=1.0,
-                       time_dependent=False, interpret=False):
+                       time_dependent=False, interpret=False,
+                       ext_tiles=None, ext_sig=None):
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2), (n_ts,) -> (inst, c, n_ts).
 
     Blocked-plane VMEM-resident echo A0(t) for 17 <= L <= 23: per
@@ -438,6 +439,12 @@ def blocked_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
     forward, t inverse), matching core.sigma_evolve.sigma_echo_batch
     event-for-event with identical presampled uniforms. Echo semantics per
     the reference (autocorr-delta-a-single-qiskit-fast.py:140-147).
+
+    ext_tiles (inst, c, n_ts, 4T, 128) / ext_sig (inst, c, n_ts):
+    externally packed (pre, post) step tiles + final measurement sigmas
+    overriding the flat echo_pair_tiles builder — the device-noise echo
+    packs per-class sigma checkpoints here
+    (core.device_evolve.device_echo_pair_tiles); the kernel runs unchanged.
     """
     if not (17 <= L <= 23):
         raise ValueError("blocked resident kernel supports 17 <= L <= 23")
@@ -463,11 +470,14 @@ def blocked_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
     u7r, u7i, utr, uti = _kick_matrices(angles, L, TOP, time_dependent)
     n_ts = ts.shape[0]
 
-    def per_instance(h, ph, ks):
-        tiles, sig_fin = jax.vmap(
-            lambda k: jax.vmap(
-                lambda t: echo_pair_tiles(k, t, h, ph, L=L, T=T, p=p))(ts)
-        )(ks)
+    def per_instance(h, ph, ks, ext_t, ext_s):
+        if ext_t is not None:
+            tiles, sig_fin = ext_t, ext_s
+        else:
+            tiles, sig_fin = jax.vmap(
+                lambda k: jax.vmap(
+                    lambda t: echo_pair_tiles(k, t, h, ph, L=L, T=T, p=p))(ts)
+            )(ks)
         n_pairs = ks.shape[0] * n_ts
         tiles = tiles.reshape(n_pairs, 2 * T2, 128)
         tile_mem = (pltpu.SMEM if 2 * T2 * 512 * 2 <= 1024 * 1024
@@ -503,7 +513,7 @@ def blocked_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
               ).astype(jnp.float32)
         return ancilla_factor * s0 * sq * val
 
-    return jax.vmap(per_instance)(hs, phis, keys)
+    return jax.vmap(per_instance)(hs, phis, keys, ext_tiles, ext_sig)
 
 
 @functools.partial(

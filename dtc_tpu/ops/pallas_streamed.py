@@ -625,7 +625,7 @@ def _rx_kron(theta, nbits):
 )
 def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                         initial_state="vacuum", ancilla_factor=1.0,
-                        interpret=False):
+                        interpret=False, ext_tiles=None, ext_sig=None):
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2), (n_ts,) -> (inst, c, n_ts).
 
     HBM-streamed echo A0(t) for 22 <= L <= 28 (constant x drive, q < 14):
@@ -636,6 +636,11 @@ def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
     core.sigma_evolve.sigma_echo_batch event-for-event (identical
     presampled uniforms -> identical trajectories). Echo semantics:
     autocorr-delta-a-single-qiskit-fast.py:140-147.
+
+    ext_tiles (inst, c, n_ts, 4T, width) / ext_sig (inst, c, n_ts):
+    externally packed (pre, post) step tiles + final measurement sigmas
+    overriding the flat builder (the device-noise echo —
+    core.device_evolve.device_echo_pair_tiles); the kernel runs unchanged.
     """
     if not (22 <= L <= 28):
         raise ValueError("streamed kernel supports 22 <= L <= 28")
@@ -656,12 +661,15 @@ def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
     u21r, u21i = _rx_kron(theta, L - 21)
     n_ts = ts.shape[0]
 
-    def per_instance(h, ph, ks):
-        tiles, sig_fin = jax.vmap(
-            lambda k: jax.vmap(
-                lambda t: echo_pair_tiles(k, t, h, ph, L=L, T=T, p=p,
-                                          width=width))(ts)
-        )(ks)
+    def per_instance(h, ph, ks, ext_t, ext_s):
+        if ext_t is not None:
+            tiles, sig_fin = ext_t, ext_s
+        else:
+            tiles, sig_fin = jax.vmap(
+                lambda k: jax.vmap(
+                    lambda t: echo_pair_tiles(k, t, h, ph, L=L, T=T, p=p,
+                                              width=width))(ts)
+            )(ks)
         n_pairs = ks.shape[0] * n_ts
         tiles = tiles.reshape(n_pairs, 2 * T2, width)
         tile_mem = (pltpu.SMEM if 2 * T2 * width * 4 * 2 <= 1024 * 1024
@@ -710,7 +718,7 @@ def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
               ).astype(jnp.float32)
         return ancilla_factor * s0 * sq * val
 
-    return jax.vmap(per_instance)(hs, phis, keys)
+    return jax.vmap(per_instance)(hs, phis, keys, ext_tiles, ext_sig)
 
 
 @functools.partial(

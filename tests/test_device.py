@@ -234,12 +234,14 @@ def test_run_autocorr_fakebackend_mode(tmp_path):
     from dtc_tpu.experiments.autocorr import run_autocorr
     from dtc_tpu.utils.config import SimConfig
 
-    cfg = SimConfig(L=6, tf=4, use_fakebackend=1, n_trajectories=64,
+    cfg = SimConfig(L=6, tf=4, use_fakebackend=1, n_trajectories=256,
                     dtype="complex128", inst=1)
     r = run_autocorr(cfg, out_dir=str(tmp_path))
     # device noise is weak (1q ~ 2.5e-4): A(0) ~ ancilla+readout factor < 1
     assert 0.9 < r["av_autocorr"][0] < 1.0
-    assert 0.9 < r["av_autocorr_echo"][1] <= 1.0
+    # t=1 echo true mean ~ 0.91 (af ~ 0.946, ~6% 2q-event rate over 2
+    # steps); 256-trajectory SEM ~ 0.025 -> 4 sigma band above 0.8
+    assert 0.8 < r["av_autocorr_echo"][1] <= 1.0
 
 
 def test_device_sigma_engine_matches_gather_engine():
@@ -426,6 +428,112 @@ def test_device_kernel_path_matches_sigma_engine():
     with _pytest.raises(ValueError):
         device_kernel_forward_batch(hsj, phj, p1, p2, sched.angles, keys,
                                     L=30, T=T, q=5)
+
+
+def _dense_device_echo_literal(h, ph, p1, p2, theta, key, t_value, *, L, T,
+                               q, epk, af):
+    """Gate-by-gate dense echo consuming the SAME presampled events as the
+    sigma/kernel device echo paths: kick; 1q events; D_even; even 2q event;
+    D_odd; odd event; D_field forward, the exact dagger-reversed order
+    inverse (device_inverse_cycle). Measures the PHYSICAL state (no sigma
+    bookkeeping at all) — the strongest independent check of the frame
+    algebra in device_echo_pair_tiles / device_sigma_echo_batch."""
+    from dtc_tpu.core.device_evolve import _device_presample_echo, _masks_split
+    from dtc_tpu.core.statevector import initial_statevector
+    from dtc_tpu.models.drives import slot_unitary, slot_unitary_inverse
+    from dtc_tpu.ops.diag import z_sign_mask
+    from dtc_tpu.ops.kick import apply_uniform_1q_layer
+    from dtc_tpu.ops.paulis import apply_pauli_string
+
+    dtype = jnp.complex128
+    ev = _device_presample_echo(key, p1, p2, epk, jnp.asarray(t_value), T, L)
+    xmk, zm1, xme, zme, xmo, zmo = [np.asarray(m) for m in ev[:6]]
+    m_even, m_odd, m_field = _masks_split(h, ph, L, dtype)
+    u = slot_unitary(theta, jnp.zeros(()), dtype)
+    ui = slot_unitary_inverse(theta, jnp.zeros(()), dtype)
+    st = initial_statevector(L, "vacuum", dtype=dtype)
+    z = jnp.int32(0)
+    for k in range(2 * t_value):
+        if k < t_value:
+            st = apply_uniform_1q_layer(st, u, L)
+            st = apply_pauli_string(st, jnp.uint32(xmk[k]), jnp.uint32(zm1[k]), z)
+            st = st * m_even
+            st = apply_pauli_string(st, jnp.uint32(xme[k]), jnp.uint32(zme[k]), z)
+            st = st * m_odd
+            st = apply_pauli_string(st, jnp.uint32(xmo[k]), jnp.uint32(zmo[k]), z)
+            st = st * m_field
+        else:
+            st = st * jnp.conj(m_field) * jnp.conj(m_odd)
+            st = apply_pauli_string(st, jnp.uint32(xmo[k]), jnp.uint32(zmo[k]), z)
+            st = st * jnp.conj(m_even)
+            st = apply_pauli_string(st, jnp.uint32(xme[k]), jnp.uint32(zme[k]), z)
+            st = apply_uniform_1q_layer(st, ui, L)
+            st = apply_pauli_string(st, jnp.uint32(xmk[k]), jnp.uint32(zm1[k]), z)
+    zq = z_sign_mask(q, L)
+    return af * float(jnp.sum(jnp.abs(st) ** 2 * zq.astype(jnp.float64)))
+
+
+def test_device_sigma_echo_matches_dense_literal():
+    """device_sigma_echo_batch (gather-free, frame-corrected eager masks)
+    vs the literal gate-by-gate dense evolution with identical presampled
+    events: exact agreement at complex128."""
+    from dtc_tpu.core.device_evolve import device_sigma_echo_batch
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.models.drives import build_kick_schedule
+
+    L, T, epk, af = 6, 4, 2, 0.9
+    hs, phis = generate_disorder(L, 1, seed=11)
+    h, ph = jnp.asarray(hs[0]), jnp.asarray(phis[0])
+    p1 = jnp.linspace(0.1, 0.4, L)
+    p2 = jnp.linspace(0.15, 0.5, L - 1)
+    sched = build_kick_schedule("x", 0.93, T)
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    ts = jnp.asarray([1, 2, 3, 4])
+    vals = np.asarray(device_sigma_echo_batch(
+        h, ph, p1, p2, sched.angles, keys, ts, L=L, T=T, q=L // 2,
+        dtype_name="complex128", ancilla_factor=af, events_per_kick=epk))
+    for ci, key in enumerate(keys):
+        for ti, t in enumerate((1, 2, 3, 4)):
+            want = _dense_device_echo_literal(
+                h, ph, p1, p2, sched.angles[0, 0, 0], key, t,
+                L=L, T=T, q=L // 2, epk=epk, af=af)
+            assert abs(vals[ci, ti] - want) < 1e-12, (ci, t, vals[ci, ti], want)
+    # noiseless: A0(t) == ancilla_factor exactly
+    e0 = np.asarray(device_sigma_echo_batch(
+        h, ph, jnp.zeros((L,)), jnp.zeros((L - 1,)), sched.angles, keys[:1],
+        ts, L=L, T=T, q=L // 2, dtype_name="complex128", ancilla_factor=af,
+        events_per_kick=epk))
+    np.testing.assert_allclose(e0, af, atol=1e-12)
+
+
+def test_device_kernel_echo_matches_sigma_engine():
+    """Device-noise echo on the UNCHANGED blocked echo kernel (ext_tiles
+    from device_echo_pair_tiles) vs the sigma-frame oracle, identical keys
+    -> identical presampled events, at the blocked kernel's L=17 floor.
+    The streamed ext_tiles branch is covered at L=22 in
+    test_kernel_interpret_parity.py; width=256 device L=27 echo is
+    TPU-validated in benchmarks/device_l27_probe.py."""
+    from dtc_tpu.core.device_evolve import (
+        device_kernel_echo_batch,
+        device_sigma_echo_batch,
+    )
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.models.drives import build_kick_schedule
+
+    L, T = 17, 2
+    hs, phis = generate_disorder(L, 1, seed=12)
+    h, ph = jnp.asarray(hs[0]), jnp.asarray(phis[0])
+    p1 = jnp.linspace(0.05, 0.3, L)
+    p2 = jnp.linspace(0.1, 0.4, L - 1)
+    sched = build_kick_schedule("x", 0.95, T)
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
+    ts = jnp.asarray([1, 2])
+    kw = dict(L=L, T=T, q=8, ancilla_factor=0.9, events_per_kick=2)
+    a_k = np.asarray(device_kernel_echo_batch(
+        h, ph, p1, p2, sched.angles, keys, ts, interpret=True, **kw))
+    a_s = np.asarray(device_sigma_echo_batch(
+        h, ph, p1, p2, sched.angles, keys, ts, dtype_name="complex128", **kw))
+    assert np.max(np.abs(a_k - a_s)) < 1e-4, (a_k, a_s)
 
 
 def test_device_engine_env_dispatch(monkeypatch):

@@ -153,6 +153,38 @@ def test_streamed_kernel_interpret_parity():
     assert np.max(np.abs(se - 1.0)) > 1e-3  # events fired (echo != 1)
 
 
+def test_streamed_device_echo_interpret_parity():
+    """Device-noise echo through the STREAMED echo kernel's ext_tiles
+    branch (core.device_evolve.device_echo_pair_tiles feeding
+    streamed_echo_batch directly at L=22 — device_kernel_echo_batch
+    dispatches blocked there, so this exercises the streamed plumbing the
+    L=24..28 dispatch uses) vs the sigma-frame device oracle with
+    identical presampled events."""
+    from dtc_tpu.core.device_evolve import (
+        device_echo_pair_tiles,
+        device_sigma_echo_batch,
+    )
+    from dtc_tpu.ops.pallas_streamed import streamed_echo_batch
+
+    L, T, q, epk = 22, 2, 11, 2
+    hs, phis, ang, keys = _setup(L, T)
+    h, ph = hs[0], phis[0]
+    p1 = jnp.linspace(0.2, 0.6, L)
+    p2 = jnp.linspace(0.2, 0.7, L - 1)
+    ts = jnp.asarray([1, 2])
+    tiles, sig_fin = jax.vmap(lambda k: jax.vmap(
+        lambda t: device_echo_pair_tiles(
+            k, t, h, ph, p1, p2, L=L, T=T, epk=epk, width=128))(ts))(keys[0])
+    be = np.asarray(streamed_echo_batch(
+        hs, phis, ang, keys, ts, L=L, T=T, p=0.0, q=q, ancilla_factor=0.9,
+        interpret=True, ext_tiles=tiles[None], ext_sig=sig_fin[None]))
+    se = np.asarray(device_sigma_echo_batch(
+        h, ph, p1, p2, ang, keys[0], ts, L=L, T=T, q=q,
+        dtype_name="complex128", ancilla_factor=0.9, events_per_kick=epk))
+    assert np.max(np.abs(be[0] - se)) < 1e-4, (be, se)
+    assert np.max(np.abs(se - 0.9)) > 1e-3  # events fired
+
+
 def test_streamed_hi_kernel_interpret_parity():
     """The r2-blocked streamed kernel (the single-chip L=29/30 engine,
     ops/pallas_streamed_hi) at its minimum geometry L=22/T=2: merged
