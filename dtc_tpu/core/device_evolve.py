@@ -427,7 +427,8 @@ def device_kernel_forward_batch(hs, phis, p_1q, p_2q, angles, keys, *, L, T,
     into the same compact row the flat-noise kernels read, with
     per-coefficient-class sigma checkpoints in the sig/flip lanes.
     Constant x drives, K=1, q < 14; 17 <= L <= 23 rides the blocked-plane
-    VMEM-resident kernel, 24 <= L <= 28 the HBM-streamed kernel.
+    VMEM-resident kernel, 24 <= L <= 28 the HBM-streamed kernel,
+    29 <= L <= 30 the r2-blocked streamed-hi kernel.
     (L=27 is BASELINE config 4's scale — the FakeBrisbane analogue,
     autocorr-delta-a-single-qiskit-fast.py:77-79.)
 
@@ -437,9 +438,10 @@ def device_kernel_forward_batch(hs, phis, p_1q, p_2q, angles, keys, *, L, T,
     from dtc_tpu.ops.pallas_noise import pack_device_cycle_params_compact
     from dtc_tpu.ops.pallas_resident_blocked import blocked_forward_batch
     from dtc_tpu.ops.pallas_streamed import streamed_forward_batch
+    from dtc_tpu.ops.pallas_streamed_hi import streamed_hi_forward_batch
 
-    if not (17 <= L <= 28):
-        raise ValueError("device kernel path supports 17 <= L <= 28")
+    if not (17 <= L <= 30):
+        raise ValueError("device kernel path supports 17 <= L <= 30")
     width = 128 if 5 * L - 2 <= 128 else 256
 
     def sample(key):
@@ -450,7 +452,9 @@ def device_kernel_forward_batch(hs, phis, p_1q, p_2q, angles, keys, *, L, T,
         return rows, sc
 
     rows, sig = jax.vmap(sample)(keys)  # (n, T, width), (n, T)
-    batch = blocked_forward_batch if L <= 23 else streamed_forward_batch
+    batch = (blocked_forward_batch if L <= 23 else
+             streamed_forward_batch if L <= 28 else
+             streamed_hi_forward_batch)
     vals = batch(hs[None], phis[None], angles, keys[None], L=L, T=T, p=0.0,
                  q=q, initial_state=initial_state,
                  ancilla_factor=ancilla_factor, interpret=interpret,
@@ -469,21 +473,22 @@ def device_kernel_echo_batch(hs, phis, p_1q, p_2q, angles, keys, ts, *, L, T,
     """Device-noise echo A0(t) through the x-only Pallas ECHO kernels.
 
     Per (trajectory, t) pair the UNCHANGED blocked (17 <= L <= 23) /
-    streamed (24 <= L <= 28) echo kernel runs 2t active masked steps whose
-    (pre, post) compact rows carry the device event structure
-    (device_echo_pair_tiles). Previously device echo only had the dense
-    gather path (device_autocorr_echo), which crashes the TPU worker above
-    ~L=24 — this is the echo half of BASELINE config 4
-    (autocorr-delta-a-single-qiskit-fast.py:77-79,140-147).
+    streamed (24 <= L <= 28) / streamed-hi (29 <= L <= 30) echo kernel
+    runs 2t active masked steps whose (pre, post) compact rows carry the
+    device event structure (device_echo_pair_tiles). Previously device
+    echo only had the dense gather path (device_autocorr_echo), which
+    crashes the TPU worker above ~L=24 — this is the echo half of
+    BASELINE config 4 (autocorr-delta-a-single-qiskit-fast.py:77-79,140-147).
 
     hs (L,), phis (L-1,), p_1q (L,), p_2q (L-1,), keys (n_traj, 2),
     ts (n_ts,) int32 -> (n_traj, n_ts).
     """
     from dtc_tpu.ops.pallas_resident_blocked import blocked_echo_batch
     from dtc_tpu.ops.pallas_streamed import streamed_echo_batch
+    from dtc_tpu.ops.pallas_streamed_hi import streamed_hi_echo_batch
 
-    if not (17 <= L <= 28):
-        raise ValueError("device kernel path supports 17 <= L <= 28")
+    if not (17 <= L <= 30):
+        raise ValueError("device kernel path supports 17 <= L <= 30")
     width = 128 if 5 * L - 2 <= 124 else 256
 
     def tiles_one(key):
@@ -492,7 +497,9 @@ def device_kernel_echo_batch(hs, phis, p_1q, p_2q, angles, keys, ts, *, L, T,
             width=width))(ts)
 
     tiles, sig_fin = jax.vmap(tiles_one)(keys)  # (n, n_ts, 4T, width), (n, n_ts)
-    batch = blocked_echo_batch if L <= 23 else streamed_echo_batch
+    batch = (blocked_echo_batch if L <= 23 else
+             streamed_echo_batch if L <= 28 else
+             streamed_hi_echo_batch)
     vals = batch(hs[None], phis[None], angles, keys[None], ts, L=L, T=T,
                  p=0.0, q=q, initial_state=initial_state,
                  ancilla_factor=ancilla_factor, interpret=interpret,

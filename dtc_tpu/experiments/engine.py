@@ -314,6 +314,28 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
             hs, phis, angles, keys, ts, L=L, T=T, p=p, q=q,
             initial_state=initial_state, ancilla_factor=ancilla_factor)
 
+    hi_ok = (
+        not isinstance(angles, jax.core.Tracer) and not has_y and K == 1
+        and 22 <= L <= 30 and q < 14 and dtype_name == "complex64"
+        and (29 <= L or engine == "streamed_hi")
+        and T <= 512 and engine in ("auto", "resident", "streamed",
+                                    "blocked", "streamed_hi")
+        and jax.default_backend() != "cpu")
+    if hi_ok:
+        ang_np = np.asarray(angles)
+        hi_ok = bool(np.all(ang_np[:, :, 1] == 0.0)) and bool(
+            np.all(ang_np == ang_np[0]))
+    if hi_ok:
+        # r2-blocked HBM-streamed echo kernel: the single-chip L=29/30
+        # ECHO engine (bounded slab sizes — ops/pallas_streamed_hi;
+        # previously L >= 29 echo fell to the deopted sigma engine).
+        # engine='streamed_hi' selects it explicitly at 22 <= L <= 28.
+        from dtc_tpu.ops.pallas_streamed_hi import streamed_hi_echo_batch
+
+        return streamed_hi_echo_batch(
+            hs, phis, angles, keys, ts, L=L, T=T, p=p, q=q,
+            initial_state=initial_state, ancilla_factor=ancilla_factor)
+
     from dtc_tpu.core.sigma_evolve import sigma_echo_batch
 
     return sigma_echo_batch(

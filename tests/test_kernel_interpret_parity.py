@@ -202,3 +202,23 @@ def test_streamed_hi_kernel_interpret_parity():
     # events fired: p=0.6 sigma-frame flips make A(1) positive (the
     # noiseless g=0.97 period-doubled value is ~ -1)
     assert s[0, 0, 1] > 0
+
+
+def test_streamed_hi_echo_interpret_parity():
+    """The r2-blocked streamed ECHO kernel (the single-chip L=29/30 echo
+    engine) at its minimum geometry L=22/T=2: per-pair dynamic trip
+    counts, the echo straddle ordering specific to this layout (pre-s20
+    against the block-index parity in pass A, post-s20 on the pass-B
+    output rows), terminal measurement sweep — vs the sigma engine with
+    identical presampled uniforms."""
+    from dtc_tpu.ops.pallas_streamed_hi import streamed_hi_echo_batch
+
+    L, T, p, q = 22, 2, 0.6, 11
+    hs, phis, ang, keys = _setup(L, T)
+    ts = jnp.asarray([1, 2])
+    be = np.asarray(streamed_hi_echo_batch(hs, phis, ang, keys, ts, L=L,
+                                           T=T, p=p, q=q, interpret=True))
+    se = np.asarray(sigma_echo_batch(hs, phis, ang, keys, ts, L=L, T=T,
+                                     K=1, p=p, q=q, has_y=False, **SKW))
+    assert np.max(np.abs(be - se)) < 1e-4
+    assert np.max(np.abs(se - 1.0)) > 1e-3  # events fired (echo != 1)
