@@ -33,6 +33,7 @@ index bits, so device a of the 'amp' axis holds global indices
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -350,12 +351,17 @@ def make_sharded_autocorr_forward_kernel(
 ):
     """Cycle-kernel sharded forward autocorrelator (roadmap #4): the
     shard-LOCAL part of every cycle runs in ONE fused Pallas call
-    (ops/pallas_cycle, kick + noise-Z + sigma-conjugated D0 + the A(t)
-    partial sum, state VMEM-resident within the cycle), and only the
-    shard-bit kicks + tiny diagonal factors stay in XLA. Requires a
-    constant x-only schedule (only angles[0,0,0] is read — the engine
-    dispatch contract shared with ops/pallas_streamed), K=1, q < 14, and
-    17 <= L - log2(n_amp) <= 23.
+    (kick + noise-Z + sigma-conjugated D0 + the A(t) partial sum), and
+    only the shard-bit kicks + tiny diagonal factors stay in XLA.
+    17 <= L_loc <= 23 (L_loc = L - log2(n_amp)) rides the VMEM-resident
+    per-shard kernel (ops/pallas_cycle, state VMEM-resident within the
+    cycle); 24 <= L_loc <= 30 the r2-blocked HBM-streamed per-shard kernel
+    (ops/pallas_cycle_hi, two bounded DMA sweeps per cycle) — kernel-rate
+    sharding up to L = 30 + log2(n_amp). Requires a constant x-only
+    schedule (only angles[0,0,0] is read — the engine dispatch contract
+    shared with ops/pallas_streamed), K=1 and q < 14.
+    DTC_TPU_SHARDED_HI_MIN_LB (default 24, min 22) lowers the hi-kernel
+    crossover for cross-checks.
 
     Same signature/semantics as make_sharded_autocorr_forward; matches it
     (and the unsharded sigma engine) trajectory-for-trajectory at the
@@ -363,19 +369,24 @@ def make_sharded_autocorr_forward_kernel(
     """
     from dtc_tpu.core.sigma_evolve import presample_noise
     from dtc_tpu.ops.pallas_cycle import cycle_forward_apply
+    from dtc_tpu.ops.pallas_cycle_hi import hi_cycle_forward_apply
     from dtc_tpu.ops.pallas_noise import pack_cycle_params_compact
     from dtc_tpu.ops.pallas_resident import _C, _kick_matrices
+    from dtc_tpu.ops.pallas_streamed import _rx_kron
 
     n_amp = mesh.shape["amp"]
     n_traj_dev = mesh.shape["traj"]
     k_bits = int(np.log2(n_amp))
     local_bits = L - k_bits
-    if not (17 <= local_bits <= 23):
+    if not (17 <= local_bits <= 30):
         raise ValueError(
-            f"cycle-kernel sharding needs 17 <= L - log2(n_amp) <= 23 "
+            f"cycle-kernel sharding needs 17 <= L - log2(n_amp) <= 30 "
             f"(got L={L}, n_amp={n_amp}: local_bits={local_bits})")
     if q >= 14:
         raise ValueError("cycle-kernel sharding requires probe qubit q < 14")
+    use_hi = local_bits >= max(
+        22, int(os.environ.get("DTC_TPU_SHARDED_HI_MIN_LB", "24")))
+    width = 128 if 5 * local_bits - 2 <= 128 else 256
     M = 1 << local_bits
     TOP = M // _C
     af = ((1.0 - p) ** 6 if p > 0 else 1.0
@@ -385,8 +396,12 @@ def make_sharded_autocorr_forward_kernel(
 
     def local_fn(angles, hs, phis, keys):
         theta = angles[0, 0, 0]
-        u7r, u7i, utr, uti = _kick_matrices(
-            angles, local_bits, TOP, time_dependent=False)
+        if use_hi:
+            u7r, u7i = (m[None] for m in _rx_kron(theta, 7))
+            utr, uti = (m[None] for m in _rx_kron(theta, local_bits - 21))
+        else:
+            u7r, u7i, utr, uti = _kick_matrices(
+                angles, local_bits, TOP, time_dependent=False)
         offset = (jax.lax.axis_index("amp") * M).astype(jnp.uint32)
         gidx = (jnp.arange(M, dtype=jnp.uint32) + offset).reshape(TOP, _C)
         plane0 = (gidx == jnp.uint32(init_idx)).astype(jnp.float32)
@@ -402,21 +417,29 @@ def make_sharded_autocorr_forward_kernel(
                 _, zm, _, csum = presample_noise(key, p, T, L)
                 rows = jax.vmap(
                     lambda z, sg: pack_cycle_params_compact(
-                        z, sg, h_loc, ph_loc, local_bits))(zm, csum)
+                        z, sg, h_loc, ph_loc, local_bits,
+                        width=width))(zm, csum)
                 return rows, zm, csum
 
-            rows, zm, csum = jax.vmap(sample)(keys)  # (n,T,128), (n,T) x2
+            rows, zm, csum = jax.vmap(sample)(keys)  # (n,T,width), (n,T) x2
         else:
             row = pack_cycle_params_compact(
-                jnp.uint32(0), jnp.uint32(0), h_loc, ph_loc, local_bits)
-            rows = jnp.broadcast_to(row, (n, T, 128))
+                jnp.uint32(0), jnp.uint32(0), h_loc, ph_loc, local_bits,
+                width=width)
+            rows = jnp.broadcast_to(row, (n, T, width))
             zm = csum = jnp.zeros((n, T), jnp.uint32)
 
         def body(st, inp):
             row_t, zm_t, sig_t = inp
-            st, a_part = cycle_forward_apply(
-                st, row_t, u7r, u7i, utr, uti, L=local_bits, q=q,
-                interpret=interpret)
+            if use_hi:
+                st, a_part = hi_cycle_forward_apply(
+                    st, row_t, u7r, u7i, utr, uti, L=local_bits, q=q,
+                    interpret=interpret)
+                st = st.reshape(n, 2, TOP, _C)
+            else:
+                st, a_part = cycle_forward_apply(
+                    st, row_t, u7r, u7i, utr, uti, L=local_bits, q=q,
+                    interpret=interpret)
             if k_bits:
                 st = _global_cycle_tail(st, zm_t, sig_t, hs, phis, theta,
                                         L=L, local_bits=local_bits,
@@ -480,22 +503,33 @@ def make_sharded_echo_kernel(
 
     Same signature as make_sharded_echo: fn(angles, hs, phis,
     keys (n_traj,2), t_value) -> scalar; requires a constant x-only
-    schedule, q < 14, and 17 <= L - log2(n_amp) <= 23.
+    schedule, q < 14, and 17 <= L - log2(n_amp) <= 30 (L_loc >= 24 rides
+    the r2-blocked HBM-streamed per-shard kernels, ops/pallas_cycle_hi —
+    see make_sharded_autocorr_forward_kernel; DTC_TPU_SHARDED_HI_MIN_LB
+    lowers the crossover to 22 for cross-checks).
     """
     from dtc_tpu.ops.pallas_cycle import cycle_forward_apply, cycle_inverse_apply
+    from dtc_tpu.ops.pallas_cycle_hi import (
+        hi_cycle_forward_apply,
+        hi_cycle_inverse_apply,
+    )
     from dtc_tpu.ops.pallas_noise import pack_cycle_params_compact
     from dtc_tpu.ops.pallas_resident import _C, _kick_matrices
+    from dtc_tpu.ops.pallas_streamed import _rx_kron
 
     n_amp = mesh.shape["amp"]
     n_traj_dev = mesh.shape["traj"]
     k_bits = int(np.log2(n_amp))
     local_bits = L - k_bits
-    if not (17 <= local_bits <= 23):
+    if not (17 <= local_bits <= 30):
         raise ValueError(
-            f"cycle-kernel sharding needs 17 <= L - log2(n_amp) <= 23 "
+            f"cycle-kernel sharding needs 17 <= L - log2(n_amp) <= 30 "
             f"(got L={L}, n_amp={n_amp}: local_bits={local_bits})")
     if q >= 14:
         raise ValueError("cycle-kernel sharding requires probe qubit q < 14")
+    use_hi = local_bits >= max(
+        22, int(os.environ.get("DTC_TPU_SHARDED_HI_MIN_LB", "24")))
+    width = 128 if 5 * local_bits - 2 <= 128 else 256
     M = 1 << local_bits
     TOP = M // _C
     af = ((1.0 - p) ** 6 if p > 0 else 1.0
@@ -511,8 +545,12 @@ def make_sharded_echo_kernel(
         )
 
         theta = angles[0, 0, 0]
-        u7r, u7i, utr, uti = _kick_matrices(
-            angles, local_bits, TOP, time_dependent=False)
+        if use_hi:
+            u7r, u7i = (m[None] for m in _rx_kron(theta, 7))
+            utr, uti = (m[None] for m in _rx_kron(theta, local_bits - 21))
+        else:
+            u7r, u7i, utr, uti = _kick_matrices(
+                angles, local_bits, TOP, time_dependent=False)
         offset = (jax.lax.axis_index("amp") * M).astype(jnp.uint32)
         gidx = (jnp.arange(M, dtype=jnp.uint32) + offset).reshape(TOP, _C)
         plane0 = (gidx == jnp.uint32(init_idx)).astype(jnp.float32)
@@ -544,7 +582,7 @@ def make_sharded_echo_kernel(
             zm_prev = jnp.concatenate([jnp.zeros((1,), jnp.uint32), zm[:-1]])
             zm_prev = jnp.where(step == t_value, jnp.uint32(0), zm_prev)
             pack = lambda z, sg: pack_cycle_params_compact(  # noqa: E731
-                z, sg, h_loc, ph_loc, local_bits)
+                z, sg, h_loc, ph_loc, local_bits, width=width)
             rows_f = jax.vmap(pack)(zm, csum)        # (T2, 128)
             rows_i = jax.vmap(pack)(zm_prev, sig_b)  # (T2, 128)
             return rows_f, rows_i, zm, zm_prev, sig_b, csum
@@ -554,9 +592,15 @@ def make_sharded_echo_kernel(
 
         def br_fwd(op):
             st, row_f, row_i, zm_k, zmp_k, sigb_k, csum_k = op
-            st, _ = cycle_forward_apply(
-                st, row_f, u7r, u7i, utr, uti, L=local_bits, q=q,
-                interpret=interpret)
+            if use_hi:
+                st, _ = hi_cycle_forward_apply(
+                    st, row_f, u7r, u7i, utr, uti, L=local_bits, q=q,
+                    interpret=interpret)
+                st = st.reshape(n, 2, TOP, _C)
+            else:
+                st, _ = cycle_forward_apply(
+                    st, row_f, u7r, u7i, utr, uti, L=local_bits, q=q,
+                    interpret=interpret)
             if k_bits:
                 st = _global_cycle_tail(st, zm_k, csum_k, hs, phis, theta,
                                         L=L, local_bits=local_bits,
@@ -571,6 +615,11 @@ def make_sharded_echo_kernel(
                 st = _global_cycle_head(st, zmp_k, sigb_k, hs, phis, theta,
                                         L=L, local_bits=local_bits,
                                         n_amp=n_amp)
+            if use_hi:
+                st = hi_cycle_inverse_apply(
+                    st, row_i, u7r, u7i, utr, uti, L=local_bits,
+                    interpret=interpret)
+                return st.reshape(n, 2, TOP, _C)
             return cycle_inverse_apply(st, row_i, u7r, u7i, utr, uti,
                                        L=local_bits, interpret=interpret)
 

@@ -308,3 +308,71 @@ def test_sharded_driver_passes_has_y(monkeypatch):
                             echo_ts=[1])
     assert seen["fwd"]["has_y"] is True
     assert seen["echo"]["has_y"] is True
+
+
+def test_hi_cycle_inverse_roundtrip():
+    """r2-blocked per-shard kernels (ops/pallas_cycle_hi, L_loc >= 24 —
+    interpret-tested at the layout's minimum L_loc=22): the pre-fold
+    inverse must undo the post-fold forward under the conjugation
+    identity. A mis-staged straddle (s20's z21 leg is the r2 BLOCK index
+    here, not a row bit) breaks the round trip deterministically."""
+    from dtc_tpu.core.sigma_evolve import presample_noise
+    from dtc_tpu.ops.pallas_cycle_hi import (
+        hi_cycle_forward_apply,
+        hi_cycle_inverse_apply,
+    )
+    from dtc_tpu.ops.pallas_noise import pack_cycle_params_compact
+    from dtc_tpu.ops.pallas_resident import _C
+    from dtc_tpu.ops.pallas_streamed import _rx_kron
+
+    L = 22
+    TOP = 1 << (L - 14)
+    hs, phis = generate_disorder(L, 1, seed=9)
+    theta = jnp.float32(0.93 * np.pi)
+    u7r, u7i = (m[None] for m in _rx_kron(theta, 7))
+    utr, uti = (m[None] for m in _rx_kron(theta, L - 21))
+    _, zm, _, csum = presample_noise(jax.random.PRNGKey(4), 0.6, 2, L)
+    row = pack_cycle_params_compact(zm[1], csum[1], jnp.asarray(hs[0]),
+                                    jnp.asarray(phis[0]), L)[None]
+    s0 = jax.random.normal(jax.random.PRNGKey(2), (1, 2, TOP, _C),
+                           jnp.float32)
+    s0 = s0 / jnp.sqrt(jnp.sum(s0 * s0))
+    s1, _ = hi_cycle_forward_apply(s0, row, u7r, u7i, utr, uti, L=L,
+                                   q=11, interpret=True)
+    conj = jnp.asarray([1.0, -1.0], jnp.float32).reshape(1, 2, 1, 1, 1)
+    s2 = hi_cycle_inverse_apply(s1 * conj, row, u7r, u7i, utr, uti, L=L,
+                                interpret=True)
+    back = np.asarray(s2 * conj).reshape(1, 2, TOP, _C)
+    assert abs(float(np.sum(back * back)) - 1.0) < 1e-4
+    assert np.max(np.abs(back - np.asarray(s0))) < 2e-5
+
+
+def test_hi_cycle_kernel_sharded_parity(monkeypatch):
+    """Sharded forward + echo through the r2-blocked per-shard kernels
+    (DTC_TPU_SHARDED_HI_MIN_LB=22 forces them at the interpret-feasible
+    L_loc=22; production crossover is 24 where the VMEM kernel cannot
+    run) vs the XLA sharded engine with identical presampled noise on
+    the virtual mesh — boundary bond, global kick and the r2-layout
+    reshape seam between the kernel and the XLA global ops all covered."""
+    monkeypatch.setenv("DTC_TPU_SHARDED_HI_MIN_LB", "22")
+    L, n_amp, n_traj, T, p = 23, 2, 1, 2, 0.6
+    q = 11
+    hs, phis = generate_disorder(L, 1, seed=5)
+    hs = jnp.asarray(hs[0])
+    phis = jnp.asarray(phis[0])
+    sched = build_kick_schedule("x", 0.97, T)
+    mesh = make_mesh(n_amp=n_amp, n_traj=n_traj)
+    keys = jax.random.split(jax.random.PRNGKey(11), 2 * n_traj)
+
+    f_x = make_sharded_autocorr_forward(mesh, L=L, T=T, K=1, p=p, q=q)
+    f_k = make_sharded_autocorr_forward_kernel(mesh, L=L, T=T, p=p, q=q,
+                                               interpret=True)
+    a_x = np.asarray(f_x(sched.angles, hs, phis, keys))
+    a_k = np.asarray(f_k(sched.angles, hs, phis, keys))
+    assert np.max(np.abs(a_k - a_x)) < 1e-4, (a_k, a_x)
+
+    e_x = make_sharded_echo(mesh, L=L, T=T, K=1, p=p, q=q)
+    e_k = make_sharded_echo_kernel(mesh, L=L, T=T, p=p, q=q, interpret=True)
+    a = float(e_x(sched.angles, hs, phis, keys, jnp.asarray(T)))
+    b = float(e_k(sched.angles, hs, phis, keys, jnp.asarray(T)))
+    assert abs(a - b) < 1e-4, (a, b)
