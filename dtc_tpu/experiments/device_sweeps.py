@@ -14,8 +14,9 @@ from dtc_tpu.models.device_noise import fake_device_model
 
 
 def _model(cfg):
-    return fake_device_model(cfg.L, getattr(cfg, "fake_device", "brisbane"),
-                             seed=cfg.seed + 7)
+    return fake_device_model(
+        cfg.L, getattr(cfg, "fake_device", "brisbane"), seed=cfg.seed + 7,
+        calibration_path=getattr(cfg, "calibration_path", None))
 
 
 def device_forward_sweep(cfg, sched, params, key) -> np.ndarray:

@@ -81,9 +81,62 @@ def synthetic_eagle_calibration(n_qubits: int = 127, seed: int = 7) -> dict:
     }
 
 
+def qiskit_properties_to_calibration(props: dict) -> dict:
+    """Convert a Qiskit ``BackendProperties.to_dict()`` snapshot (the schema
+    ``FakeBrisbane().properties()`` / a real IBM backend exports — what
+    ``NoiseModel.from_backend`` consumes in the reference,
+    autocorr-delta-a-single-qiskit-fast.py:77-79) into this module's
+    calibration schema, so a REAL device snapshot drops in wherever the
+    synthetic one is used.
+
+    Mapping: per-qubit 1q error = the max gate_error over that qubit's
+    physical 1q gates (sx/x/u3/r — rz is virtual/zero on IBM backends,
+    excluded); per-edge 2q error = gate_error of the edge's ecr/cz/cx;
+    readout_error from the per-qubit parameter list. Values may be plain
+    numbers or {"name": ..., "value": ...} parameter dicts.
+    """
+    def pval(entry):
+        return float(entry["value"] if isinstance(entry, dict) else entry)
+
+    ro = {}
+    for i, params in enumerate(props.get("qubits", [])):
+        for prm in params:
+            if prm.get("name") == "readout_error":
+                ro[str(i)] = pval(prm)
+    se: dict = {}
+    te: dict = {}
+    for gate in props.get("gates", []):
+        name = gate.get("gate", "")
+        qubits = gate.get("qubits", [])
+        err = None
+        for prm in gate.get("parameters", []):
+            if prm.get("name") == "gate_error":
+                err = pval(prm)
+        if err is None:
+            continue
+        if len(qubits) == 1 and name in ("sx", "x", "u1", "u2", "u3", "r",
+                                         "prx"):
+            k = str(qubits[0])
+            se[k] = max(se.get(k, 0.0), err)
+        elif len(qubits) == 2 and name in ("ecr", "cz", "cx", "rzz"):
+            a, b = qubits
+            te[f"{a}-{b}"] = err
+    n = max(len(props.get("qubits", [])),
+            1 + max((int(k) for k in se), default=-1))
+    if not (se and te and ro):
+        raise ValueError("properties snapshot missing 1q/2q/readout errors")
+    return {"n_qubits": n, "single_qubit_error": se,
+            "two_qubit_error": te, "readout_error": ro}
+
+
 def load_calibration(path: str) -> dict:
+    """Load a calibration JSON — either this module's schema or a Qiskit
+    BackendProperties snapshot (auto-detected and converted)."""
     with open(path) as f:
-        return json.load(f)
+        cal = json.load(f)
+    if "qubits" in cal and "gates" in cal:
+        return qiskit_properties_to_calibration(cal)
+    return cal
 
 
 def model_from_calibration(cal: dict, chain_path: list[int],
@@ -151,11 +204,19 @@ def garnet_like_model(L: int, seed: int = 7) -> DeviceNoiseModel:
     return model_from_calibration(cal, lay["path"], lay["ancilla"])
 
 
-def fake_device_model(L: int, fake_device: str = "brisbane",
-                      seed: int = 7) -> DeviceNoiseModel:
+def fake_device_model(L: int, fake_device: str = "brisbane", seed: int = 7,
+                      calibration_path: str | None = None) -> DeviceNoiseModel:
     """use_fakebackend=1 device selector: which QPU's calibration shape the
     noise model mimics (the reference switches by script variant —
-    FakeBrisbane vs IQMFakeGarnet)."""
+    FakeBrisbane vs IQMFakeGarnet). calibration_path overrides the
+    synthetic calibration with a REAL snapshot (this module's schema or a
+    Qiskit BackendProperties JSON), mapped through the same snake layout."""
+    if calibration_path:
+        from dtc_tpu.device.layouts import snake_layout
+
+        cal = load_calibration(calibration_path)
+        lay = snake_layout(L, fake_device)
+        return model_from_calibration(cal, lay["path"], lay["ancilla"])
     if fake_device == "garnet":
         return garnet_like_model(L, seed)
     if fake_device == "brisbane":

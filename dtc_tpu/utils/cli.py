@@ -32,6 +32,10 @@ def add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--fake_device", type=str, default="brisbane",
                    choices=["brisbane", "garnet"],
                    help="which QPU calibration use_fakebackend=1 mimics")
+    p.add_argument("--calibration_path", type=str, default=None,
+                   help="real calibration snapshot JSON (our schema or a "
+                        "Qiskit BackendProperties export) overriding the "
+                        "synthetic calibration")
     p.add_argument("--polarization", type=str, default="x")
     p.add_argument("--circular_frequency", type=float, default=0.5)
     p.add_argument("--n_trajectories", type=int, default=256)

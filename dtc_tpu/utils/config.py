@@ -38,6 +38,9 @@ class SimConfig:
                                 # calibration shape use_fakebackend=1 mimics
                                 # (reference switches by script variant:
                                 # FakeBrisbane vs IQMFakeGarnet)
+    calibration_path: Optional[str] = None  # real calibration snapshot
+                                # (our schema or a Qiskit BackendProperties
+                                # JSON) overriding the synthetic one
     n_trajectories: int = 256   # Pauli-twirl trajectories per instance
     shots: int = 0              # 0 = analytic expectation; >0 = Bernoulli shot sampling
     estimator_shots: int = 0    # 0 = exact estimator; >0 = gaussian sampling noise

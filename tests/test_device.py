@@ -559,3 +559,56 @@ def test_device_engine_env_dispatch(monkeypatch):
     monkeypatch.setenv("DTC_TPU_DEVICE_ENGINE", "sigma")
     out = device_forward_sweep(cfg, sched, params, key)
     assert out.shape == (1, 2) and np.all(np.isfinite(out))
+
+
+def test_qiskit_properties_import_roundtrip(tmp_path):
+    """C9 calibration ingest: a Qiskit BackendProperties.to_dict() snapshot
+    (the schema FakeBrisbane().properties() exports — what the reference's
+    NoiseModel.from_backend consumes, fast.py:77-79) converts into the
+    native calibration schema and drives fake_device_model via
+    calibration_path, mapped through the same snake layout."""
+    import json
+
+    from dtc_tpu.device.layouts import eagle_coupling
+    from dtc_tpu.models.device_noise import (
+        fake_device_model,
+        qiskit_properties_to_calibration,
+    )
+
+    n, edges, _ = eagle_coupling()
+    props = {
+        "qubits": [
+            [{"name": "T1", "value": 250.0, "unit": "us"},
+             {"name": "readout_error", "value": 0.01 + 1e-5 * i}]
+            for i in range(n)
+        ],
+        "gates": (
+            [{"gate": "sx", "qubits": [i],
+              "parameters": [{"name": "gate_error", "value": 2e-4 + 1e-8 * i},
+                             {"name": "gate_length", "value": 60.0}]}
+             for i in range(n)]
+            + [{"gate": "rz", "qubits": [i],
+                "parameters": [{"name": "gate_error", "value": 0.0}]}
+               for i in range(n)]
+            + [{"gate": "ecr", "qubits": [a, b],
+                "parameters": [{"name": "gate_error",
+                                "value": 8e-3 + 1e-7 * (a + b)}]}
+               for a, b in edges]
+        ),
+    }
+    cal = qiskit_properties_to_calibration(props)
+    assert cal["n_qubits"] == n
+    assert cal["single_qubit_error"]["5"] == 2e-4 + 1e-8 * 5  # sx, not rz
+    a, b = edges[0]
+    assert cal["two_qubit_error"][f"{a}-{b}"] == 8e-3 + 1e-7 * (a + b)
+    assert cal["readout_error"]["3"] == 0.01 + 3e-5
+
+    path = tmp_path / "props.json"
+    path.write_text(json.dumps(props))
+    m = fake_device_model(8, "brisbane", calibration_path=str(path))
+    assert m.L == 8
+    # values must come from the snapshot (the sx band), not the synthetic
+    # log-normal calibration
+    assert np.all((m.p_1q >= 2e-4) & (m.p_1q <= 2e-4 + 1e-8 * n))
+    assert np.all((m.p_2q >= 8e-3) & (m.p_2q <= 8e-3 + 1e-7 * 2 * n))
+    assert np.all(np.abs(m.readout - 0.01) <= 1e-5 * n)
