@@ -426,7 +426,8 @@ def device_kernel_forward_batch(hs, phis, p_1q, p_2q, angles, keys, *, L, T,
     events after each RZZ sublayer — core.device_evolve._device_presample)
     into the same compact row the flat-noise kernels read, with
     per-coefficient-class sigma checkpoints in the sig/flip lanes.
-    Constant x drives, K=1, q < 14; 17 <= L <= 23 rides the blocked-plane
+    Constant x drives, K=1, q < 14 at L <= 23 / any q < L above;
+    17 <= L <= 23 rides the blocked-plane
     VMEM-resident kernel, 24 <= L <= 28 the HBM-streamed kernel,
     29 <= L <= 30 the r2-blocked streamed-hi kernel.
     (L=27 is BASELINE config 4's scale — the FakeBrisbane analogue,

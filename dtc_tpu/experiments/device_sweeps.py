@@ -32,14 +32,17 @@ def device_forward_sweep(cfg, sched, params, key) -> np.ndarray:
                          "(want auto|sigma|kernel)")
     ang = np.asarray(sched.angles)
     kernel_ok = (use_sigma and engine in ("auto", "kernel")
-                 and cfg.probe_qubit < 14 and 17 <= cfg.L <= 30
+                 and (cfg.probe_qubit < 14 if cfg.L <= 23
+                      else cfg.probe_qubit < cfg.L)
+                 and 17 <= cfg.L <= 30
                  and cfg.tf <= 1024 and bool(np.all(ang[:, :, 1] == 0.0))
                  and bool(np.all(ang == ang[0]))
                  and jax.default_backend() != "cpu")
     if engine == "kernel" and not kernel_ok:
         raise ValueError(
             "device kernel engine requires a constant x-only schedule, "
-            "q < 14, TPU backend and 17 <= L <= 30")
+            "q < 14 (L <= 23) / q < L (L >= 24), TPU backend and "
+            "17 <= L <= 30")
     if kernel_ok:
         # device rows on the blocked/streamed x kernels — the kernels run
         # unchanged with per-class sigma checkpoints packed into the row
@@ -110,14 +113,17 @@ def device_echo_sweep(cfg, sched, params, key, *, t_chunk: int = 4) -> np.ndarra
                          "(want auto|sigma|kernel)")
     ang = np.asarray(sched.angles)
     kernel_ok = (use_sigma and engine in ("auto", "kernel")
-                 and cfg.probe_qubit < 14 and 17 <= cfg.L <= 30
+                 and (cfg.probe_qubit < 14 if cfg.L <= 23
+                      else cfg.probe_qubit < cfg.L)
+                 and 17 <= cfg.L <= 30
                  and cfg.tf <= 512 and bool(np.all(ang[:, :, 1] == 0.0))
                  and bool(np.all(ang == ang[0]))
                  and jax.default_backend() != "cpu")
     if engine == "kernel" and not kernel_ok:
         raise ValueError(
             "device kernel echo engine requires a constant x-only schedule, "
-            "q < 14, TPU backend, 17 <= L <= 30 and tf <= 512")
+            "q < 14 (L <= 23) / q < L (L >= 24), TPU backend, "
+            "17 <= L <= 30 and tf <= 512")
 
     if kernel_ok or (use_sigma and engine in ("auto", "sigma")):
         from dtc_tpu.core.device_evolve import (

@@ -64,7 +64,8 @@ def _kernel_dispatch_likely(cfg, sched, *, echo: bool) -> bool:
                          max_L=23, **kw):
         return True
     ang = np.asarray(sched.angles)
-    return (sched.K == 1 and 22 <= cfg.L <= 28 and cfg.probe_qubit < 14
+    return (sched.K == 1 and 22 <= cfg.L <= 28
+            and cfg.probe_qubit < cfg.L
             and cfg.dtype == "complex64"
             and cfg.tf <= (512 if echo else 1024)
             and bool(np.all(ang[:, :, 1] == 0.0))
@@ -139,7 +140,7 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
             initial_state=initial_state, ancilla_factor=ancilla_factor,
             time_dependent=not time_independent)
 
-    if (time_independent and 22 <= L <= 28 and q < 14
+    if (time_independent and 22 <= L <= 28 and q < L
             and dtype_name == "complex64" and T <= 1024
             and engine in ("auto", "resident", "streamed", "blocked")
             and jax.default_backend() != "cpu"):
@@ -153,7 +154,7 @@ def _forward_batch(hs, phis, angles, keys, *, L, T, K, p, q, initial_state,
             hs, phis, angles, keys, L=L, T=T, p=p, q=q,
             initial_state=initial_state, ancilla_factor=ancilla_factor)
 
-    if (time_independent and 22 <= L <= 30 and q < 14
+    if (time_independent and 22 <= L <= 30 and q < L
             and dtype_name == "complex64" and T <= 1024
             and (29 <= L or engine == "streamed_hi")
             and engine in ("auto", "resident", "streamed", "blocked",
@@ -293,7 +294,7 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
 
     streamed_ok = (
         not isinstance(angles, jax.core.Tracer) and not has_y and K == 1
-        and 22 <= L <= 28 and q < 14 and dtype_name == "complex64"
+        and 22 <= L <= 28 and q < L and dtype_name == "complex64"
         # 'resident' names the fast-kernel family too (mirror
         # _forward_batch: an explicit fast-family request must not
         # silently fall to the deopted sigma engine)
@@ -316,7 +317,7 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
 
     hi_ok = (
         not isinstance(angles, jax.core.Tracer) and not has_y and K == 1
-        and 22 <= L <= 30 and q < 14 and dtype_name == "complex64"
+        and 22 <= L <= 30 and q < L and dtype_name == "complex64"
         and (29 <= L or engine == "streamed_hi")
         and T <= 512 and engine in ("auto", "resident", "streamed",
                                     "blocked", "streamed_hi")

@@ -42,8 +42,11 @@ def _auto_mesh(L: int, n_amp=None):
 def _cycle_kernel_ok(mesh, sched, cfg):
     """Auto-dispatch test for the per-shard Pallas cycle kernel
     (ops/pallas_cycle): TPU only, constant x-only schedule (same contract
-    as the single-chip fast kernels — engine._resident_dispatch), q < 14,
-    and shard-local bits within the blocked-kernel envelope 17..23."""
+    as the single-chip fast kernels — engine._resident_dispatch), a
+    shard-local probe q < L - log2(n_amp),
+    and shard-local bits 17..30 (17..23 VMEM-resident per-shard kernel;
+    24..30 the r2-blocked HBM-streamed per-shard kernel,
+    ops/pallas_cycle_hi — kernel-rate sharding to L = 30 + log2(n_amp))."""
     engine = os.environ.get("DTC_TPU_SHARDED_ENGINE", "auto")
     if engine == "xla":
         return False
@@ -52,16 +55,17 @@ def _cycle_kernel_ok(mesh, sched, cfg):
                          "(want auto|xla|cycle_kernel)")
     local_bits = cfg.L - int(np.log2(mesh.shape["amp"]))
     ang = np.asarray(sched.angles)
-    eligible = (sched.K == 1 and cfg.probe_qubit < 14
-                and 17 <= local_bits <= 23
+    eligible = (sched.K == 1 and cfg.probe_qubit < local_bits
+                and 17 <= local_bits <= 30
                 and bool(np.all(ang[:, :, 1] == 0.0))
                 and bool(np.all(ang == ang[0]))
                 and jax.default_backend() == "tpu")
     if engine == "cycle_kernel" and not eligible:
         raise ValueError(
             "cycle_kernel sharded engine requires a constant x-only "
-            f"schedule, q < 14, TPU backend and 17 <= L - log2(n_amp) <= "
-            f"23 (got L={cfg.L}, n_amp={mesh.shape['amp']})")
+            "schedule, a shard-local probe q < L - log2(n_amp), a TPU "
+            f"backend and 17 <= L - log2(n_amp) <= 30 (got L={cfg.L}, "
+            f"n_amp={mesh.shape['amp']}, q={cfg.probe_qubit})")
     return eligible
 
 
@@ -74,7 +78,7 @@ def _general_kernel_ok(mesh, cfg):
     if engine == "xla":
         return False
     local_bits = cfg.L - int(np.log2(mesh.shape["amp"]))
-    return (cfg.probe_qubit < 14 and 17 <= local_bits <= 23
+    return (cfg.probe_qubit < local_bits and 17 <= local_bits <= 23
             and jax.default_backend() == "tpu")
 
 

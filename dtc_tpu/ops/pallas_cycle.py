@@ -24,7 +24,8 @@ ALL kicks — as every diagonal does in the post-fold convention).
 
 The A(t) partial sum is fused into pass 2 exactly like the blocked kernel.
 Measuring BEFORE the caller's global ops of the same cycle is exact: Z_q
-(q < 14, a column bit) commutes with every remaining op of the cycle
+(q a shard-local bit: a column sign for q < 14, a TOP-row sign above)
+commutes with every remaining op of the cycle
 (shard-bit kicks and diagonals).
 
 Physics/noise conventions mirror the reference simulation loop
@@ -168,7 +169,14 @@ def _make_cycle_kernel(L: int, q: int, bt: int, cs: int):  # noqa: C901
                 ki = q3 - q1 - q2
                 st_ref[0, :, pl.ds(off, cs)] = kr
                 st_ref[1, :, pl.ds(off, cs)] = ki
-                zq = (1 - 2 * (((lcs + off) >> q) & 1)).astype(jnp.float32)
+                # z_q: column sign for q < 14, TOP-row sign (shard-local
+                # bits 14..L-1) above
+                if q < 14:
+                    zq = (1 - 2 * (((lcs + off) >> q) & 1)).astype(
+                        jnp.float32)
+                else:
+                    zq = (1 - 2 * ((hti >> (q - 14)) & 1)).astype(
+                        jnp.float32)
                 return acc + jnp.sum((kr * kr + ki * ki) * zq)
 
             a_next = jax.lax.fori_loop(0, n_cs, p2_chunk, a_next)
@@ -387,8 +395,8 @@ def cycle_forward_apply(state, params, u7r, u7i, utr, uti, *, L, q,
     """
     if not (17 <= L <= 23):
         raise ValueError("cycle kernel supports 17 <= L_loc <= 23")
-    if q >= 14:
-        raise ValueError("cycle kernel requires probe qubit q < 14")
+    if not (0 <= q < L):
+        raise ValueError("cycle kernel requires shard-local probe q < L")
     TOP = 1 << (L - 14)
     n_traj = state.shape[0]
     if state.shape != (n_traj, 2, TOP, _C):
@@ -452,7 +460,8 @@ def _make_general_cycle_kernel(L: int, K: int, q: int, bt: int,
     drives, autocorr-delta-a-single-qiskit-fast-circular-polarization.py:
     110-142, previously fell to the XLA sharded engine — VERDICT r2
     missing #5). Measurement (A after the final slot) is fused into pass 2
-    exactly like the x cycle kernel — exact because z_q (q < 14) commutes
+    exactly like the x cycle kernel — exact because z_q (any shard-local
+    bit) commutes
     with the caller's remaining global ops of the same cycle."""
     from dtc_tpu.ops.pallas_resident_general import _LANE_U8, _tile_helpers
 
@@ -552,8 +561,13 @@ def _make_general_cycle_kernel(L: int, K: int, q: int, bt: int,
                     st_ref[1, :, pl.ds(off, cs)] = ki
                     if not measuring:
                         return acc
-                    zqc = (1 - 2 * (((lcs + off) >> q) & 1)).astype(
-                        jnp.float32)
+                    # z_q: column sign for q < 14, TOP-row sign above
+                    if q < 14:
+                        zqc = (1 - 2 * (((lcs + off) >> q) & 1)).astype(
+                            jnp.float32)
+                    else:
+                        zqc = (1 - 2 * ((hti >> (q - 14)) & 1)).astype(
+                            jnp.float32)
                     return acc + jnp.sum((kr * kr + ki * ki) * zqc)
 
                 a_next = jax.lax.fori_loop(0, n_cs, p2_chunk, a_next)
@@ -581,8 +595,9 @@ def general_cycle_forward_apply(state, tiles, *, L, K, q, interpret=False):
     """
     if not (17 <= L <= 23):
         raise ValueError("general cycle kernel supports 17 <= L_loc <= 23")
-    if q >= 14:
-        raise ValueError("general cycle kernel requires probe qubit q < 14")
+    if not (0 <= q < L):
+        raise ValueError(
+            "general cycle kernel requires shard-local probe q < L")
     TOP = 1 << (L - 14)
     n_traj = state.shape[0]
     if state.shape != (n_traj, 2, TOP, _C):

@@ -230,7 +230,18 @@ def _make_hi_cycle_kernel(L: int, q: int, MS: int, CS: int, width: int,
             q2 = _dot_f32(gi, xi)
             q3 = _dot_f32(gr + gi, xr + xi)
             mr, mi = q1 - q2, q3 - q1 - q2
-            zq = (1 - 2 * (((jc * CS + csl) >> q) & 1)).astype(jnp.float32)
+            # z_q: column sign for q < 14, else a sign over the composite
+            # (r2, m) row index r2*128 + (jm*MS + m) whose bit (q - 14)
+            # is the probe bit (m = local bits 14..20, r2 = 21..L-1)
+            if q < 14:
+                zq = (1 - 2 * (((jc * CS + csl) >> q) & 1)).astype(
+                    jnp.float32)
+            else:
+                r2v = jax.lax.broadcasted_iota(jnp.int32, (R2, 1, 1), 0)
+                mv = jm * MS + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, MS, 1), 1)
+                zq = (1 - 2 * (((r2v * 128 + mv) >> (q - 14)) & 1)).astype(
+                    jnp.float32)
             mr3 = mr.reshape(R2, MS, CS)
             mi3 = mi.reshape(R2, MS, CS)
             acc[0] = acc[0] + jnp.sum((mr3 * mr3 + mi3 * mi3) * zq)
@@ -450,13 +461,13 @@ def hi_cycle_forward_apply(state, params, u7r, u7i, u21r, u21i, *, L, q,
     Returns (state' (n_traj, 2, R2, 128, 16384), a_partial (n_traj,)): the
     evolved states and the shard-local sum(z_q * |psi|^2) measured after
     the cycle (psum over 'amp' and the sigma sign are the caller's job —
-    exact because z_q, q < 14, commutes with the caller's remaining global
-    ops of the same cycle).
+    exact because z_q on any shard-local bit commutes with the caller's
+    remaining global ops of the same cycle).
     """
     if not (22 <= L <= 30):
         raise ValueError("hi cycle kernel supports 22 <= L_loc <= 30")
-    if q >= 14:
-        raise ValueError("hi cycle kernel requires probe qubit q < 14")
+    if not (0 <= q < L):
+        raise ValueError("hi cycle kernel requires shard-local probe q < L")
     R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state)
     state = state.reshape(n_traj, 2, R2, 128, _C)
     params = params.reshape(n_traj, 1, width)

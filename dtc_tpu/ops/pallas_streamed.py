@@ -281,9 +281,20 @@ def _make_streamed_kernel(L: int, T: int, q: int, b0: int, CS: int,
                 z13 = jnp.where(j * CS < _C // 2, 1.0, -1.0)
                 mr, mi = _cmul(mr, mi, jnp.cos(s13),
                                (z13 * z14m) * jnp.sin(s13))
-                # A(t) partial: zq is a column sign (q < 14)
-                zq = (1 - 2 * (((j * CS + csl) >> q) & 1)).astype(
-                    jnp.float32)[:, None, :]
+                # A(t) partial: z_q is a column sign for q < 14, else a
+                # sign over the composite (r2, m) row index r2*128 + m
+                # whose bit (q - 14) is the probe bit (m = bits 14..20,
+                # r2 = bits 21..L-1; mr is (R2, 128, CS) here)
+                if q < 14:
+                    zq = (1 - 2 * (((j * CS + csl) >> q) & 1)).astype(
+                        jnp.float32)[:, None, :]
+                else:
+                    r2v = jax.lax.broadcasted_iota(
+                        jnp.int32, (R2, 1, 1), 0)
+                    mv = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 128, 1), 1)
+                    zq = (1 - 2 * (((r2v * 128 + mv) >> (q - 14)) & 1)
+                          ).astype(jnp.float32)
                 acc[0] = acc[0] + jnp.sum((mr * mr + mi * mi) * zq)
                 bslab[s, 0] = mr.reshape(R, CS)
                 bslab[s, 1] = mi.reshape(R, CS)
@@ -582,9 +593,14 @@ def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int,
         n_active = par_ref[0, 0, width - 4].astype(jnp.int32)
         jax.lax.fori_loop(0, n_active, step, None)
 
-        # terminal measurement sweep (read-only): raw sum |v|^2 z_q
+        # terminal measurement sweep (read-only): raw sum |v|^2 z_q —
+        # column sign for q < 14, else a sign over the global row index
+        # i*_RS + r (row bits 14..L-1)
         acc[0] = 0.0
-        zq_m = (1 - 2 * ((cloc >> q) & 1)).astype(jnp.float32)
+        if q < 14:
+            zq_m = (1 - 2 * ((cloc >> q) & 1)).astype(jnp.float32)
+        else:
+            rloc_m = jax.lax.broadcasted_iota(jnp.int32, (_RS, 1), 0)
 
         def meas_body(i, _):
             s = i % 2
@@ -596,7 +612,10 @@ def _make_streamed_echo_kernel(L: int, T2: int, q: int, b0: int, CS: int,
 
             mr = aslab[s, 0]
             mi = aslab[s, 1]
-            acc[0] = acc[0] + jnp.sum((mr * mr + mi * mi) * zq_m)
+            zz = zq_m if q < 14 else (
+                1 - 2 * (((i * _RS + rloc_m) >> (q - 14)) & 1)
+            ).astype(jnp.float32)
+            acc[0] = acc[0] + jnp.sum((mr * mr + mi * mi) * zz)
             return _
 
         loadA(0, 0).start()
@@ -628,7 +647,8 @@ def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                         interpret=False, ext_tiles=None, ext_sig=None):
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2), (n_ts,) -> (inst, c, n_ts).
 
-    HBM-streamed echo A0(t) for 22 <= L <= 28 (constant x drive, q < 14):
+    HBM-streamed echo A0(t) for 22 <= L <= 28 (constant x drive, any
+    probe q < L):
     per (trajectory, t) pair the kernel runs the first 2t steps of a
     2T-step masked schedule (per-pair dynamic trip count) with the state in
     HBM and two double-buffered DMA sweeps per step — the streamed
@@ -646,8 +666,8 @@ def streamed_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
         raise ValueError("streamed kernel supports 22 <= L <= 28")
     if T > 512:
         raise ValueError("streamed echo supports T <= 512 (2T-step tiles)")
-    if q >= 14:
-        raise ValueError("streamed kernel requires probe qubit q < 14")
+    if not (0 <= q < L):
+        raise ValueError("streamed kernel requires probe qubit q < L")
     from dtc_tpu.ops.pallas_resident import echo_pair_tiles
 
     R = 1 << (L - 14)
@@ -732,7 +752,7 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2) -> (inst, c, T).
 
     HBM-streamed x-polarized forward autocorrelator for 22 <= L <= 28
-    (constant schedules; q < 14). Mirrors resident_forward_batch
+    (constant schedules; any probe q < L). Mirrors resident_forward_batch
     (ops/pallas_resident.py) above the VMEM limit.
 
     ext_rows (inst, c, T, width) / ext_sig (inst, c, T): externally packed
@@ -747,10 +767,8 @@ def streamed_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
         raise ValueError("streamed kernel supports 22 <= L <= 28")
     if T > 1024:
         raise ValueError("streamed kernel supports T <= 1024")
-    if q >= 14:
-        # pass B computes A(t) by shifting zq through the 14 low column
-        # bits; q >= 14 would silently return zq=1 everywhere
-        raise ValueError("streamed kernel requires probe qubit q < 14")
+    if not (0 <= q < L):
+        raise ValueError("streamed kernel requires probe qubit q < L")
     # NOTE schedule constancy is a dispatch-side contract: only
     # angles[0, 0, 0] is read (constant x-kick). engine._forward_batch
     # only routes time-independent x drives here.

@@ -36,6 +36,7 @@ AerSimulator device="GPU" — autocorr-delta-a-single-qiskit-fast.py:156).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -257,9 +258,20 @@ def _make_hi_kernel(L: int, T: int, q: int, b0: int, MS: int, CS: int,
                 q2 = _dot_f32(gi, xi)
                 q3 = _dot_f32(gr + gi, xr + xi)
                 mr, mi = q1 - q2, q3 - q1 - q2
-                # A(t) partial: zq is a column sign (q < 14)
-                zq = (1 - 2 * (((jc * CS + csl) >> q) & 1)).astype(
-                    jnp.float32)
+                # A(t) partial: z_q is a column sign for q < 14, else a
+                # sign over the composite (r2, m) row index
+                # r2*128 + (jm*MS + m), whose bit (q - 14) is the probe
+                # bit (m = bits 14..20, r2 = bits 21..L-1)
+                if q < 14:
+                    zq = (1 - 2 * (((jc * CS + csl) >> q) & 1)).astype(
+                        jnp.float32)
+                else:
+                    r2v = jax.lax.broadcasted_iota(
+                        jnp.int32, (R2, 1, 1), 0)
+                    mv = jm * MS + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, MS, 1), 1)
+                    zq = (1 - 2 * (((r2v * 128 + mv) >> (q - 14)) & 1)
+                          ).astype(jnp.float32)
                 mr3 = mr.reshape(R2, MS, CS)
                 mi3 = mi.reshape(R2, MS, CS)
                 acc[0] = acc[0] + jnp.sum((mr3 * mr3 + mi3 * mi3) * zq)
@@ -543,9 +555,14 @@ def _make_hi_echo_kernel(L: int, T2: int, q: int, b0: int, MS: int, CS: int,
         n_active = par_ref[0, 0, width - 4].astype(jnp.int32)
         jax.lax.fori_loop(0, n_active, step, None)
 
-        # terminal measurement sweep (read-only): raw sum |v|^2 z_q
+        # terminal measurement sweep (read-only): raw sum |v|^2 z_q —
+        # column sign for q < 14, else composite-row sign over
+        # i*128 + m (slab i = r2 block bits 21.., rows = m bits 14..20)
         acc[0] = 0.0
-        zq_m = (1 - 2 * ((cloc >> q) & 1)).astype(jnp.float32)
+        if q < 14:
+            zq_m = (1 - 2 * ((cloc >> q) & 1)).astype(jnp.float32)
+        else:
+            rloc_m = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
 
         def meas_body(i, _):
             s = i % NSA
@@ -557,7 +574,10 @@ def _make_hi_echo_kernel(L: int, T2: int, q: int, b0: int, MS: int, CS: int,
 
             mr = aslab[s, 0]
             mi = aslab[s, 1]
-            acc[0] = acc[0] + jnp.sum((mr * mr + mi * mi) * zq_m)
+            zz = zq_m if q < 14 else (
+                1 - 2 * (((i * 128 + rloc_m) >> (q - 14)) & 1)
+            ).astype(jnp.float32)
+            acc[0] = acc[0] + jnp.sum((mr * mr + mi * mi) * zz)
             return _
 
         loadA(0, 0).start()
@@ -588,7 +608,8 @@ def streamed_hi_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2) -> (inst, c, T).
 
     r2-blocked HBM-streamed x-polarized forward autocorrelator for
-    22 <= L <= 30 (constant schedules; q < 14). The single-chip L=29/30
+    22 <= L <= 30 (constant schedules; any probe q < L — a column sign
+    for q < 14, a row/block sign above). The single-chip L=29/30
     engine — bounded slab sizes for every L (see module docstring).
 
     ext_rows (inst, c, T, width) / ext_sig (inst, c, T): externally packed
@@ -604,8 +625,8 @@ def streamed_hi_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
         raise ValueError("streamed-hi kernel supports 22 <= L <= 30")
     if T > 1024:
         raise ValueError("streamed-hi kernel supports T <= 1024")
-    if q >= 14:
-        raise ValueError("streamed-hi kernel requires probe qubit q < 14")
+    if not (0 <= q < L):
+        raise ValueError("streamed-hi kernel requires probe qubit q < L")
     # NOTE schedule constancy is a dispatch-side contract: only
     # angles[0, 0, 0] is read (constant x-kick).
     R2 = 1 << (L - 21)
@@ -614,7 +635,13 @@ def streamed_hi_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
         raise ValueError(f"bad pass-B geometry (MS={MS}, CS={CS})")
     width = 128 if 5 * L - 2 <= 128 else 256
     NSA = min(2, R2)
-    NSB = min(4, (128 // MS) * (_C // CS))
+    # L=30 sits 944 KB past the 122 MB scoped-VMEM cap with a 4-slot
+    # pass-B ring (measured: "Scoped allocation with size 122.92M");
+    # 3 slots still double-buffer the prefetch and recover 8 MB.
+    # DTC_TPU_HI_NSB overrides for cross-checks/tuning.
+    NSB = min(int(os.environ.get("DTC_TPU_HI_NSB",
+                                 "3" if R2 >= 512 else "4")),
+              (128 // MS) * (_C // CS))
     b0 = 0 if initial_state == "vacuum" else neel_index(L)
     s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
     theta = angles[0, 0, 0]
@@ -702,7 +729,7 @@ def streamed_hi_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2), (n_ts,) -> (inst, c, n_ts).
 
     r2-blocked HBM-streamed echo A0(t) for 22 <= L <= 30 (constant x
-    drive, q < 14) — the single-chip L=29/30 ECHO engine. Per
+    drive, any probe q < L) — the single-chip L=29/30 ECHO engine. Per
     (trajectory, t) pair the kernel runs the first 2t steps of a 2T-step
     masked schedule (per-pair dynamic trip count) with the hi forward
     kernel's bounded-slab DMA sweeps and the resident echo's (pre, post)
@@ -722,8 +749,8 @@ def streamed_hi_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
         raise ValueError("streamed-hi kernel supports 22 <= L <= 30")
     if T > 512:
         raise ValueError("streamed-hi echo supports T <= 512 (2T-step tiles)")
-    if q >= 14:
-        raise ValueError("streamed-hi kernel requires probe qubit q < 14")
+    if not (0 <= q < L):
+        raise ValueError("streamed-hi kernel requires probe qubit q < L")
     from dtc_tpu.ops.pallas_resident import echo_pair_tiles
 
     R2 = 1 << (L - 21)

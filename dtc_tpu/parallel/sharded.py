@@ -359,7 +359,8 @@ def make_sharded_autocorr_forward_kernel(
     (ops/pallas_cycle_hi, two bounded DMA sweeps per cycle) — kernel-rate
     sharding up to L = 30 + log2(n_amp). Requires a constant x-only
     schedule (only angles[0,0,0] is read — the engine dispatch contract
-    shared with ops/pallas_streamed), K=1 and q < 14.
+    shared with ops/pallas_streamed), K=1 and a shard-local probe
+    q < L - log2(n_amp) (column sign for q < 14, row/block sign above).
     DTC_TPU_SHARDED_HI_MIN_LB (default 24, min 22) lowers the hi-kernel
     crossover for cross-checks.
 
@@ -382,8 +383,10 @@ def make_sharded_autocorr_forward_kernel(
         raise ValueError(
             f"cycle-kernel sharding needs 17 <= L - log2(n_amp) <= 30 "
             f"(got L={L}, n_amp={n_amp}: local_bits={local_bits})")
-    if q >= 14:
-        raise ValueError("cycle-kernel sharding requires probe qubit q < 14")
+    if not (0 <= q < local_bits):
+        raise ValueError(
+            "cycle-kernel sharding requires a shard-local probe qubit "
+            f"q < L - log2(n_amp) = {local_bits} (got q={q})")
     use_hi = local_bits >= max(
         22, int(os.environ.get("DTC_TPU_SHARDED_HI_MIN_LB", "24")))
     width = 128 if 5 * local_bits - 2 <= 128 else 256
@@ -503,7 +506,8 @@ def make_sharded_echo_kernel(
 
     Same signature as make_sharded_echo: fn(angles, hs, phis,
     keys (n_traj,2), t_value) -> scalar; requires a constant x-only
-    schedule, q < 14, and 17 <= L - log2(n_amp) <= 30 (L_loc >= 24 rides
+    schedule, shard-local probe q < L_loc, and 17 <= L_loc <= 30
+    (L_loc = L - log2(n_amp); L_loc >= 24 rides
     the r2-blocked HBM-streamed per-shard kernels, ops/pallas_cycle_hi —
     see make_sharded_autocorr_forward_kernel; DTC_TPU_SHARDED_HI_MIN_LB
     lowers the crossover to 22 for cross-checks).
@@ -525,8 +529,10 @@ def make_sharded_echo_kernel(
         raise ValueError(
             f"cycle-kernel sharding needs 17 <= L - log2(n_amp) <= 30 "
             f"(got L={L}, n_amp={n_amp}: local_bits={local_bits})")
-    if q >= 14:
-        raise ValueError("cycle-kernel sharding requires probe qubit q < 14")
+    if not (0 <= q < local_bits):
+        raise ValueError(
+            "cycle-kernel sharding requires a shard-local probe qubit "
+            f"q < L - log2(n_amp) = {local_bits} (got q={q})")
     use_hi = local_bits >= max(
         22, int(os.environ.get("DTC_TPU_SHARDED_HI_MIN_LB", "24")))
     width = 128 if 5 * local_bits - 2 <= 128 else 256
@@ -732,7 +738,8 @@ def make_sharded_autocorr_forward_general(
 
     Same signature/semantics as make_sharded_autocorr_forward; matches it
     trajectory-for-trajectory (identical uniform draws) at the bf16x3 dot
-    level. Requires q < 14 and 17 <= L - log2(n_amp) <= 23.
+    level. Requires a shard-local probe q < L - log2(n_amp) and
+    17 <= L - log2(n_amp) <= 23.
     """
     from dtc_tpu.core.sigma_evolve import _codes_from_uniform, _masks_from_codes
     from dtc_tpu.ops.pallas_cycle import general_cycle_forward_apply
@@ -752,8 +759,10 @@ def make_sharded_autocorr_forward_general(
         raise ValueError(
             f"general cycle-kernel sharding needs 17 <= L - log2(n_amp) "
             f"<= 23 (got L={L}, n_amp={n_amp}: local_bits={local_bits})")
-    if q >= 14:
-        raise ValueError("cycle-kernel sharding requires probe qubit q < 14")
+    if not (0 <= q < local_bits):
+        raise ValueError(
+            "cycle-kernel sharding requires a shard-local probe qubit "
+            f"q < L - log2(n_amp) = {local_bits} (got q={q})")
     M = 1 << local_bits
     TOP = M // _C
     af = ((1.0 - p) ** 6 if p > 0 else 1.0
@@ -863,7 +872,8 @@ def make_sharded_echo_general(
     restricted to local bits. Padding steps are a no-op branch.
 
     Same signature as make_sharded_echo: fn(angles, hs, phis,
-    keys (n_traj,2), t_value) -> scalar; requires q < 14 and
+    keys (n_traj,2), t_value) -> scalar; requires a shard-local probe
+    q < L - log2(n_amp) and
     17 <= L - log2(n_amp) <= 23. Matches make_sharded_echo
     trajectory-for-trajectory (identical uniform draws).
     """
@@ -888,8 +898,10 @@ def make_sharded_echo_general(
         raise ValueError(
             f"general cycle-kernel sharding needs 17 <= L - log2(n_amp) "
             f"<= 23 (got L={L}, n_amp={n_amp}: local_bits={local_bits})")
-    if q >= 14:
-        raise ValueError("cycle-kernel sharding requires probe qubit q < 14")
+    if not (0 <= q < local_bits):
+        raise ValueError(
+            "cycle-kernel sharding requires a shard-local probe qubit "
+            f"q < L - log2(n_amp) = {local_bits} (got q={q})")
     M = 1 << local_bits
     TOP = M // _C
     af = ((1.0 - p) ** 6 if p > 0 else 1.0

@@ -204,6 +204,52 @@ def test_streamed_hi_kernel_interpret_parity():
     assert s[0, 0, 1] > 0
 
 
+def test_streamed_row_probe_interpret_parity():
+    """Probe qubits ABOVE the column bits (q >= 14 — the reference default
+    q = L//2 lands there for every L >= 28, e.g. q=14 at L=28 and q=16 for
+    L=32 sharded over 4 chips): the A(t) fold becomes a row/block sign
+    over the (r2, m) state-index bits instead of a lane sign. Covers the
+    m band (q=17) on both streamed kernels + the echo terminal sweep, and
+    the r2 band (q=21) on the hi kernel, vs the sigma engine (which is
+    q-generic) with identical presampled uniforms."""
+    from dtc_tpu.ops.pallas_streamed import streamed_forward_batch
+    from dtc_tpu.ops.pallas_streamed_hi import (
+        streamed_hi_echo_batch,
+        streamed_hi_forward_batch,
+    )
+
+    L, T, p = 22, 2, 0.6
+    hs, phis, ang, keys = _setup(L, T)
+    s17 = np.asarray(sigma_forward_batch(hs, phis, ang, keys, L=L, T=T,
+                                         K=1, p=p, q=17, has_y=False,
+                                         **SKW))
+    b = np.asarray(streamed_forward_batch(hs, phis, ang, keys, L=L, T=T,
+                                          p=p, q=17, interpret=True))
+    assert np.max(np.abs(b - s17)) < 1e-4
+    h17 = np.asarray(streamed_hi_forward_batch(
+        hs, phis, ang, keys, L=L, T=T, p=p, q=17, interpret=True))
+    assert np.max(np.abs(h17 - s17)) < 1e-4
+    # r2 band (bits 21..): L=22 has exactly one r2 bit
+    s21 = np.asarray(sigma_forward_batch(hs, phis, ang, keys, L=L, T=T,
+                                         K=1, p=p, q=21, has_y=False,
+                                         **SKW))
+    h21 = np.asarray(streamed_hi_forward_batch(
+        hs, phis, ang, keys, L=L, T=T, p=p, q=21, interpret=True))
+    assert np.max(np.abs(h21 - s21)) < 1e-4
+    assert np.max(np.abs(s17 - s21)) > 1e-3  # distinct probes, real signal
+    ts = jnp.asarray([2])
+    se = np.asarray(sigma_echo_batch(hs, phis, ang, keys, ts, L=L, T=T,
+                                     K=1, p=p, q=17, has_y=False, **SKW))
+    he = np.asarray(streamed_hi_echo_batch(hs, phis, ang, keys, ts, L=L,
+                                           T=T, p=p, q=17, interpret=True))
+    assert np.max(np.abs(he - se)) < 1e-4
+    from dtc_tpu.ops.pallas_streamed import streamed_echo_batch
+
+    ee = np.asarray(streamed_echo_batch(hs, phis, ang, keys, ts, L=L, T=T,
+                                        p=p, q=17, interpret=True))
+    assert np.max(np.abs(ee - se)) < 1e-4
+
+
 def test_streamed_hi_echo_interpret_parity():
     """The r2-blocked streamed ECHO kernel (the single-chip L=29/30 echo
     engine) at its minimum geometry L=22/T=2: per-pair dynamic trip

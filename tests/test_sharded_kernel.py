@@ -28,11 +28,16 @@ from dtc_tpu.parallel.sharded import (
 )
 
 
-@pytest.mark.parametrize("L,n_amp,n_traj", [(18, 2, 2), (19, 4, 2)])
-def test_cycle_kernel_matches_xla_sharded(L, n_amp, n_traj):
+@pytest.mark.parametrize("L,n_amp,n_traj,q", [
+    (18, 2, 2, None), (19, 4, 2, None), (18, 2, 2, 15)])
+def test_cycle_kernel_matches_xla_sharded(L, n_amp, n_traj, q):
     """L=18/n_amp=2 exercises the boundary bond + one global kick;
-    L=19/n_amp=4 adds a shard-shard bond and a second ppermute bit."""
-    T, p, q = 3, 0.6, L // 2
+    L=19/n_amp=4 adds a shard-shard bond and a second ppermute bit;
+    q=15 rides the kernel's TOP-row probe sign (shard-local bits >= 14 —
+    the band the reference default q = L//2 hits on every L >= 28
+    sharded run)."""
+    T, p = 3, 0.6
+    q = L // 2 if q is None else q
     hs, phis = generate_disorder(L, 1, seed=5)
     hs = jnp.asarray(hs[0])
     phis = jnp.asarray(phis[0])
@@ -65,12 +70,13 @@ def test_cycle_kernel_noiseless_and_rejects():
     assert abs(a_k[0] - 1.0) < 1e-6  # A(0) = 1 noiseless
     assert np.max(np.abs(a_k - a_x)) < 1e-4
 
-    # local_bits outside the blocked range and q >= 14 must raise
+    # local_bits outside the blocked range and a non-shard-local probe
+    # (q >= L - log2(n_amp)) must raise
     with pytest.raises(ValueError):
         make_sharded_autocorr_forward_kernel(
             make_mesh(n_amp=8, n_traj=1), L=18, T=T, p=0.0, q=q)
     with pytest.raises(ValueError):
-        make_sharded_autocorr_forward_kernel(mesh, L=18, T=T, p=0.0, q=14)
+        make_sharded_autocorr_forward_kernel(mesh, L=18, T=T, p=0.0, q=17)
 
 
 def test_cycle_inverse_roundtrip():
@@ -203,6 +209,15 @@ def test_sharded_run_dispatch(monkeypatch):
     mesh = make_mesh(n_amp=2, n_traj=4)
     assert _cycle_kernel_ok(mesh, sched, cfg) is (
         jax.default_backend() == "tpu")
+    # local_bits 24..30 rides the r2-blocked HBM-streamed per-shard
+    # kernels (ops/pallas_cycle_hi): L=32 over 4 amp shards is eligible,
+    # one past the hi envelope is not
+    assert _cycle_kernel_ok(
+        make_mesh(n_amp=4, n_traj=2), sched, SimConfig(L=32, tf=3, g=0.97)
+    ) is (jax.default_backend() == "tpu")
+    assert _cycle_kernel_ok(
+        make_mesh(n_amp=2, n_traj=4), sched, SimConfig(L=33, tf=3, g=0.97)
+    ) is False
     monkeypatch.setenv("DTC_TPU_SHARDED_ENGINE", "xla")
     assert _cycle_kernel_ok(mesh, sched, cfg) is False
     monkeypatch.setenv("DTC_TPU_SHARDED_ENGINE", "bogus")
@@ -356,7 +371,10 @@ def test_hi_cycle_kernel_sharded_parity(monkeypatch):
     reshape seam between the kernel and the XLA global ops all covered."""
     monkeypatch.setenv("DTC_TPU_SHARDED_HI_MIN_LB", "22")
     L, n_amp, n_traj, T, p = 23, 2, 1, 2, 0.6
-    q = 11
+    # q=16 rides the hi kernel's composite (r2, m) row probe sign — the
+    # band the reference default q = L//2 hits on every sharded L >= 28
+    # run (q < 14 column-sign coverage comes from the unsharded hi tests)
+    q = 16
     hs, phis = generate_disorder(L, 1, seed=5)
     hs = jnp.asarray(hs[0])
     phis = jnp.asarray(phis[0])
