@@ -185,9 +185,10 @@ def test_streamed_echo_rejects_bad_args():
     ts = jnp.asarray([1, 2])
     with pytest.raises(ValueError, match="22 <= L <= 28"):
         streamed_echo_batch(hs, phis, ang, keys, ts, L=21, T=4, p=0.05, q=5)
-    with pytest.raises(ValueError, match="q < 14"):
+    # q = 14 is VALID since the row-probe fold (any q < L); q >= L raises
+    with pytest.raises(ValueError, match="q < L"):
         streamed_echo_batch(jnp.zeros((1, 22)), jnp.zeros((1, 21)), ang,
-                            keys, ts, L=22, T=4, p=0.05, q=14)
+                            keys, ts, L=22, T=4, p=0.05, q=22)
 
 
 def test_blocked_rejects_bad_args():
