@@ -13,6 +13,24 @@ from dtc_tpu.experiments.engine import traj_chunks
 from dtc_tpu.models.device_noise import fake_device_model
 
 
+# dense-gather support ceiling: the per-gate gather engine
+# (core.device_evolve.device_autocorr_forward/echo) crashes the TPU worker
+# above ~L=24 (docs/PERFORMANCE.md round-3 notes) — it is the only device-
+# noise path for general (non-x / K>1) polarizations, so those requests
+# must fail loudly instead of killing the worker mid-sweep.
+_GATHER_MAX_L = 24
+
+
+def _guard_gather_path(cfg):
+    if cfg.L > _GATHER_MAX_L and jax.default_backend() != "cpu":
+        raise ValueError(
+            f"device-noise {cfg.polarization!r} polarization at L={cfg.L} has "
+            f"no safe engine: general polarizations run the dense gather path, "
+            f"which crashes the TPU worker above L={_GATHER_MAX_L}. Supported: "
+            f"x-polarization (kernel/sigma engines) up to L=30, general "
+            f"polarizations up to L={_GATHER_MAX_L}.")
+
+
 def _model(cfg):
     return fake_device_model(
         cfg.L, getattr(cfg, "fake_device", "brisbane"), seed=cfg.seed + 7,
@@ -63,6 +81,7 @@ def device_forward_sweep(cfg, sched, params, key) -> np.ndarray:
         run = lambda h, ph, keys: device_sigma_forward_batch(
             h, ph, p1, p2, sched.angles, keys, **kw)
     else:
+        _guard_gather_path(cfg)
         kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, q=cfg.probe_qubit,
                   initial_state=cfg.initial_state, dtype_name=cfg.dtype,
                   ancilla_factor=af)
@@ -155,6 +174,7 @@ def device_echo_sweep(cfg, sched, params, key, *, t_chunk: int = 4) -> np.ndarra
             done += c
         return out / n_traj
 
+    _guard_gather_path(cfg)
     kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, q=cfg.probe_qubit,
               initial_state=cfg.initial_state, dtype_name=cfg.dtype,
               ancilla_factor=af)

@@ -739,15 +739,23 @@ def make_sharded_autocorr_forward_general(
     Same signature/semantics as make_sharded_autocorr_forward; matches it
     trajectory-for-trajectory (identical uniform draws) at the bf16x3 dot
     level. Requires a shard-local probe q < L - log2(n_amp) and
-    17 <= L - log2(n_amp) <= 23.
+    17 <= L - log2(n_amp) <= 30: shards through 23 ride the VMEM-resident
+    general per-shard kernel (ops/pallas_cycle), 24..30 the r2-blocked
+    HBM-streamed general kernel (ops/pallas_cycle_hi_general;
+    DTC_TPU_SHARDED_HI_MIN_LB lowers the crossover to 22 for
+    cross-checks) — kernel-rate general-drive sharding up to
+    L = 30 + log2(n_amp).
     """
     from dtc_tpu.core.sigma_evolve import _codes_from_uniform, _masks_from_codes
     from dtc_tpu.ops.pallas_cycle import general_cycle_forward_apply
+    from dtc_tpu.ops.pallas_cycle_hi_general import (
+        general_hi_cycle_forward_apply,
+        general_hi_width,
+    )
     from dtc_tpu.ops.pallas_resident import _C
     from dtc_tpu.ops.pallas_resident_general import (
         _LANE_U8,
         _bits_row,
-        _flag_lanes,
         slot_u8,
     )
 
@@ -755,14 +763,17 @@ def make_sharded_autocorr_forward_general(
     n_traj_dev = mesh.shape["traj"]
     k_bits = int(np.log2(n_amp))
     local_bits = L - k_bits
-    if not (17 <= local_bits <= 23):
+    if not (17 <= local_bits <= 30):
         raise ValueError(
             f"general cycle-kernel sharding needs 17 <= L - log2(n_amp) "
-            f"<= 23 (got L={L}, n_amp={n_amp}: local_bits={local_bits})")
+            f"<= 30 (got L={L}, n_amp={n_amp}: local_bits={local_bits})")
     if not (0 <= q < local_bits):
         raise ValueError(
             "cycle-kernel sharding requires a shard-local probe qubit "
             f"q < L - log2(n_amp) = {local_bits} (got q={q})")
+    use_hi = local_bits >= max(
+        22, int(os.environ.get("DTC_TPU_SHARDED_HI_MIN_LB", "24")))
+    width = general_hi_width(local_bits) if use_hi else 128
     M = 1 << local_bits
     TOP = M // _C
     af = ((1.0 - p) ** 6 if p > 0 else 1.0
@@ -774,7 +785,7 @@ def make_sharded_autocorr_forward_general(
 
     def local_fn(angles, hs, phis, keys):
         u8 = jax.vmap(jax.vmap(lambda a: slot_u8(a[0], a[1])))(angles)
-        FL = _flag_lanes(local_bits)
+        FL = width - (4 * local_bits - 1)
         flags = jnp.zeros((T, K, FL), jnp.float32)
         flags = flags.at[:, :, _LANE_U8:_LANE_U8 + 8].set(u8)
         h_loc = hs[:local_bits].astype(jnp.float32)
@@ -813,8 +824,14 @@ def make_sharded_autocorr_forward_general(
 
         def body(st, inp):
             ang, tiles_t, sigb_t, zmp_t, zmf_t, csf_t = inp
-            st, a_part = general_cycle_forward_apply(
-                st, tiles_t, L=local_bits, K=K, q=q, interpret=interpret)
+            if use_hi:
+                st, a_part = general_hi_cycle_forward_apply(
+                    st, tiles_t, L=local_bits, K=K, q=q,
+                    interpret=interpret)
+                st = st.reshape(n, 2, TOP, _C)
+            else:
+                st, a_part = general_cycle_forward_apply(
+                    st, tiles_t, L=local_bits, K=K, q=q, interpret=interpret)
             if k_bits:
                 for k in range(K):
                     st = _global_general_slot_kick(
@@ -873,8 +890,10 @@ def make_sharded_echo_general(
 
     Same signature as make_sharded_echo: fn(angles, hs, phis,
     keys (n_traj,2), t_value) -> scalar; requires a shard-local probe
-    q < L - log2(n_amp) and
-    17 <= L - log2(n_amp) <= 23. Matches make_sharded_echo
+    q < L - log2(n_amp) and 17 <= L - log2(n_amp) <= 30 (shards past the
+    VMEM kernel's 23 ride the r2-blocked HBM-streamed general kernels,
+    ops/pallas_cycle_hi_general; DTC_TPU_SHARDED_HI_MIN_LB lowers the
+    crossover to 22 for cross-checks). Matches make_sharded_echo
     trajectory-for-trajectory (identical uniform draws).
     """
     from dtc_tpu.core.sigma_evolve import _codes_from_uniform, _masks_from_codes
@@ -882,11 +901,15 @@ def make_sharded_echo_general(
         general_cycle_forward_apply,
         general_cycle_inverse_apply,
     )
+    from dtc_tpu.ops.pallas_cycle_hi_general import (
+        general_hi_cycle_forward_apply,
+        general_hi_cycle_inverse_apply,
+        general_hi_width,
+    )
     from dtc_tpu.ops.pallas_resident import _C
     from dtc_tpu.ops.pallas_resident_general import (
         _LANE_U8,
         _bits_row,
-        _flag_lanes,
         slot_u8,
     )
 
@@ -894,14 +917,17 @@ def make_sharded_echo_general(
     n_traj_dev = mesh.shape["traj"]
     k_bits = int(np.log2(n_amp))
     local_bits = L - k_bits
-    if not (17 <= local_bits <= 23):
+    if not (17 <= local_bits <= 30):
         raise ValueError(
             f"general cycle-kernel sharding needs 17 <= L - log2(n_amp) "
-            f"<= 23 (got L={L}, n_amp={n_amp}: local_bits={local_bits})")
+            f"<= 30 (got L={L}, n_amp={n_amp}: local_bits={local_bits})")
     if not (0 <= q < local_bits):
         raise ValueError(
             "cycle-kernel sharding requires a shard-local probe qubit "
             f"q < L - log2(n_amp) = {local_bits} (got q={q})")
+    use_hi = local_bits >= max(
+        22, int(os.environ.get("DTC_TPU_SHARDED_HI_MIN_LB", "24")))
+    width = general_hi_width(local_bits) if use_hi else 128
     M = 1 << local_bits
     TOP = M // _C
     af = ((1.0 - p) ** 6 if p > 0 else 1.0
@@ -930,7 +956,7 @@ def make_sharded_echo_general(
             lambda a: slot_u8(a[0], a[1], inverse=True)))(
                 jnp.flip(ang_c, axis=1))                     # (T2, K, 8)
 
-        FL = _flag_lanes(local_bits)
+        FL = width - (4 * local_bits - 1)
         h_loc = hs[:local_bits].astype(jnp.float32)
         ph_loc = phis[: local_bits - 1].astype(jnp.float32)
         flags_f = jnp.zeros((T2, K, FL), jnp.float32
@@ -995,8 +1021,13 @@ def make_sharded_echo_general(
 
         def br_fwd(op):
             st, ang_t, rf, ri, sigb, zmp, zmf, csf = op
-            st, _ = general_cycle_forward_apply(
-                st, rf, L=local_bits, K=K, q=q, interpret=interpret)
+            if use_hi:
+                st, _ = general_hi_cycle_forward_apply(
+                    st, rf, L=local_bits, K=K, q=q, interpret=interpret)
+                st = st.reshape(n, 2, TOP, _C)
+            else:
+                st, _ = general_cycle_forward_apply(
+                    st, rf, L=local_bits, K=K, q=q, interpret=interpret)
             if k_bits:
                 for k in range(K):
                     st = _global_general_slot_kick(
@@ -1018,6 +1049,10 @@ def make_sharded_echo_general(
                     st = _global_general_slot_kick(
                         st, ang_t[j, 0], ang_t[j, 1], sigb[:, j], zw,
                         local_bits=local_bits, n_amp=n_amp, dagger=True)
+            if use_hi:
+                st = general_hi_cycle_inverse_apply(
+                    st, ri, L=local_bits, K=K, interpret=interpret)
+                return st.reshape(n, 2, TOP, _C)
             return general_cycle_inverse_apply(
                 st, ri, L=local_bits, K=K, interpret=interpret)
 

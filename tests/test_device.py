@@ -561,6 +561,44 @@ def test_device_engine_env_dispatch(monkeypatch):
     assert out.shape == (1, 2) and np.all(np.isfinite(out))
 
 
+def test_device_general_pol_gather_cliff_guard(monkeypatch):
+    """General-polarization device noise has only the dense gather engine,
+    which crashes the TPU worker above ~L=24 (docs/PERFORMANCE.md): on a
+    TPU backend such requests must raise a clear ValueError BEFORE any
+    compute, forward and echo alike; x-polarization at the same L must
+    still dispatch (kernel/sigma engines cover it to L=30), and CPU runs
+    (where the gather path is safe) are not blocked."""
+    import pytest as _pytest
+
+    from dtc_tpu.experiments import device_sweeps
+    from dtc_tpu.experiments.device_sweeps import (
+        device_echo_sweep,
+        device_forward_sweep,
+    )
+    from dtc_tpu.experiments.engine import build_context
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.utils.config import SimConfig
+
+    L = 26
+    cfg = SimConfig(L=L, tf=2, g=0.9, use_fakebackend=1, n_trajectories=2,
+                    polarization="y")
+    hs, phis = generate_disorder(L, 1, seed=1)
+    sched, params, _ = build_context(cfg, hs, phis)
+    key = jax.random.PRNGKey(0)
+    monkeypatch.setattr(device_sweeps.jax, "default_backend", lambda: "tpu")
+    with _pytest.raises(ValueError, match="dense gather"):
+        device_echo_sweep(cfg, sched, params, key)
+    with _pytest.raises(ValueError, match="dense gather"):
+        device_forward_sweep(cfg, sched, params, key)
+    # at/below the ceiling the general path stays available (no raise at
+    # dispatch time; don't run the sweep — just check the guard helper)
+    cfg_ok = SimConfig(L=24, tf=2, g=0.9, use_fakebackend=1,
+                       n_trajectories=2, polarization="y")
+    device_sweeps._guard_gather_path(cfg_ok)
+    monkeypatch.setattr(device_sweeps.jax, "default_backend", lambda: "cpu")
+    device_sweeps._guard_gather_path(cfg)  # CPU: gather path is safe
+
+
 def test_qiskit_properties_import_roundtrip(tmp_path):
     """C9 calibration ingest: a Qiskit BackendProperties.to_dict() snapshot
     (the schema FakeBrisbane().properties() exports — what the reference's

@@ -394,3 +394,44 @@ def test_hi_cycle_kernel_sharded_parity(monkeypatch):
     a = float(e_x(sched.angles, hs, phis, keys, jnp.asarray(T)))
     b = float(e_k(sched.angles, hs, phis, keys, jnp.asarray(T)))
     assert abs(a - b) < 1e-4, (a, b)
+
+
+@pytest.mark.parametrize("pol,K", [("y", 1), ("circular_left", 2)])
+def test_general_hi_cycle_kernel_sharded_parity(monkeypatch, pol, K):
+    """Sharded GENERAL (lab-frame) forward + echo through the r2-blocked
+    per-shard kernels (ops/pallas_cycle_hi_general, forced at the
+    interpret-feasible L_loc=22 via DTC_TPU_SHARDED_HI_MIN_LB; production
+    crossover is 24 where the VMEM general kernel cannot run) vs the XLA
+    sharded engine with identical presampled noise on the virtual mesh.
+    y covers K=1 with Y-kicks (no sigma symmetry); circular_left covers
+    K=2 slots with a time-dependent schedule (reversed slot order +
+    daggered slot unitaries on the inverse steps). q=16 rides the
+    composite (r2, m) row probe sign."""
+    from dtc_tpu.parallel.sharded import (
+        make_sharded_autocorr_forward_general,
+        make_sharded_echo_general,
+    )
+
+    monkeypatch.setenv("DTC_TPU_SHARDED_HI_MIN_LB", "22")
+    L, n_amp, n_traj, T, p, q = 23, 2, 1, 2, 0.6, 16
+    hs, phis = generate_disorder(L, 1, seed=5)
+    hs = jnp.asarray(hs[0])
+    phis = jnp.asarray(phis[0])
+    sched = build_kick_schedule(pol, 0.97, T)
+    mesh = make_mesh(n_amp=n_amp, n_traj=n_traj)
+    keys = jax.random.split(jax.random.PRNGKey(11), 2 * n_traj)
+
+    f_x = make_sharded_autocorr_forward(mesh, L=L, T=T, K=K, p=p, q=q,
+                                        has_y=True)
+    f_g = make_sharded_autocorr_forward_general(mesh, L=L, T=T, K=K, p=p,
+                                                q=q, interpret=True)
+    a_x = np.asarray(f_x(sched.angles, hs, phis, keys))
+    a_g = np.asarray(f_g(sched.angles, hs, phis, keys))
+    assert np.max(np.abs(a_g - a_x)) < 1e-4, (a_g, a_x)
+
+    e_x = make_sharded_echo(mesh, L=L, T=T, K=K, p=p, q=q, has_y=True)
+    e_g = make_sharded_echo_general(mesh, L=L, T=T, K=K, p=p, q=q,
+                                    interpret=True)
+    a = float(e_x(sched.angles, hs, phis, keys, jnp.asarray(T)))
+    b = float(e_g(sched.angles, hs, phis, keys, jnp.asarray(T)))
+    assert abs(a - b) < 1e-4, (a, b)
