@@ -136,3 +136,45 @@ def test_disorder_loader_reads_reference_files():
     # values from the shipped file (first row)
     np.testing.assert_allclose(hs[0, 0], 2.6380584912243643)
     np.testing.assert_allclose(phis[0, 0], -2.6283238608399797)
+
+
+@pytest.mark.parametrize("gain", ["0.01", "0.05"])
+def test_l4_adaptive_g_history_replay(gain):
+    """Replay the reference's SHIPPED adaptive g-history through the
+    per-cycle-g engine (VERDICT r3 next #4): the controlled-g datasets
+    record the exact g value the feedback loop applied at every cycle
+    (g_history_inst1), so feeding that column back in as a (T,) g vector
+    must reproduce the shipped forward/echo measurements within their
+    1024-shot bands. This anchors the time-dependent-g path (C6/C12)
+    end-to-end against external data, independent of any feedback law.
+
+    Reference producer: autocorr-delta-a-single-qiskit-fast-controlled-g.py
+    (qc_qiskit g_values[time_step] convention at :196-233; row t = t+1
+    applied cycles at :311-338).
+    """
+    from dtc_tpu.experiments.autocorr import run_autocorr
+    from dtc_tpu.io import csvio
+    from dtc_tpu.utils.config import SimConfig
+
+    ref = csvio.read_columns(os.path.join(
+        REF, "autocorr_data_L4",
+        "autocorr_data_vacuum_realtime_adaptive_g0.84_L4_inst1_randomphi1_"
+        f"delta0.0_amplitude1.0_noise0.05_usenoise1_target1.0_gain{gain}.csv"))
+    g_hist = np.asarray(ref["g_history_inst1"], dtype=float)
+    n_pts = len(g_hist)
+    # row t uses cycles 0..t with per-cycle g = g_hist[0..t]; our output row
+    # j = j applied cycles, so pad the schedule to tf = n_pts + 1 slots
+    g_vec = np.concatenate([g_hist, g_hist[-1:]])
+    cfg = SimConfig(L=4, g=g_vec, inst=1, tf=n_pts + 1, noise_prob=0.05,
+                    use_noise=1, dtype="complex128")
+    r = run_autocorr(cfg, disorder_dir=REF, write=False, method="exact")
+
+    sigma = 1.0 / np.sqrt(1024)
+    dev_f = r["av_autocorr"][1:n_pts + 1] - np.asarray(
+        ref["forward_adaptive_inst1"], dtype=float)
+    dev_e = r["av_autocorr_echo"][1:n_pts + 1] - np.asarray(
+        ref["echo_adaptive_inst1"], dtype=float)
+    assert np.abs(dev_f).max() < 3.5 * sigma, dev_f
+    assert np.abs(dev_e).max() < 3.5 * sigma, dev_e
+    assert abs(dev_f.mean()) < 3 * sigma / np.sqrt(n_pts) + 0.01, dev_f.mean()
+    assert abs(dev_e.mean()) < 3 * sigma / np.sqrt(n_pts) + 0.01, dev_e.mean()
