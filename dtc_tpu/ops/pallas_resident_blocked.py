@@ -82,11 +82,24 @@ def blocked_block_sizes(TOP: int) -> tuple[int, int]:
 
 
 def _make_blocked_kernel(L: int, T: int, q: int, b0: int,
-                         time_dep: bool, bt: int, cs: int):  # noqa: C901
-    """One grid step = one trajectory, all T cycles, blocked plane ops."""
+                         time_dep: bool, bt: int, cs: int,
+                         nb: int = 1):  # noqa: C901
+    """One grid step = ``nb`` trajectories, all T cycles, blocked plane ops.
+
+    nb > 1 interleaves independent trajectories at the BLOCK level: the
+    kick matrices are shared (constant schedule — only the SMEM noise rows
+    differ per trajectory), and the kernel is not MXU-FLOP-bound
+    (docs/PERFORMANCE.md "open ceiling"), so issuing trajectory b+1's
+    block back-to-back with trajectory b's gives Mosaic independent MXU
+    work to overlap with the swaps/cmul VPU phases. Unlike the full-plane
+    kernel's stage-interleaved nb (whose unrolled body explodes Mosaic
+    compile time), the body here stays a fori_loop — only the per-
+    iteration statement count doubles.
+    """
     TOP = 1 << (L - 14)
     n_bt = TOP // bt
     n_cs = (_C // 2) // cs
+    B = range(nb)
 
     def kernel(u7r_ref, u7i_ref, utr_ref, uti_ref, par_ref,
                a_out_ref, st_ref):
@@ -100,9 +113,11 @@ def _make_blocked_kernel(L: int, T: int, q: int, b0: int,
 
         def init_block(i, _):
             gidx = ((topb + jnp.uint32(i * bt)) << 14) | colb
-            st_ref[0, pl.ds(i * bt, bt), :] = jnp.where(
-                gidx == jnp.uint32(b0), 1.0, 0.0)
-            st_ref[1, pl.ds(i * bt, bt), :] = jnp.zeros((bt, _C), jnp.float32)
+            for b in B:
+                st_ref[b, 0, pl.ds(i * bt, bt), :] = jnp.where(
+                    gidx == jnp.uint32(b0), 1.0, 0.0)
+                st_ref[b, 1, pl.ds(i * bt, bt), :] = jnp.zeros(
+                    (bt, _C), jnp.float32)
             return _
 
         jax.lax.fori_loop(0, n_bt, init_block, None)
@@ -124,21 +139,21 @@ def _make_blocked_kernel(L: int, T: int, q: int, b0: int,
 
             # compact row layout: n | sig | flip | h | phi at offsets
             # 0, L, 2L, 3L-1, 4L-1 (pack_cycle_params_compact)
-            def cz(qq):
-                return (par_ref[0, 0, cyc, 3 * L - 1 + qq]
-                        * (par_ref[0, 0, cyc, L + qq] - 0.5)
-                        - _HALF_PI * par_ref[0, 0, cyc, qq])
+            def cz(b, qq):
+                return (par_ref[0, b, cyc, 3 * L - 1 + qq]
+                        * (par_ref[0, b, cyc, L + qq] - 0.5)
+                        - _HALF_PI * par_ref[0, b, cyc, qq])
 
-            def cb(jj):
-                return (par_ref[0, 0, cyc, 4 * L - 1 + jj]
-                        * (par_ref[0, 0, cyc, 2 * L + jj] - 0.5))
+            def cb(b, jj):
+                return (par_ref[0, b, cyc, 4 * L - 1 + jj]
+                        * (par_ref[0, b, cyc, 2 * L + jj] - 0.5))
 
-            def seven_bit_angle(base, bias):
+            def seven_bit_angle(b, base, bias):
                 th = jnp.full((1, 128), bias, jnp.float32)
                 for k in range(7):
-                    th = th + cz(base + k) * z7[k]
+                    th = th + cz(b, base + k) * z7[k]
                     if k > 0:
-                        th = th + cb(base + k - 1) * (z7[k - 1] * z7[k])
+                        th = th + cb(b, base + k - 1) * (z7[k - 1] * z7[k])
                 return th
 
             def scaled(th):
@@ -154,79 +169,96 @@ def _make_blocked_kernel(L: int, T: int, q: int, b0: int,
                 p3 = _dot_f32(mr + mi, bs)
                 return p1 - p2, p3 - p1 - p2
 
-            c0 = _HALF_PI * sum(par_ref[0, 0, cyc, qq] for qq in range(L))
-            blr, bli, bls = scaled(seven_bit_angle(0, c0))
-            bmr, bmi, bms = scaled(seven_bit_angle(7, 0.0))
-            s6 = cb(6)
-            c6, s6z = jnp.cos(s6), zz67 * jnp.sin(s6)
+            c0 = [_HALF_PI * sum(par_ref[0, b, cyc, qq] for qq in range(L))
+                  for b in B]
+            bl = [scaled(seven_bit_angle(b, 0, c0[b])) for b in B]
+            bm = [scaled(seven_bit_angle(b, 7, 0.0)) for b in B]
+            s6 = [cb(b, 6) for b in B]
+            c6 = [jnp.cos(s6[b]) for b in B]
+            s6z = [zz67 * jnp.sin(s6[b]) for b in B]
 
             # ---- pass 1: bits 0..13 kicks + bond-6 straddle, per TOP block
             def p1_block(i, _):
-                mr = st_ref[0, pl.ds(i * bt, bt), :].reshape(bt * 128, 128)
-                mi = st_ref[1, pl.ds(i * bt, bt), :].reshape(bt * 128, 128)
-                mr, mi = kara_right(mr, mi, blr, bli, bls)
-                mr = jnp.swapaxes(mr.reshape(bt, 128, 128), 1, 2).reshape(
-                    bt * 128, 128)
-                mi = jnp.swapaxes(mi.reshape(bt, 128, 128), 1, 2).reshape(
-                    bt * 128, 128)
-                mr, mi = kara_right(mr, mi, bmr, bmi, bms)
-                mr = jnp.swapaxes(mr.reshape(bt, 128, 128), 1, 2).reshape(
-                    bt, _C)
-                mi = jnp.swapaxes(mi.reshape(bt, 128, 128), 1, 2).reshape(
-                    bt, _C)
-                mr, mi = _cmul(mr, mi, c6, s6z)
-                st_ref[0, pl.ds(i * bt, bt), :] = mr
-                st_ref[1, pl.ds(i * bt, bt), :] = mi
+                for b in B:
+                    mr = st_ref[b, 0, pl.ds(i * bt, bt), :].reshape(
+                        bt * 128, 128)
+                    mi = st_ref[b, 1, pl.ds(i * bt, bt), :].reshape(
+                        bt * 128, 128)
+                    mr, mi = kara_right(mr, mi, *bl[b])
+                    mr = jnp.swapaxes(mr.reshape(bt, 128, 128), 1, 2).reshape(
+                        bt * 128, 128)
+                    mi = jnp.swapaxes(mi.reshape(bt, 128, 128), 1, 2).reshape(
+                        bt * 128, 128)
+                    mr, mi = kara_right(mr, mi, *bm[b])
+                    mr = jnp.swapaxes(mr.reshape(bt, 128, 128), 1, 2).reshape(
+                        bt, _C)
+                    mi = jnp.swapaxes(mi.reshape(bt, 128, 128), 1, 2).reshape(
+                        bt, _C)
+                    mr, mi = _cmul(mr, mi, c6[b], s6z[b])
+                    st_ref[b, 0, pl.ds(i * bt, bt), :] = mr
+                    st_ref[b, 1, pl.ds(i * bt, bt), :] = mi
                 return _
 
             jax.lax.fori_loop(0, n_bt, p1_block, None)
 
             # ---- pass 2: top kick + high diag + bond-13 straddle + measure
-            th_hi = jnp.zeros((TOP, 1), jnp.float32)
-            for k in range(L - 14):
-                th_hi = th_hi + cz(14 + k) * zh[k]
-                if k > 0:
-                    th_hi = th_hi + cb(13 + k) * (zh[k - 1] * zh[k])
-            s13z14 = cb(13) * zh[0]
+            th_hi = []
+            for b in B:
+                th = jnp.zeros((TOP, 1), jnp.float32)
+                for k in range(L - 14):
+                    th = th + cz(b, 14 + k) * zh[k]
+                    if k > 0:
+                        th = th + cb(b, 13 + k) * (zh[k - 1] * zh[k])
+                th_hi.append(th)
+            s13z14 = [cb(b, 13) * zh[0] for b in B]
             utr = utr_ref[ui]
             uti = uti_ref[ui]
 
-            a_next = jnp.zeros((), jnp.float32)
+            a_next = (jnp.zeros((), jnp.float32),) * nb
             for half, sgn in ((0, 1.0), (1, -1.0)):
-                th = th_hi + sgn * s13z14
-                dr = jnp.cos(th)
-                di = jnp.sin(th)
-                btr = utr * dr - uti * di
-                bti = utr * di + uti * dr
-                bts = btr + bti
+                bts_b = []
+                for b in B:
+                    th = th_hi[b] + sgn * s13z14[b]
+                    dr = jnp.cos(th)
+                    di = jnp.sin(th)
+                    btr = utr * dr - uti * di
+                    bti = utr * di + uti * dr
+                    bts_b.append((btr, bti, btr + bti))
                 base = half * (_C // 2)
 
-                def p2_chunk(j, acc, btr=btr, bti=bti, bts=bts, base=base):
+                def p2_chunk(j, accs, bts_b=bts_b, base=base):
                     off = base + j * cs
-                    hr = st_ref[0, :, pl.ds(off, cs)]
-                    hi_ = st_ref[1, :, pl.ds(off, cs)]
-                    q1 = _dot_f32(btr, hr)
-                    q2 = _dot_f32(bti, hi_)
-                    q3 = _dot_f32(bts, hr + hi_)
-                    kr = q1 - q2
-                    ki = q3 - q1 - q2
-                    st_ref[0, :, pl.ds(off, cs)] = kr
-                    st_ref[1, :, pl.ds(off, cs)] = ki
                     zq = (1 - 2 * (((lcs + off) >> q) & 1)).astype(
                         jnp.float32)
-                    return acc + jnp.sum((kr * kr + ki * ki) * zq)
+                    out = []
+                    for b in B:
+                        btr, bti, bts = bts_b[b]
+                        hr = st_ref[b, 0, :, pl.ds(off, cs)]
+                        hi_ = st_ref[b, 1, :, pl.ds(off, cs)]
+                        q1 = _dot_f32(btr, hr)
+                        q2 = _dot_f32(bti, hi_)
+                        q3 = _dot_f32(bts, hr + hi_)
+                        kr = q1 - q2
+                        ki = q3 - q1 - q2
+                        st_ref[b, 0, :, pl.ds(off, cs)] = kr
+                        st_ref[b, 1, :, pl.ds(off, cs)] = ki
+                        out.append(
+                            accs[b] + jnp.sum((kr * kr + ki * ki) * zq))
+                    return tuple(out)
 
                 a_next = jax.lax.fori_loop(0, n_cs, p2_chunk, a_next)
 
             @pl.when(cyc + 1 < T)
             def _():
-                a_out_ref[0] = a_out_ref[0] + jnp.where(
-                    apos == cyc + 1, a_next, 0.0)
+                for b in B:
+                    a_out_ref[0, b] = a_out_ref[0, b] + jnp.where(
+                        apos == cyc + 1, a_next[b], 0.0)
 
             return _
 
-        a_out_ref[0] = jnp.where(apos == 0, float(1 - 2 * ((b0 >> q) & 1)),
-                                 0.0)
+        for b in B:
+            a_out_ref[0, b] = jnp.where(
+                apos == 0, float(1 - 2 * ((b0 >> q) & 1)), 0.0)
         jax.lax.fori_loop(0, T, cycle, None)
 
     return kernel
@@ -561,8 +593,21 @@ def blocked_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
     Tu = T if time_dependent else 1
     u7r, u7i, utr, uti = _kick_matrices(angles, L, TOP, time_dependent)
 
+    # nb interleaved trajectories per grid step (see _make_blocked_kernel):
+    # +throughput on long-lived sweep shapes where the one-time Mosaic
+    # compile amortizes (server-side executable cache). Auto-disabled when
+    # the trajectory count doesn't divide, for per-cycle schedules, and
+    # where nb states would exceed the ~110 MB scoped-VMEM budget (L=23).
+    nb = int(_os.environ.get("DTC_TPU_BLOCKED_NB", "1"))
+    if nb < 1:
+        raise ValueError(f"DTC_TPU_BLOCKED_NB={nb}: must be >= 1")
+    if (time_dependent or nb * (2 * TOP * _C * 4) > 110 * 1024 * 1024
+            or nb * T > 1024):
+        nb = 1
+
     def per_instance(h, ph, ks, ext_r, ext_s):
         n_traj = ks.shape[0]
+        nb_ = nb if n_traj % nb == 0 else 1
         if ext_r is not None:
             params, sig_after = ext_r, ext_s
         elif p > 0.0:
@@ -578,12 +623,13 @@ def blocked_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
                 jnp.uint32(0), jnp.uint32(0), h, ph, L)
             params = jnp.broadcast_to(row, (n_traj, T, 128))
             sig_after = jnp.zeros((n_traj, T), jnp.uint32)
-        params = params.reshape(n_traj, 1, T, 128)
+        params = params.reshape(n_traj // nb_, nb_, T, 128)
 
         a_raw = pl.pallas_call(
-            _make_blocked_kernel(L, T, q, b0, time_dependent, bt, cs),
-            out_shape=jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
-            grid=(n_traj,),
+            _make_blocked_kernel(L, T, q, b0, time_dependent, bt, cs, nb_),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_traj // nb_, nb_, 8, 128), jnp.float32),
+            grid=(n_traj // nb_,),
             in_specs=[
                 pl.BlockSpec((Tu, 128, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # u7r
@@ -593,13 +639,13 @@ def blocked_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
                              memory_space=pltpu.VMEM),  # utr
                 pl.BlockSpec((Tu, TOP, TOP), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # uti
-                pl.BlockSpec((1, 1, T, 128), lambda i: (i, 0, 0, 0),
+                pl.BlockSpec((1, nb_, T, 128), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.SMEM),  # params
             ],
-            out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, nb_, 8, 128), lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, TOP, _C), jnp.float32),  # resident state
+                pltpu.VMEM((nb_, 2, TOP, _C), jnp.float32),  # resident state
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),

@@ -310,6 +310,38 @@ def test_blocked_echo_matches_sigma_interpret():
     np.testing.assert_allclose(b0, 1.0, atol=1e-4)
 
 
+def test_blocked_kernel_nb2_matches_sigma_interpret(monkeypatch):
+    """The nb=2 interleaved-trajectory blocked forward body (the headline
+    throughput lever, DTC_TPU_BLOCKED_NB): trajectory-exact vs the sigma
+    engine with identical presampled noise, including an odd trajectory
+    count's nb=1 fallback. The env var is read at trace time, so the
+    static signature here is unique to this test (nothing else traces
+    L=17/T=5/p=0.35/q=4)."""
+    from dtc_tpu.core.sigma_evolve import sigma_forward_batch
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.models.drives import build_kick_schedule
+    from dtc_tpu.ops.pallas_resident_blocked import blocked_forward_batch
+
+    monkeypatch.setenv("DTC_TPU_BLOCKED_NB", "2")
+    L, T, p, q = 17, 5, 0.35, 4
+    hs_np, phis_np = generate_disorder(L, 1, seed=7)
+    hs = jnp.asarray(hs_np[:, :L])
+    phis = jnp.asarray(phis_np[:, :L - 1])
+    ang = build_kick_schedule("x", 0.97, T).angles
+    keys = jax.random.split(jax.random.PRNGKey(5), 4)[None]
+    b = np.asarray(blocked_forward_batch(
+        hs, phis, ang, keys, L=L, T=T, p=p, q=q, interpret=True))
+    s = np.asarray(sigma_forward_batch(
+        hs, phis, ang, keys, L=L, T=T, K=1, p=p, q=q,
+        initial_state="vacuum", dtype_name="complex64",
+        ancilla_factor=1.0, has_y=False))
+    assert np.max(np.abs(b - s)) < 1e-4
+    # odd trajectory count: falls back to nb=1 inside the call, same values
+    b3 = np.asarray(blocked_forward_batch(
+        hs, phis, ang, keys[:, :3], L=L, T=T, p=p, q=q, interpret=True))
+    assert np.max(np.abs(b3 - s[:, :3])) < 1e-4
+
+
 def test_echo_pair_tiles_shared_builder():
     """The (pre, post) tile builder shared by resident and streamed echo:
     trip count lane, imag signs, and final sigma are consistent."""
