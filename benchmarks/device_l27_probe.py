@@ -65,36 +65,38 @@ def timed(fn, reps=2, groups=5):
     return out, float(np.median(dts))
 
 
-t0 = time.time()
-f_k = lambda: device_kernel_forward_batch(  # noqa: E731
-    hs_j, phis_j, p1, p2, sched.angles, keys, **kw)
-a_k, dt_k = timed(f_k)
-print(f"device kernel compile+first: {time.time() - t0:.0f} s")
-
-f_s = lambda: device_sigma_forward_batch(  # noqa: E731
-    hs_j, phis_j, p1, p2, sched.angles, keys, **kw)
-a_s, dt_s = timed(f_s, reps=1, groups=3)
-
-err = float(np.max(np.abs(a_k - a_s)))
-rate_k = T * NTRAJ / dt_k
-rate_s = T * NTRAJ / dt_s
-print(f"device kernel (streamed rows): {rate_k:8.1f} traj-cyc/s "
-      f"({dt_k*1e3:.0f} ms)")
-print(f"device sigma engine          : {rate_s:8.1f} traj-cyc/s "
-      f"({dt_s*1e3:.0f} ms)")
-print(f"speedup                      : {dt_s / dt_k:.2f}x")
-print(f"max |diff| (same keys)       : {err:.2e}")
-
 path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                      "parity_results.json")
-blob = json.load(open(path)) if _os.path.exists(path) else {}
-blob[f"device_l{L}"] = {
-    "n_traj": NTRAJ, "T": T, "kernel_traj_cyc_s": round(rate_k, 1),
-    "sigma_traj_cyc_s": round(rate_s, 1), "max_dev": err,
-}
-json.dump(blob, open(path, "w"), indent=1)
-print(f"recorded -> {path} device_l{L}")
-assert err < 5e-4, err
+
+if "--echo-only" not in _sys.argv:
+    t0 = time.time()
+    f_k = lambda: device_kernel_forward_batch(  # noqa: E731
+        hs_j, phis_j, p1, p2, sched.angles, keys, **kw)
+    a_k, dt_k = timed(f_k)
+    print(f"device kernel compile+first: {time.time() - t0:.0f} s")
+
+    f_s = lambda: device_sigma_forward_batch(  # noqa: E731
+        hs_j, phis_j, p1, p2, sched.angles, keys, **kw)
+    a_s, dt_s = timed(f_s, reps=1, groups=3)
+
+    err = float(np.max(np.abs(a_k - a_s)))
+    rate_k = T * NTRAJ / dt_k
+    rate_s = T * NTRAJ / dt_s
+    print(f"device kernel (streamed rows): {rate_k:8.1f} traj-cyc/s "
+          f"({dt_k*1e3:.0f} ms)")
+    print(f"device sigma engine          : {rate_s:8.1f} traj-cyc/s "
+          f"({dt_s*1e3:.0f} ms)")
+    print(f"speedup                      : {dt_s / dt_k:.2f}x")
+    print(f"max |diff| (same keys)       : {err:.2e}")
+
+    blob = json.load(open(path)) if _os.path.exists(path) else {}
+    blob[f"device_l{L}"] = {
+        "n_traj": NTRAJ, "T": T, "kernel_traj_cyc_s": round(rate_k, 1),
+        "sigma_traj_cyc_s": round(rate_s, 1), "max_dev": err,
+    }
+    json.dump(blob, open(path, "w"), indent=1)
+    print(f"recorded -> {path} device_l{L}")
+    assert err < 5e-4, err
 
 if "--no-echo" not in _sys.argv:
     # ------------------------------------------------------------------
@@ -123,20 +125,46 @@ if "--no-echo" not in _sys.argv:
     rate_ek = steps / dt_ek
     print(f"device echo kernel: sweep t=1..{T} x {NTRAJ} traj = "
           f"{rate_ek:8.1f} active steps/s ({dt_ek:.2f} s) "
-          f"A0(1,2)={np.asarray(a_ek)[0, :2].round(4)}")
+          f"A0(1,2)={np.asarray(a_ek)[0, :2].round(4)}", flush=True)
+    # record the rate IMMEDIATELY: the parity leg below can die on the
+    # oracle's own memory wall without invalidating the measurement
+    blob = json.load(open(path))
+    blob[f"device_l{L}"].update(echo_steps_s=round(rate_ek, 1))
+    json.dump(blob, open(path, "w"), indent=1)
 
+    # Value parity: the eager sigma-frame oracle (identical presampled
+    # events) — but at L=27 its remat'd while-body holds ~20 x 512 MB f32
+    # temps and the compile helper rejects it (measured), so fall back to
+    # the noiseless invariant: zero error rates => U^dag U = I => A0 == 1
+    # exactly (the same self-validation the streamed-hi probes use where
+    # no oracle compiles; noise-on parity is interpret-validated at L=17
+    # in tests/test_device.py at 2.4e-5).
     ts_small = jnp.arange(1, 4)
     a_eks = np.asarray(device_kernel_echo_batch(
         hs_j, phis_j, p1, p2, sched.angles, keys[:1], ts_small, **kw))
-    t0 = time.time()
-    a_es = np.asarray(device_sigma_echo_batch(
-        hs_j, phis_j, p1, p2, sched.angles, keys[:1], ts_small, **kw))
-    err_e = float(np.max(np.abs(a_eks - a_es)))
-    print(f"sigma echo oracle (t<=3): {time.time() - t0:.0f} s, "
-          f"max |diff| (same keys) = {err_e:.2e}")
+    try:
+        t0 = time.time()
+        a_es = np.asarray(device_sigma_echo_batch(
+            hs_j, phis_j, p1, p2, sched.angles, keys[:1], ts_small, **kw))
+        err_e = float(np.max(np.abs(a_eks - a_es)))
+        check = {"echo_max_dev": err_e, "echo_check": "sigma_oracle_t<=3"}
+        print(f"sigma echo oracle (t<=3): {time.time() - t0:.0f} s, "
+              f"max |diff| (same keys) = {err_e:.2e}")
+    except Exception as exc:  # noqa: BLE001 — oracle OOM is expected at 27
+        print(f"sigma echo oracle unavailable at L={L} "
+              f"({type(exc).__name__}); using noiseless invariant")
+        z = jnp.zeros_like(p1)
+        kw0 = dict(kw, ancilla_factor=1.0)
+        a_e0 = np.asarray(device_kernel_echo_batch(
+            hs_j, phis_j, z, jnp.zeros_like(p2), sched.angles, keys[:1],
+            ts_small, **kw0))
+        err_e = float(np.max(np.abs(a_e0 - 1.0)))
+        check = {"echo_noiseless_dev": err_e,
+                 "echo_check": "noiseless A0(t)==1 (sigma oracle OOMs)"}
+        print(f"noiseless A0(t)==1: max dev {err_e:.2e}")
+        assert np.all(np.asarray(a_eks) <= 1.0 + 5e-4)  # noisy decays
     blob = json.load(open(path))
-    blob[f"device_l{L}"].update(
-        echo_steps_s=round(rate_ek, 1), echo_max_dev=err_e)
+    blob[f"device_l{L}"].update(**check)
     json.dump(blob, open(path, "w"), indent=1)
     print(f"recorded -> {path} device_l{L} (echo)")
     assert err_e < 5e-4, err_e

@@ -680,3 +680,342 @@ def device_sigma_forward_batch(hs, phis, p_1q, p_2q, angles, keys, *, L, T, q,
         return a
 
     return jax.vmap(per_traj)(keys)
+
+
+# ---------------------------------------------------------------------------
+# GENERAL polarizations under device noise at kernel rate (VERDICT r3 #5).
+#
+# The x-only device path defers sampled Xs into a carried sigma frame —
+# impossible for kicks with a Y component (X RY(t) X = RY(-t)). The general
+# (lab-frame) kernels instead take per-step Pauli masks folded into the kick
+# they follow plus per-step h/phi rows (ops/pallas_resident_general). Device
+# noise maps onto that hook EXACTLY, host-side only, by commuting each
+# mid-diagonal bond event right, through the diagonal sublayers, into the
+# post-kick Pauli slot of the final kick slot:
+#
+#   field . E_o . odd . E_e . even . E_1q . U
+#     = field . odd^{E_o} . even^{E_e + E_o} . (E_o E_e E_1q) . U
+#
+# (operator product, rightmost acts first). Conjugating a ZZ phase by X_m
+# flips its angle iff the mask parity across the bond is odd, so the only
+# change is a +-1 sign pattern on the final slot's even/odd phi entries
+# (field and h rows pass through untouched — nothing moves past them), a
+# composed X/Z mask (Pauli composition is exact up to a global phase,
+# invisible to <Z_q>), and the kernels run UNCHANGED. Mirrors the reference
+# device-noise mode (autocorr-delta-a-single-qiskit-fast.py:77-79) crossed
+# with its general drives (…-circular-polarization.py:110-142).
+# ---------------------------------------------------------------------------
+
+
+def _bond_parity_row(mask, L):
+    """uint32 (…,) mask -> (…, L-1) float +-1: bond-parity sign of mask."""
+    j = jnp.arange(L - 1, dtype=jnp.uint32)
+    bj = ((mask[..., None] >> j) & 1).astype(jnp.int32)
+    bj1 = ((mask[..., None] >> (j + 1)) & 1).astype(jnp.int32)
+    return (1 - 2 * (bj ^ bj1)).astype(jnp.float32)
+
+
+def _device_general_rows(key, phis, p_1q, p_2q, epk, T, K, L):
+    """Per-trajectory (S=T*K,) composed z/x masks + (S, L-1) phi rows for
+    the general kernels' ext hook. RNG: one _device_presample_split draw
+    with K*epk 1q events per cycle (slot-major), the shared even/odd bond
+    draws per cycle."""
+    xm1, zm1, xme, zme, xmo, zmo = _device_presample_split(
+        key, p_1q, p_2q, K * epk, T, L)
+    xm1 = xm1.reshape(T, K, epk)
+    zm1 = zm1.reshape(T, K, epk)
+    xk = xm1[..., 0]
+    zk = zm1[..., 0]
+    for e in range(1, epk):
+        xk = xk ^ xm1[..., e]
+        zk = zk ^ zm1[..., e]
+    # final slot composes the commuted bond events
+    xk = xk.at[:, K - 1].set(xk[:, K - 1] ^ xme ^ xmo)
+    zk = zk.at[:, K - 1].set(zk[:, K - 1] ^ zme ^ zmo)
+
+    # even bonds conjugated by E_e . E_o, odd bonds by E_o only
+    s_eo = _bond_parity_row(xme ^ xmo, L)   # (T, L-1)
+    s_o = _bond_parity_row(xmo, L)
+    j = jnp.arange(L - 1)
+    sign = jnp.where(j % 2 == 0, s_eo, s_o)
+    phi_fin = phis.astype(jnp.float32)[None] * sign          # (T, L-1)
+    phi_rows = jnp.zeros((T, K, L - 1), jnp.float32)
+    phi_rows = phi_rows.at[:, K - 1].set(phi_fin)
+    S = T * K
+    return zk.reshape(S), xk.reshape(S), phi_rows.reshape(S, L - 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "K", "q", "initial_state", "ancilla_factor",
+                     "events_per_kick", "interpret"),
+)
+def device_general_kernel_forward_batch(hs, phis, p_1q, p_2q, angles, keys,
+                                        *, L, T, K, q,
+                                        initial_state="vacuum",
+                                        ancilla_factor=1.0,
+                                        events_per_kick=2, interpret=False):
+    """Device-noise forward A(t) for ANY kick schedule (y/xy/yx/circular/
+    per-cycle g) through the UNCHANGED lab-frame general kernels,
+    14 <= L <= 23 (resident below 18, blocked-plane above).
+
+    hs (L,), phis (L-1,), p_1q (L,), p_2q (L-1,), angles (T,K,2),
+    keys (n_traj, 2) -> (n_traj, T).
+    """
+    from dtc_tpu.ops.pallas_resident_general import general_forward_batch
+
+    if not (14 <= L <= 23):
+        raise ValueError("device general kernel path supports 14 <= L <= 23")
+
+    zm, xm, phi_rows = jax.vmap(
+        lambda k: _device_general_rows(
+            k, phis, p_1q, p_2q, events_per_kick, T, K, L))(keys)
+    return general_forward_batch(
+        hs[None], phis[None], angles, keys[None], L=L, T=T, K=K, p=0.0,
+        q=q, initial_state=initial_state, ancilla_factor=ancilla_factor,
+        interpret=interpret, ext_zm=zm[None], ext_xm=xm[None],
+        ext_phi=phi_rows[None])[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "K", "q", "initial_state", "dtype_name",
+                     "events_per_kick"),
+)
+def device_general_forward_oracle(hs, phis, p_1q, p_2q, angles, keys, *, L,
+                                  T, K, q, initial_state="vacuum",
+                                  dtype_name="complex64",
+                                  ancilla_factor=1.0, events_per_kick=2):
+    """Dense lab-frame oracle consuming the SAME presampled events as
+    _device_general_rows but applying them in the ORIGINAL circuit order
+    (no commutation) — trajectory-exact validation of the sign algebra.
+    """
+    from dtc_tpu.core.statevector import neel_index
+    from dtc_tpu.experiments.engine import resolve_dtype
+    from dtc_tpu.ops.paulis import apply_pauli_string
+
+    dtype = resolve_dtype(dtype_name)
+    masks = _masks_split(hs, phis, L, dtype)
+    m_even, m_odd, m_field = masks
+    zq = z_sign_mask(q, L)
+    psi0 = initial_statevector(L, initial_state, dtype=dtype)
+    b0 = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
+    ny0 = jnp.zeros((), jnp.int32)  # composed global phase is irrelevant
+
+    def per_traj(key):
+        xm1, zm1, xme, zme, xmo, zmo = _device_presample_split(
+            key, p_1q, p_2q, K * events_per_kick, T, L)
+        xm1 = xm1.reshape(T, K, events_per_kick)
+        zm1 = zm1.reshape(T, K, events_per_kick)
+        xk = xm1[..., 0]
+        zk = zm1[..., 0]
+        for e in range(1, events_per_kick):
+            xk = xk ^ xm1[..., e]
+            zk = zk ^ zm1[..., e]
+
+        def body(st, inp):
+            ang, xk_t, zk_t, xme_t, zme_t, xmo_t, zmo_t = inp
+            a_t = ancilla_factor * s0 * jnp.sum(
+                (jnp.real(st) ** 2 + jnp.imag(st) ** 2)
+                * zq.astype(jnp.float32))
+            for k in range(K):
+                u = slot_unitary(ang[k, 0], ang[k, 1], dtype)
+                st = apply_uniform_1q_layer(st, u, L)
+                st = apply_pauli_string(st, xk_t[k], zk_t[k], ny0)
+            st = st * m_even
+            st = apply_pauli_string(st, xme_t, zme_t, ny0)
+            st = st * m_odd
+            st = apply_pauli_string(st, xmo_t, zmo_t, ny0)
+            st = st * m_field
+            return st, a_t
+
+        _, a = jax.lax.scan(body, psi0, (angles, xk, zk, xme, zme, xmo, zmo))
+        return a
+
+    return jax.vmap(per_traj)(keys)
+
+
+def _site_sign_row(mask, L):
+    """uint32 (…,) mask -> (…, L) float +-1: per-site sign of mask bits."""
+    j = jnp.arange(L, dtype=jnp.uint32)
+    b = ((mask[..., None] >> j) & 1).astype(jnp.int32)
+    return (1 - 2 * b).astype(jnp.float32)
+
+
+def _device_general_echo_rows(key, t_value, hs, phis, p_1q, p_2q, epk, T, K,
+                              L):
+    """Per-(trajectory, t) ext rows for the general ECHO kernels.
+
+    Mirror of the forward commutation, time-reversed: an inverse cycle runs
+    field^ . odd^ . E_o . even^ . E_e . kicks (device_inverse_cycle), so its
+    bond events commute EARLIER — through the full prediag (conjugating it)
+    and through the PREVIOUS step's postdiag (the turnaround's D0 when the
+    previous step is the last forward cycle) — into the previous step's
+    final-slot post-kick Pauli hook. Per-sublayer crossings: E_e crosses
+    even/odd/field (flip by xme), E_o crosses odd/field only (flip by xmo);
+    the previous post-D0 is crossed by both (flip by xme^xmo, h sites
+    included). All signs land in rows the host already owns.
+
+    Returns xm, zm (2T, K) uint32; pre_h (2T, L), pre_phi (2T, L-1) —
+    prediag rows (inverse steps); post_h, post_phi — postdiag rows
+    (forward steps, turnaround conjugation applied).
+    """
+    T2 = 2 * T
+    xm1, zm1, xme, zme, xmo, zmo = _device_presample_split(
+        key, p_1q, p_2q, K * epk, T2, L)
+    xm1 = xm1.reshape(T2, K, epk)
+    zm1 = zm1.reshape(T2, K, epk)
+    xk = xm1[..., 0]
+    zk = zm1[..., 0]
+    for e in range(1, epk):
+        xk = xk ^ xm1[..., e]
+        zk = zk ^ zm1[..., e]
+
+    step = jnp.arange(T2)
+    fwd = step < t_value
+    inv = (step >= t_value) & (step < 2 * t_value)
+    act = fwd | inv
+    z32 = jnp.uint32(0)
+    xk = jnp.where(act[:, None], xk, z32)
+    zk = jnp.where(act[:, None], zk, z32)
+    xme, zme, xmo, zmo = (jnp.where(act, m, z32)
+                          for m in (xme, zme, xmo, zmo))
+    m_eo = xme ^ xmo
+    z_eo = zme ^ zmo
+
+    hf = hs.astype(jnp.float32)
+    pf = phis.astype(jnp.float32)
+    j = jnp.arange(L - 1)
+    fwd_f = fwd.astype(jnp.float32)[:, None]
+    inv_f = inv.astype(jnp.float32)[:, None]
+
+    # forward steps: own bond events into the final slot + post-D0 signs
+    xk = xk.at[:, K - 1].set(
+        xk[:, K - 1] ^ jnp.where(fwd, m_eo, z32))
+    zk = zk.at[:, K - 1].set(
+        zk[:, K - 1] ^ jnp.where(fwd, z_eo, z32))
+    sign_fwd = jnp.where(j % 2 == 0, _bond_parity_row(m_eo, L),
+                         _bond_parity_row(xmo, L))
+    post_h = fwd_f * hf[None] + jnp.zeros((T2, L), jnp.float32)
+    post_phi = fwd_f * pf[None] * sign_fwd
+
+    # inverse steps: bond events fold into the PREVIOUS step's final slot,
+    # conjugating that step's postdiag on the way (nonzero only at the
+    # turnaround, where the previous step is forward and carries D0)
+    pad_m = jnp.concatenate([jnp.where(inv, m_eo, z32)[1:],
+                             jnp.zeros((1,), jnp.uint32)])
+    pad_z = jnp.concatenate([jnp.where(inv, z_eo, z32)[1:],
+                             jnp.zeros((1,), jnp.uint32)])
+    xk = xk.at[:, K - 1].set(xk[:, K - 1] ^ pad_m)
+    zk = zk.at[:, K - 1].set(zk[:, K - 1] ^ pad_z)
+    post_h = post_h * _site_sign_row(pad_m, L)
+    post_phi = post_phi * _bond_parity_row(pad_m, L)
+
+    # inverse prediag: D0^dagger with the crossing conjugations
+    pre_h = -inv_f * hf[None] * _site_sign_row(m_eo, L)
+    sign_pre = jnp.where(j % 2 == 0, _bond_parity_row(xme, L),
+                         _bond_parity_row(m_eo, L))
+    pre_phi = -inv_f * pf[None] * sign_pre
+    return xk, zk, pre_h, pre_phi, post_h, post_phi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "T", "K", "q", "initial_state", "ancilla_factor",
+                     "events_per_kick", "interpret"),
+)
+def device_general_kernel_echo_batch(hs, phis, p_1q, p_2q, angles, keys, ts,
+                                     *, L, T, K, q, initial_state="vacuum",
+                                     ancilla_factor=1.0, events_per_kick=2,
+                                     interpret=False):
+    """Device-noise echo A0(t) for ANY kick schedule through the UNCHANGED
+    lab-frame general echo kernels, 14 <= L <= 23.
+
+    hs (L,), phis (L-1,), p_1q (L,), p_2q (L-1,), angles (T,K,2),
+    keys (n_traj, 2), ts (n_ts,) -> (n_traj, n_ts).
+    """
+    from dtc_tpu.ops.pallas_resident_general import general_echo_batch
+
+    if not (14 <= L <= 23):
+        raise ValueError("device general kernel path supports 14 <= L <= 23")
+
+    def rows_one(key):
+        return jax.vmap(lambda t: _device_general_echo_rows(
+            key, t, hs, phis, p_1q, p_2q, events_per_kick, T, K, L))(ts)
+
+    xm, zm, pre_h, pre_phi, post_h, post_phi = jax.vmap(rows_one)(keys)
+    return general_echo_batch(
+        hs[None], phis[None], angles, keys[None], ts, L=L, T=T, K=K, p=0.0,
+        q=q, initial_state=initial_state, ancilla_factor=ancilla_factor,
+        interpret=interpret, ext_xm=xm[None], ext_zm=zm[None],
+        ext_pre_h=pre_h[None], ext_pre_phi=pre_phi[None],
+        ext_post_h=post_h[None], ext_post_phi=post_phi[None])[0]
+
+
+def device_general_echo_oracle(hs, phis, p_1q, p_2q, angles, key, t_value,
+                               *, L, T, K, q, initial_state="vacuum",
+                               dtype_name="complex64", ancilla_factor=1.0,
+                               events_per_kick=2):
+    """Dense lab-frame echo oracle: SAME presample as
+    _device_general_echo_rows, events applied in the ORIGINAL
+    device_inverse_cycle order (no commutation). One trajectory, one t;
+    eager python loop — test-scale only."""
+    import numpy as np
+
+    from dtc_tpu.core.statevector import neel_index
+    from dtc_tpu.experiments.engine import resolve_dtype
+    from dtc_tpu.models.drives import slot_unitary_inverse
+    from dtc_tpu.ops.paulis import apply_pauli_string
+
+    dtype = resolve_dtype(dtype_name)
+    m_even, m_odd, m_field = _masks_split(hs, phis, L, dtype)
+    zq = z_sign_mask(q, L)
+    psi = initial_statevector(L, initial_state, dtype=dtype)
+    b0 = 0 if initial_state == "vacuum" else neel_index(L)
+    s0 = 1.0 if ((b0 >> q) & 1) == 0 else -1.0
+    ny0 = jnp.zeros((), jnp.int32)
+
+    T2 = 2 * T
+    xm1, zm1, xme, zme, xmo, zmo = _device_presample_split(
+        key, p_1q, p_2q, K * events_per_kick, T2, L)
+    xm1 = np.asarray(xm1).reshape(T2, K, events_per_kick)
+    zm1 = np.asarray(zm1).reshape(T2, K, events_per_kick)
+    xk = xm1[..., 0]
+    zk = zm1[..., 0]
+    for e in range(1, events_per_kick):
+        xk = xk ^ xm1[..., e]
+        zk = zk ^ zm1[..., e]
+    xme, zme, xmo, zmo = (np.asarray(m) for m in (xme, zme, xmo, zmo))
+
+    for s in range(int(t_value)):
+        for k in range(K):
+            u = slot_unitary(angles[s, k, 0], angles[s, k, 1], dtype)
+            psi = apply_uniform_1q_layer(psi, u, L)
+            psi = apply_pauli_string(psi, jnp.uint32(xk[s, k]),
+                                     jnp.uint32(zk[s, k]), ny0)
+        psi = psi * m_even
+        psi = apply_pauli_string(psi, jnp.uint32(xme[s]),
+                                 jnp.uint32(zme[s]), ny0)
+        psi = psi * m_odd
+        psi = apply_pauli_string(psi, jnp.uint32(xmo[s]),
+                                 jnp.uint32(zmo[s]), ny0)
+        psi = psi * m_field
+    for s in range(int(t_value), 2 * int(t_value)):
+        ci = 2 * int(t_value) - 1 - s
+        psi = psi * jnp.conj(m_field)
+        psi = psi * jnp.conj(m_odd)
+        psi = apply_pauli_string(psi, jnp.uint32(xmo[s]),
+                                 jnp.uint32(zmo[s]), ny0)
+        psi = psi * jnp.conj(m_even)
+        psi = apply_pauli_string(psi, jnp.uint32(xme[s]),
+                                 jnp.uint32(zme[s]), ny0)
+        for j in range(K):
+            u = slot_unitary_inverse(angles[ci, K - 1 - j, 0],
+                                     angles[ci, K - 1 - j, 1], dtype)
+            psi = apply_uniform_1q_layer(psi, u, L)
+            psi = apply_pauli_string(psi, jnp.uint32(xk[s, j]),
+                                     jnp.uint32(zk[s, j]), ny0)
+    val = jnp.sum((jnp.real(psi) ** 2 + jnp.imag(psi) ** 2)
+                  * zq.astype(jnp.float32))
+    return ancilla_factor * s0 * float(val)

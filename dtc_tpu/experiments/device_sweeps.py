@@ -25,7 +25,8 @@ def _guard_gather_path(cfg):
     if cfg.L > _GATHER_MAX_L and jax.default_backend() != "cpu":
         raise ValueError(
             f"device-noise {cfg.polarization!r} polarization at L={cfg.L} has "
-            f"no safe engine: general polarizations run the dense gather path, "
+            f"no safe engine: past the general-kernel range (14 <= L <= 23, "
+            f"q < 14) general polarizations fall to the dense gather path, "
             f"which crashes the TPU worker above L={_GATHER_MAX_L}. Supported: "
             f"x-polarization (kernel/sigma engines) up to L=30, general "
             f"polarizations up to L={_GATHER_MAX_L}.")
@@ -79,6 +80,22 @@ def device_forward_sweep(cfg, sched, params, key) -> np.ndarray:
                   initial_state=cfg.initial_state, dtype_name=cfg.dtype,
                   ancilla_factor=af)
         run = lambda h, ph, keys: device_sigma_forward_batch(
+            h, ph, p1, p2, sched.angles, keys, **kw)
+    elif (engine in ("auto", "kernel") and 14 <= cfg.L <= 23
+          and cfg.probe_qubit < 14 and cfg.tf * sched.K <= 1024
+          and jax.default_backend() != "cpu"):
+        # GENERAL polarizations (y/xy/yx/circular, per-cycle g) at kernel
+        # rate: device events commute into the lab-frame kernels' post-kick
+        # Pauli hook with sign-adjusted bond angles; kernels run unchanged
+        # (core.device_evolve.device_general_kernel_forward_batch —
+        # previously these always took the dense gather path)
+        from dtc_tpu.core.device_evolve import (
+            device_general_kernel_forward_batch,
+        )
+
+        kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, q=cfg.probe_qubit,
+                  initial_state=cfg.initial_state, ancilla_factor=af)
+        run = lambda h, ph, keys: device_general_kernel_forward_batch(
             h, ph, p1, p2, sched.angles, keys, **kw)
     else:
         _guard_gather_path(cfg)
@@ -171,6 +188,34 @@ def device_echo_sweep(cfg, sched, params, key, *, t_chunk: int = 4) -> np.ndarra
                 for i in range(cfg.inst)])
             out += np.asarray(jnp.sum(run_v(hs_j, phis_j, keys, ts_all),
                                       axis=1))  # (inst, c, tf) -> (inst, tf)
+            done += c
+        return out / n_traj
+
+    if (engine in ("auto", "kernel") and 14 <= cfg.L <= 23
+            and cfg.probe_qubit < 14 and 2 * cfg.tf * sched.K <= 1024
+            and jax.default_backend() != "cpu"):
+        # general-polarization device ECHO at kernel rate (see the forward
+        # branch; device_general_kernel_echo_batch commutes the inverse
+        # cycles' bond events into the previous step's Pauli hook)
+        from dtc_tpu.core.device_evolve import device_general_kernel_echo_batch
+
+        kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, q=cfg.probe_qubit,
+                  initial_state=cfg.initial_state, ancilla_factor=af)
+        run_v = jax.vmap(
+            lambda h, ph, keys, ts: device_general_kernel_echo_batch(
+                h, ph, p1, p2, sched.angles, keys, ts, **kw),
+            in_axes=(0, 0, 0, None))
+        ts_all = jnp.arange(cfg.tf)
+        chunk = max(1, traj_chunks(n_traj, cfg.L,
+                                   extra_factor=2 * cfg.inst * cfg.tf))
+        done = 0
+        while done < n_traj:
+            c = min(chunk, n_traj - done)
+            keys = jnp.stack([
+                jax.random.split(jax.random.fold_in(key, 7919 + 31 * i + done), c)
+                for i in range(cfg.inst)])
+            out += np.asarray(jnp.sum(run_v(hs_j, phis_j, keys, ts_all),
+                                      axis=1))
             done += c
         return out / n_traj
 

@@ -528,13 +528,22 @@ def _flag_lanes(L):
 )
 def general_forward_batch(hs, phis, angles, keys, *, L, T, K, p, q,
                           initial_state="vacuum", ancilla_factor=1.0,
-                          interpret=False):
+                          interpret=False, ext_zm=None, ext_xm=None,
+                          ext_phi=None):
     """(inst, L), (inst, L-1), (T,K,2), (inst, c, 2) -> (inst, c, T).
 
     Lab-frame resident forward kernel for ANY kick schedule (all
     polarization families, per-cycle g). Requires 14 <= L <= 23, q < 14
     (18 <= L <= 23 run the blocked-plane variant; see
     _make_general_kernel_blocked and _blocked_min_L).
+
+    ext_zm/ext_xm (inst, c, S) uint32 + ext_phi (inst, c, S, L-1):
+    externally packed per-step noise masks and per-step phi rows (already
+    zeroed off final slots), overriding the flat depolarizing sampler —
+    the DEVICE-noise path commutes its mid-diagonal bond events into the
+    post-kick Pauli slot, which shows up here as composed masks plus
+    sign-adjusted even/odd bond angles (core.device_evolve.
+    device_general_kernel_forward_batch); the kernel runs unchanged.
     """
     if not (14 <= L <= 23):
         raise ValueError("resident kernel supports 14 <= L <= 23")
@@ -562,23 +571,27 @@ def general_forward_batch(hs, phis, angles, keys, *, L, T, K, p, q,
     flags = flags.at[:, _LANE_MPOS].set(mpos)
     flags = flags.at[:, _LANE_U8:_LANE_U8 + 8].set(u8)
 
-    def per_instance(h, ph, ks):
+    def per_instance(h, ph, ks, ezm, exm, ephi):
         hrow = (final * h[None].astype(jnp.float32))      # (S, L)
         prow = (final * ph[None].astype(jnp.float32))     # (S, L-1)
 
-        def tiles_one(key):
-            if p > 0.0:
+        def tiles_one(key, ezm_t, exm_t, ephi_t):
+            if ezm_t is not None:
+                zm, xm, prow_t = ezm_t, exm_t, ephi_t
+            elif p > 0.0:
                 u = jax.random.uniform(key, (S, L), dtype=jnp.float32)
                 codes = _codes_from_uniform(u, p)
                 xm, zm = _masks_from_codes(codes, L)
+                prow_t = prow
             else:
                 xm = zm = jnp.zeros((S,), jnp.uint32)
+                prow_t = prow
             zmb = _bits_row(zm, L)                      # (S, L)
             xmb = _bits_row(xm, L)
             # compact row: n | x-mask | h | phi | flags (see _LANE_*)
-            return jnp.concatenate([zmb, xmb, hrow, prow, flags], axis=-1)
+            return jnp.concatenate([zmb, xmb, hrow, prow_t, flags], axis=-1)
 
-        params = jax.vmap(tiles_one)(ks)  # (c, S, 128)
+        params = jax.vmap(tiles_one)(ks, ezm, exm, ephi)  # (c, S, 128)
         n_traj = ks.shape[0]
 
         if L < _blocked_min_L():
@@ -608,7 +621,7 @@ def general_forward_batch(hs, phis, angles, keys, *, L, T, K, p, q,
         a_raw = a_raw.reshape(n_traj, 1024)[:, :T]
         return ancilla_factor * s0 * a_raw
 
-    return jax.vmap(per_instance)(hs, phis, keys)
+    return jax.vmap(per_instance)(hs, phis, keys, ext_zm, ext_xm, ext_phi)
 
 
 @functools.partial(
@@ -618,7 +631,9 @@ def general_forward_batch(hs, phis, angles, keys, *, L, T, K, p, q,
 )
 def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
                        initial_state="vacuum", ancilla_factor=1.0,
-                       interpret=False):
+                       interpret=False, ext_xm=None, ext_zm=None,
+                       ext_pre_h=None, ext_pre_phi=None, ext_post_h=None,
+                       ext_post_phi=None):
     """(inst, L), (inst, L-1), (T,K,2), (inst, c, 2), (n_ts,) -> (inst, c, n_ts).
 
     Lab-frame resident echo A0(t) for ANY kick schedule: per (trajectory, t)
@@ -626,6 +641,15 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
     slot unitaries, D0^dagger leading each inverse cycle), events sampled
     from the same uniforms as core.sigma_evolve.sigma_echo_batch. Requires
     14 <= L <= 23, q < 14 (18 <= L <= 23 run the blocked-plane variant).
+
+    ext hooks (the DEVICE-noise echo, core.device_evolve.
+    device_general_kernel_echo_batch): ext_xm/ext_zm (inst, c, n_ts, 2T, K)
+    uint32 per-slot post-kick Pauli masks; ext_pre_h/ext_pre_phi
+    (inst, c, n_ts, 2T, L / L-1) REPLACE the first-slot prediag rows
+    (host supplies -h/-phi with conjugation signs, zeroed off inverse
+    steps); ext_post_h/ext_post_phi likewise replace the final-slot
+    postdiag rows (zeroed off forward steps). All already masked for the
+    pair's active window; the kernel runs unchanged.
     """
     if not (14 <= L <= 23):
         raise ValueError("resident kernel supports 14 <= L <= 23")
@@ -645,15 +669,17 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
 
     FL = _flag_lanes(L)
 
-    def per_instance(h, ph, ks):
+    def per_instance(h, ph, ks, i_xm, i_zm, i_ph, i_pp, i_qh, i_qp):
         hf = h.astype(jnp.float32)
         pf = ph.astype(jnp.float32)
 
-        def tiles_one(key, t_value):
+        def tiles_one(key, t_value, exm, ezm, eph, epp, eqh, eqp):
             kstep = jnp.arange(2 * T)
             fwd = kstep < t_value
             inv = (kstep >= t_value) & (kstep < 2 * t_value)
-            if p > 0.0:
+            if exm is not None:
+                xm, zm = exm, ezm
+            elif p > 0.0:
                 u = jax.random.uniform(key, (2 * T, K, L), dtype=jnp.float32)
                 codes = _codes_from_uniform(u, p)
                 codes = jnp.where((fwd | inv)[:, None, None], codes, 0)
@@ -682,15 +708,25 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
                 flags = flags.at[:, _LANE_U8:_LANE_U8 + 8].set(slot_u)
                 # pre tile: D0^dagger on the FIRST inverse slot (j == 0)
                 pre_d = inv.astype(jnp.float32)[:, None] if j == 0 else 0.0
-                pre = jnp.concatenate(
-                    [zl, xmb, -pre_d * hf[None] + 0.0 * zl,
-                     -pre_d * pf[None] + 0.0 * zp, flags], axis=-1)
+                if eph is not None:
+                    pre_h = eph if j == 0 else 0.0 * zl
+                    pre_p = epp if j == 0 else 0.0 * zp
+                else:
+                    pre_h = -pre_d * hf[None] + 0.0 * zl
+                    pre_p = -pre_d * pf[None] + 0.0 * zp
+                pre = jnp.concatenate([zl, xmb, pre_h, pre_p, flags],
+                                      axis=-1)
                 # post tile: event z-sign; forward final slot adds D0
                 post_d = (fwd.astype(jnp.float32)[:, None]
                           if j == K - 1 else 0.0)
+                if eqh is not None:
+                    post_h = eqh if j == K - 1 else 0.0 * zl
+                    post_p = eqp if j == K - 1 else 0.0 * zp
+                else:
+                    post_h = post_d * hf[None] + 0.0 * zl
+                    post_p = post_d * pf[None] + 0.0 * zp
                 post = jnp.concatenate(
-                    [zmb, zl, post_d * hf[None] + 0.0 * zl,
-                     post_d * pf[None] + 0.0 * zp,
+                    [zmb, zl, post_h, post_p,
                      jnp.zeros((2 * T, FL), jnp.float32)], axis=-1)
                 return jnp.stack([pre, post], axis=1)  # (2T, 2, 128)
 
@@ -702,7 +738,10 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
                 (2 * t_value * K).astype(jnp.float32))
 
         tiles = jax.vmap(
-            lambda k: jax.vmap(lambda t: tiles_one(k, t))(ts))(ks)
+            lambda k, a, b, c2, d, e, f: jax.vmap(
+                lambda t, a2, b2, c3, d2, e2, f2: tiles_one(
+                    k, t, a2, b2, c3, d2, e2, f2))(ts, a, b, c2, d, e, f)
+        )(ks, i_xm, i_zm, i_ph, i_pp, i_qh, i_qp)
         n_pairs = ks.shape[0] * n_ts
         tiles = tiles.reshape(n_pairs, 2 * S, 128)
 
@@ -737,4 +776,5 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
         val = a_raw.reshape(n_pairs, 1024)[:, 0].reshape(ks.shape[0], n_ts)
         return ancilla_factor * s0 * val
 
-    return jax.vmap(per_instance)(hs, phis, keys)
+    return jax.vmap(per_instance)(hs, phis, keys, ext_xm, ext_zm, ext_pre_h,
+                                  ext_pre_phi, ext_post_h, ext_post_phi)

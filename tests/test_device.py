@@ -650,3 +650,78 @@ def test_qiskit_properties_import_roundtrip(tmp_path):
     assert np.all((m.p_1q >= 2e-4) & (m.p_1q <= 2e-4 + 1e-8 * n))
     assert np.all((m.p_2q >= 8e-3) & (m.p_2q <= 8e-3 + 1e-7 * 2 * n))
     assert np.all(np.abs(m.readout - 0.01) <= 1e-5 * n)
+
+
+def test_device_general_kernel_forward_matches_original_order_oracle():
+    """Device noise for GENERAL polarizations at kernel rate (VERDICT r3
+    next #5 stretch): the mid-diagonal bond events commute into the
+    lab-frame kernels' post-kick Pauli hook, with the crossed sublayers'
+    ZZ angles sign-flipped on the bond parity of the passing X mask
+    (core.device_evolve._device_general_rows). Validated trajectory-exact
+    against a dense oracle applying the SAME presampled events in the
+    ORIGINAL circuit order — any error in the commutation algebra fails
+    here, not statistically. Aggressive site-varying noise so every event
+    class fires."""
+    from dtc_tpu.core.device_evolve import (
+        device_general_forward_oracle,
+        device_general_kernel_forward_batch,
+    )
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.models.drives import build_kick_schedule, n_kick_slots
+
+    L, T, q = 14, 4, 7
+    hs, phis = generate_disorder(L, 1, seed=7)
+    hsj = jnp.asarray(hs[0, :L])
+    phj = jnp.asarray(phis[0, : L - 1])
+    p1 = jnp.linspace(0.1, 0.4, L)
+    p2 = jnp.linspace(0.15, 0.45, L - 1)
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+    for pol in ("y", "xy", "circular_left"):
+        K = n_kick_slots(pol)
+        sched = build_kick_schedule(pol, 0.97, T)
+        kw = dict(L=L, T=T, K=K, q=q, ancilla_factor=0.9)
+        a_k = np.asarray(device_general_kernel_forward_batch(
+            hsj, phj, p1, p2, sched.angles, keys, interpret=True, **kw))
+        a_o = np.asarray(device_general_forward_oracle(
+            hsj, phj, p1, p2, sched.angles, keys, **kw))
+        assert np.max(np.abs(a_k - a_o)) < 1e-4, (pol, a_k, a_o)
+
+
+def test_device_general_kernel_echo_matches_original_order_oracle():
+    """Device-noise general-polarization ECHO: inverse cycles' bond events
+    commute EARLIER — through the prediag (conjugating it) and the
+    turnaround step's post-D0 — into the previous step's final-slot Pauli
+    hook (core.device_evolve._device_general_echo_rows). Oracle applies
+    the same presample in device_inverse_cycle's original order; the
+    noiseless A0(t) == 1 invariant rides along."""
+    from dtc_tpu.core.device_evolve import (
+        device_general_echo_oracle,
+        device_general_kernel_echo_batch,
+    )
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.models.drives import build_kick_schedule, n_kick_slots
+
+    L, T, q = 14, 4, 7
+    hs, phis = generate_disorder(L, 1, seed=7)
+    hsj = jnp.asarray(hs[0, :L])
+    phj = jnp.asarray(phis[0, : L - 1])
+    p1 = jnp.linspace(0.1, 0.35, L)
+    p2 = jnp.linspace(0.15, 0.4, L - 1)
+    keys = jax.random.split(jax.random.PRNGKey(3), 1)
+    ts = jnp.asarray([1, 3])
+    for pol in ("y", "xy"):
+        K = n_kick_slots(pol)
+        sched = build_kick_schedule(pol, 0.97, T)
+        kw = dict(L=L, T=T, K=K, q=q, ancilla_factor=0.9)
+        a_k = np.asarray(device_general_kernel_echo_batch(
+            hsj, phj, p1, p2, sched.angles, keys, ts, interpret=True, **kw))
+        a_o = np.asarray([device_general_echo_oracle(
+            hsj, phj, p1, p2, sched.angles, keys[0], int(t), **kw)
+            for t in np.asarray(ts)])
+        assert np.max(np.abs(a_k[0] - a_o)) < 1e-4, (pol, a_k, a_o)
+    # noiseless invariant: zero rates => U^dag U = I => A0(t) == 1
+    sched = build_kick_schedule("xy", 0.97, T)
+    a0 = np.asarray(device_general_kernel_echo_batch(
+        hsj, phj, jnp.zeros((L,)), jnp.zeros((L - 1,)), sched.angles, keys,
+        ts, L=L, T=T, K=2, q=q, ancilla_factor=1.0, interpret=True))
+    np.testing.assert_allclose(a0, 1.0, atol=1e-4)
