@@ -364,7 +364,8 @@ def optimize_g_for_target_echo(stepper, states_prev, g_schedule, t, target_echo,
 def run_adaptive_realtime(cfg, hs=None, phis=None, *, out_dir=None,
                           disorder_dir=None, write=True,
                           optimizer_method="golden",
-                          realtime_csv: bool = False) -> dict:
+                          realtime_csv: bool = False,
+                          compare_g_high: float = 0.97) -> dict:
     """Real-time causal adaptive-g loop + fixed-g standard comparison.
 
     Per reference convention the row at time index t corresponds to t+1
@@ -433,23 +434,55 @@ def run_adaptive_realtime(cfg, hs=None, phis=None, *, out_dir=None,
     all_echo = np.asarray(all_echo)
     all_g = np.asarray(all_g)
 
-    # fixed-g standard comparison (same seeds)
+    # fixed-g standard comparisons (same seeds): the initial g AND the
+    # reference's hardcoded high comparison g=0.97 — its output schema
+    # labels these g84/g97 regardless of the actual g_initial
+    # (controlled-g.py:614-637,665-677; g-optimization.py:816-832)
     std = run_fixed_g(cfg, hs, phis)
+    std97 = run_fixed_g(cfg, hs, phis, g_value=compare_g_high)
 
+    av_fwd_a = all_fwd.mean(axis=0)
+    av_echo_a = all_echo.mean(axis=0)
+    av_fwd_84 = std["forward"].mean(axis=0)
+    av_echo_84 = std["echo"].mean(axis=0)
+    av_fwd_97 = std97["forward"].mean(axis=0)
+    av_echo_97 = std97["echo"].mean(axis=0)
     data = {
         "time": np.arange(T),
-        "av_autocorr_adaptive": all_fwd.mean(axis=0),
-        "av_autocorr_echo_adaptive": all_echo.mean(axis=0),
+        "av_autocorr_adaptive": av_fwd_a,
+        "av_autocorr_echo_adaptive": av_echo_a,
         "av_g_values": all_g.mean(axis=0),
-        "av_autocorr_standard": std["forward"].mean(axis=0),
-        "av_autocorr_echo_standard": std["echo"].mean(axis=0),
-        "sqrt_av_autocorr_echo_adaptive": np.sqrt(np.maximum(all_echo.mean(axis=0), 0)),
-        "sqrt_av_autocorr_echo_standard": np.sqrt(np.maximum(std["echo"].mean(axis=0), 0)),
+        "av_autocorr_standard": av_fwd_84,
+        "av_autocorr_echo_standard": av_echo_84,
+        "av_autocorr_standard_g84": av_fwd_84,
+        "av_autocorr_echo_standard_g84": av_echo_84,
+        "av_autocorr_standard_g97": av_fwd_97,
+        "av_autocorr_echo_standard_g97": av_echo_97,
+        "sqrt_av_autocorr_echo_adaptive": np.sqrt(np.maximum(av_echo_a, 0)),
+        "sqrt_av_autocorr_echo_standard": np.sqrt(np.maximum(av_echo_84, 0)),
+        "sqrt_av_autocorr_echo_standard_g84": np.sqrt(np.abs(av_echo_84)),
+        "sqrt_av_autocorr_echo_standard_g97": np.sqrt(np.abs(av_echo_97)),
     }
+    # envelope columns (window_size=3, controlled-g.py:647-653,681-697)
+    from dtc_tpu.analysis.envelope import find_envelope
+
+    for label, f_sig, e_sig in (("adaptive", av_fwd_a, av_echo_a),
+                                ("g84", av_fwd_84, av_echo_84),
+                                ("g97", av_fwd_97, av_echo_97)):
+        uf, lf = find_envelope(f_sig, window_size=3)
+        ue, le = find_envelope(e_sig, window_size=3)
+        data[f"upper_env_{label}_forward"] = uf
+        data[f"lower_env_{label}_forward"] = lf
+        data[f"upper_env_{label}_echo"] = ue
+        data[f"lower_env_{label}_echo"] = le
     for i in range(cfg.inst):
         data[f"g_history_inst{i+1}"] = all_g[i]
         data[f"echo_adaptive_inst{i+1}"] = all_echo[i]
         data[f"forward_adaptive_inst{i+1}"] = all_fwd[i]
+        data[f"echo_standard_g84_inst{i+1}"] = std["echo"][i]
+        data[f"forward_standard_g84_inst{i+1}"] = std["forward"][i]
+        data[f"echo_standard_g97_inst{i+1}"] = std97["echo"][i]
+        data[f"forward_standard_g97_inst{i+1}"] = std97["forward"][i]
 
     result = dict(data)
     result.update(g_history=all_g, echo=all_echo, forward=all_fwd)
@@ -463,8 +496,28 @@ def run_adaptive_realtime(cfg, hs=None, phis=None, *, out_dir=None,
             ghist_cols[f"inst{i+1}_echo_values"] = all_echo[i]
         gpath = os.path.join(folder, naming.g_history_csv_name(cfg))
         csvio.write_columns(gpath, ghist_cols)
+        # separate adaptive-vs-fixed comparison file
+        # (controlled-g.py:719-737, shipped in controlled-autocorr_data_L20/)
+        comp = {
+            "time": np.arange(T),
+            "av_g_values": all_g.mean(axis=0),
+            "av_echo_adaptive": av_echo_a,
+            "av_echo_g84": av_echo_84,
+            "av_echo_g97": av_echo_97,
+            "av_forward_adaptive": av_fwd_a,
+            "av_forward_g84": av_fwd_84,
+            "av_forward_g97": av_fwd_97,
+        }
+        for i in range(cfg.inst):
+            comp[f"inst{i+1}_g_values"] = all_g[i]
+            comp[f"inst{i+1}_echo_adaptive"] = all_echo[i]
+            comp[f"inst{i+1}_echo_g84"] = std["echo"][i]
+            comp[f"inst{i+1}_echo_g97"] = std97["echo"][i]
+        cpath = os.path.join(folder, naming.adaptive_comparison_csv_name(cfg))
+        csvio.write_columns(cpath, comp)
         result["csv_path"] = path
         result["g_history_csv_path"] = gpath
+        result["comparison_csv_path"] = cpath
     return result
 
 

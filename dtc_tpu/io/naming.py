@@ -63,6 +63,22 @@ def adaptive_csv_name(cfg) -> str:
     )
 
 
+def adaptive_comparison_csv_name(cfg) -> str:
+    """comparison_{state}_adaptive_{method}_vs_fixed_g{g0}_L{L}_inst{n}_
+    target{t}_gain{gain}.csv — the adaptive-vs-fixed comparison file
+    (g-optimization.py:834's method_short tokens; the shipped L=20 artifact
+    is the optimization variant, controlled-autocorr_data_L20/)."""
+    if cfg.use_optimization:
+        method = "optimization"
+    elif cfg.exponential_feedback:
+        method = "exponential"
+    else:
+        method = "linear"
+    return (f"comparison_{cfg.initial_state}_adaptive_{method}_vs_fixed_"
+            f"g{cfg.g}_L{cfg.L}_inst{cfg.inst}_target{cfg.target_echo}"
+            f"_gain{cfg.feedback_gain}.csv")
+
+
 def g_history_csv_name(cfg) -> str:
     return (
         f"g_history_{cfg.initial_state}_realtime_g{cfg.g}_L{cfg.L}_inst{cfg.inst}"

@@ -178,3 +178,44 @@ def test_l4_adaptive_g_history_replay(gain):
     assert np.abs(dev_e).max() < 3.5 * sigma, dev_e
     assert abs(dev_f.mean()) < 3 * sigma / np.sqrt(n_pts) + 0.01, dev_f.mean()
     assert abs(dev_e.mean()) < 3 * sigma / np.sqrt(n_pts) + 0.01, dev_e.mean()
+
+
+def test_adaptive_csv_schema_matches_shipped_controlled_g_artifacts(tmp_path):
+    """The controlled-g output contract (SURVEY.md section 5): a tiny
+    adaptive-optimization run must produce BOTH files of the reference's
+    shipped L=20 controlled-g dataset — same filename tokenization and a
+    column superset of each shipped header (controlled-g.py:669-737;
+    g-optimization.py:812-835)."""
+    import jax
+
+    from dtc_tpu.experiments.adaptive import run_adaptive_realtime
+    from dtc_tpu.io import csvio
+    from dtc_tpu.utils.config import SimConfig
+
+    cfg = SimConfig(L=6, g=0.84, inst=1, tf=5, noise_prob=0.05, use_noise=1,
+                    n_trajectories=8, seed=3, target_echo=1.0,
+                    feedback_gain=0.01, use_optimization=1,
+                    optimization_iterations=5)
+    r = run_adaptive_realtime(cfg, write=True, out_dir=str(tmp_path))
+
+    ref_dir = os.path.join(REF, "controlled-autocorr_data_L20")
+    ref_data = csvio.read_columns(os.path.join(
+        ref_dir, "autocorr_data_vacuum_realtime_adaptive_optimization_iter5_"
+        "g0.84_L20_inst1_randomphi1_delta0.0_amplitude1.0_noise0.05_"
+        "usenoise1_target1.0_gain0.01.csv"))
+    ours = csvio.read_columns(r["csv_path"])
+    assert set(ref_data) <= set(ours), set(ref_data) - set(ours)
+    # filename tokens: identical up to the L/tf substitution
+    want = ("autocorr_data_vacuum_realtime_adaptive_optimization_iter5_"
+            "g0.84_L6_inst1_randomphi1_delta0.0_amplitude1.0_noise0.05_"
+            "usenoise1_target1.0_gain0.01.csv")
+    assert os.path.basename(r["csv_path"]) == want
+
+    ref_comp = csvio.read_columns(os.path.join(
+        ref_dir, "comparison_vacuum_adaptive_optimization_vs_fixed_g0.84_"
+        "L20_inst1_target1.0_gain0.01.csv"))
+    comp = csvio.read_columns(r["comparison_csv_path"])
+    assert set(ref_comp) <= set(comp), set(ref_comp) - set(comp)
+    assert os.path.basename(r["comparison_csv_path"]) == (
+        "comparison_vacuum_adaptive_optimization_vs_fixed_g0.84_L6_inst1_"
+        "target1.0_gain0.01.csv")
