@@ -283,3 +283,56 @@ def plot_csv_quicklook(csv_path, out_png, x="time", title=None):
     ax.grid(alpha=0.3)
     ax.set_title(title or os.path.basename(csv_path))
     return _save(fig, out_png)
+
+
+def plot_adaptive_comparison(cols, out_png, *, target_echo=1.0,
+                             g_min=0.84, g_max=1.0, title=""):
+    """Three-panel adaptive-vs-fixed comparison: forward autocorrelation
+    (with envelopes where present), echo vs the target line, and the
+    realized g trajectory inside its [g_min, g_max] bounds — the
+    controlled-g script's summary figure
+    (autocorr-delta-a-single-qiskit-fast-controlled-g.py:739-806,
+    adaptive_vs_fixed_g_comparison_*.png). `cols` is the adaptive data
+    CSV's column dict (run_adaptive_realtime output schema)."""
+    t = np.asarray(cols["time"], dtype=float)
+    fig, (ax1, ax2, ax3) = plt.subplots(1, 3, figsize=(17.1, 4.3))
+
+    series = (("adaptive", "av_autocorr_adaptive", "av_autocorr_echo_adaptive",
+               "-", 2.5),
+              ("g84", "av_autocorr_standard_g84", "av_autocorr_echo_standard_g84",
+               "--", 2.0),
+              ("g97", "av_autocorr_standard_g97", "av_autocorr_echo_standard_g97",
+               "-.", 2.0))
+    for label, fk, ek, ls, lw in series:
+        if fk not in cols:
+            continue
+        ax1.plot(t, np.asarray(cols[fk], float), ls, lw=lw, label=f"A ({label})")
+        ue, le = (f"upper_env_{label}_forward", f"lower_env_{label}_forward")
+        if ue in cols:
+            ax1.fill_between(t, np.asarray(cols[le], float),
+                             np.asarray(cols[ue], float), alpha=0.12)
+        ax2.plot(t, np.asarray(cols[ek], float), ls, lw=lw,
+                 label=f"A0 ({label})")
+    ax1.set_xlabel("t")
+    ax1.set_ylabel("A(t)")
+    ax1.legend(fontsize=8)
+    ax2.axhline(target_echo, color="k", ls=":", lw=1, label="target")
+    ax2.set_xlabel("t")
+    ax2.set_ylabel("A0(t)")
+    ax2.legend(fontsize=8)
+    if "av_g_values" in cols:
+        ax3.plot(t, np.asarray(cols["av_g_values"], float), "-", lw=2.5,
+                 label="g(t)")
+    for i in range(1, 100):
+        k = f"g_history_inst{i}"
+        if k not in cols:
+            break
+        ax3.plot(t, np.asarray(cols[k], float), alpha=0.35, lw=1)
+    ax3.axhline(g_min, color="gray", ls=":", lw=1)
+    ax3.axhline(g_max, color="gray", ls=":", lw=1)
+    ax3.set_xlabel("t")
+    ax3.set_ylabel("g")
+    ax3.legend(fontsize=8)
+    if title:
+        fig.suptitle(title)
+    return _save(fig, out_png)

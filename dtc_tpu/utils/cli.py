@@ -169,7 +169,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["autocorr", "sincos-fit", "fft", "envelope",
                             "quicklook", "power-law", "energy-all",
                             "sub-echo", "fit-grid", "polarization-comparison",
-                            "xy-cycle"])
+                            "xy-cycle", "adaptive"])
     p.add_argument("--key", type=str, default="av_autocorr")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--per_qubit", action="store_true",
@@ -364,6 +364,10 @@ def main(argv=None) -> int:
                 plots.plot_fft_subharmonics(cols, out, key=args.key)
             elif args.kind == "envelope":
                 plots.plot_with_envelopes(cols, out, key=args.key)
+            elif args.kind == "adaptive":
+                # controlled-g's 3-panel adaptive-vs-fixed summary figure
+                # (controlled-g.py:739-806) over the adaptive data CSV
+                plots.plot_adaptive_comparison(cols, out)
         print(f"wrote {out}")
         return 0
 

@@ -129,3 +129,35 @@ def test_fit_grid_and_polarization_plot(tmp_path):
                                               ("x", "y"))
     import os
     assert os.path.getsize(png2) > 1000
+
+
+def test_adaptive_comparison_plot(tmp_path):
+    """The controlled-g 3-panel adaptive-vs-fixed summary figure
+    (controlled-g.py:739-806) renders from the adaptive data CSV schema,
+    with and without envelope columns present."""
+    import os
+
+    import numpy as np
+
+    from dtc_tpu.analysis import plots
+
+    t = np.arange(8, dtype=float)
+    base = {
+        "time": t,
+        "av_autocorr_adaptive": np.cos(np.pi * t) * 0.8,
+        "av_autocorr_echo_adaptive": 0.9 ** t,
+        "av_autocorr_standard_g84": np.cos(np.pi * t) * 0.7,
+        "av_autocorr_echo_standard_g84": 0.85 ** t,
+        "av_autocorr_standard_g97": np.cos(np.pi * t) * 0.75,
+        "av_autocorr_echo_standard_g97": 0.88 ** t,
+        "av_g_values": np.linspace(0.84, 0.95, 8),
+        "g_history_inst1": np.linspace(0.84, 0.96, 8),
+    }
+    p1 = plots.plot_adaptive_comparison(base, str(tmp_path / "a.png"))
+    assert os.path.getsize(p1) > 0
+    full = dict(base)
+    for lab in ("adaptive", "g84", "g97"):
+        full[f"upper_env_{lab}_forward"] = np.abs(base["av_autocorr_adaptive"])
+        full[f"lower_env_{lab}_forward"] = -np.abs(base["av_autocorr_adaptive"])
+    p2 = plots.plot_adaptive_comparison(full, str(tmp_path / "b.png"))
+    assert os.path.getsize(p2) > 0
