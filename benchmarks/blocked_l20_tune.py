@@ -60,9 +60,32 @@ for gi in range(5):
         a = run(gi * 3 + i + 1)
     group_dts.append((time.perf_counter() - t0) / 3)
 dt = float(np.median(group_dts))
-print("RESULT " + json.dumps({
-    "cycles_s": round(T * NTRAJ / dt, 1), "compile_s": round(compile_s, 1),
-    "check": float(a[0, :, 0].mean())}))
+rec = {"cycles_s": round(T * NTRAJ / dt, 1), "compile_s": round(compile_s, 1),
+       "check": float(a[0, :, 0].mean())}
+
+if os.environ.get("DTC_TPU_TUNE_ECHO") == "1":
+    from dtc_tpu.experiments.engine import _echo_batch
+    ts = jnp.arange(1, T + 1, 2)
+    ekw = dict(kw)
+
+    def erun(seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), 8)[None]
+        return np.asarray(_echo_batch(hs_j, phis_j, sched.angles, keys, ts,
+                                      **ekw))
+
+    t0 = time.time()
+    e = erun(0)
+    rec["echo_compile_s"] = round(time.time() - t0, 1)
+    assert np.isfinite(e).all()
+    edts = []
+    for gi in range(3):
+        t0 = time.perf_counter()
+        e = erun(gi + 1)
+        edts.append(time.perf_counter() - t0)
+    steps = 8 * int(2 * np.sum(np.asarray(ts)))
+    rec["echo_steps_s"] = round(steps / float(np.median(edts)), 1)
+
+print("RESULT " + json.dumps(rec))
 """
 
 ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
@@ -84,6 +107,8 @@ best = (None, -1.0)
 for bt, cs, nb in CONFIGS:
     env = dict(_os.environ, DTC_TPU_BLOCKED_BT=str(bt),
                DTC_TPU_BLOCKED_CS=str(cs), DTC_TPU_BLOCKED_NB=str(nb))
+    if (bt, cs) == (16, 2048) and nb in (1, 2):
+        env["DTC_TPU_TUNE_ECHO"] = "1"  # echo decision pair only
     tag = f"bt{bt}_cs{cs}_nb{nb}"
     print(f"--- {tag}", flush=True)
     r = subprocess.run([_sys.executable, "-c", CHILD % {"root": ROOT}],

@@ -265,8 +265,9 @@ def _make_blocked_kernel(L: int, T: int, q: int, b0: int,
 
 
 def _make_blocked_echo_kernel(L: int, T2: int, q: int, b0: int,
-                              time_dep: bool, bt: int, cs: int):  # noqa: C901
-    """Echo: one grid step = one (traj, t) pair, 2T masked steps, blocked.
+                              time_dep: bool, bt: int, cs: int,
+                              nb: int = 1):  # noqa: C901
+    """Echo: one grid step = ``nb`` (traj, t) pairs, 2T masked steps, blocked.
 
     Same (pre, post) interleaved compact step tiles as the L <= 21
     resident echo (shared builder pallas_resident.echo_pair_tiles): both
@@ -277,10 +278,15 @@ def _make_blocked_echo_kernel(L: int, T2: int, q: int, b0: int,
     The per-pair trip count bounds the step loop, so only the first 2t
     active steps run — the select the full-plane kernel carries is
     redundant under that bound and dropped here.
+
+    nb > 1 interleaves SAME-t pairs (the wrapper groups pairs t-major so
+    every pair in a grid step shares the trip count) — the forward
+    kernel's MXU/VPU-overlap lever applied to the echo body.
     """
     TOP = 1 << (L - 14)
     n_bt = TOP // bt
     n_cs = (_C // 2) // cs
+    B = range(nb)
 
     def kernel(u7r_ref, u7i_ref, utr_ref, uti_ref, par_ref,
                a_out_ref, st_ref):
@@ -289,9 +295,11 @@ def _make_blocked_echo_kernel(L: int, T2: int, q: int, b0: int,
 
         def init_block(i, _):
             gidx = ((topb + jnp.uint32(i * bt)) << 14) | colb
-            st_ref[0, pl.ds(i * bt, bt), :] = jnp.where(
-                gidx == jnp.uint32(b0), 1.0, 0.0)
-            st_ref[1, pl.ds(i * bt, bt), :] = jnp.zeros((bt, _C), jnp.float32)
+            for b in B:
+                st_ref[b, 0, pl.ds(i * bt, bt), :] = jnp.where(
+                    gidx == jnp.uint32(b0), 1.0, 0.0)
+                st_ref[b, 1, pl.ds(i * bt, bt), :] = jnp.zeros(
+                    (bt, _C), jnp.float32)
             return _
 
         jax.lax.fori_loop(0, n_bt, init_block, None)
@@ -318,139 +326,163 @@ def _make_blocked_echo_kernel(L: int, T2: int, q: int, b0: int,
 
         # compact row layout: n | sig | flip | h | phi at offsets
         # 0, L, 2L, 3L-1, 4L-1; flags at lanes 124..127
-        def cz(ti, qq):
-            return (par_ref[0, ti, 3 * L - 1 + qq]
-                    * (par_ref[0, ti, L + qq] - 0.5)
-                    - _HALF_PI * par_ref[0, ti, qq])
+        def cz(b, ti, qq):
+            return (par_ref[0, b, ti, 3 * L - 1 + qq]
+                    * (par_ref[0, b, ti, L + qq] - 0.5)
+                    - _HALF_PI * par_ref[0, b, ti, qq])
 
-        def cb(ti, jj):
-            return (par_ref[0, ti, 4 * L - 1 + jj]
-                    * (par_ref[0, ti, 2 * L + jj] - 0.5))
+        def cb(b, ti, jj):
+            return (par_ref[0, b, ti, 4 * L - 1 + jj]
+                    * (par_ref[0, b, ti, 2 * L + jj] - 0.5))
 
-        def angle7(ti, base, bias, zt):
+        def angle7(b, ti, base, bias, zt):
             th = bias + jnp.zeros_like(zt[0])
             for k in range(7):
-                th = th + cz(ti, base + k) * zt[k]
+                th = th + cz(b, ti, base + k) * zt[k]
                 if k > 0:
-                    th = th + cb(ti, base + k - 1) * (zt[k - 1] * zt[k])
+                    th = th + cb(b, ti, base + k - 1) * (zt[k - 1] * zt[k])
             return th
 
-        def angle_hi(ti, zt):
+        def angle_hi(b, ti, zt):
             th = jnp.zeros_like(zt[0])
             for k in range(L - 14):
-                th = th + cz(ti, 14 + k) * zt[k]
+                th = th + cz(b, ti, 14 + k) * zt[k]
                 if k > 0:
-                    th = th + cb(ti, 13 + k) * (zt[k - 1] * zt[k])
+                    th = th + cb(b, ti, 13 + k) * (zt[k - 1] * zt[k])
             return th
 
         def step(k, _):
             pre = 2 * k
             post = 2 * k + 1
-            imag_sign = par_ref[0, pre, 125]
-            ui = par_ref[0, pre, 127].astype(jnp.int32) if time_dep else 0
-            c0p = _HALF_PI * sum(par_ref[0, pre, qq] for qq in range(L))
-            c0q = _HALF_PI * sum(par_ref[0, post, qq] for qq in range(L))
-
-            u7rt = u7r_ref[ui].T
-            u7it = u7i_ref[ui].T * imag_sign
-
-            def scaled(base, bias_p, bias_q):
-                th = (angle7(pre, base, bias_p, z7i)
-                      + angle7(post, base, bias_q, z7o))
-                dr = jnp.cos(th)
-                di = jnp.sin(th)
-                br = u7rt * dr - u7it * di
-                bi = u7rt * di + u7it * dr
-                return br, bi, br + bi
-
-            blr, bli, bls = scaled(0, c0p, c0q)
-            bmr, bmi, bms = scaled(7, 0.0, 0.0)
-
+            # schedule-structural flags (imag sign, matrix index) are
+            # identical across the grid step's same-t pairs; read per-b
+            # anyway so the kernel never assumes it
             def kara_right(xr, xi, br, bi, bs):
                 p1 = _dot_f32(xr, br)
                 p2 = _dot_f32(xi, bi)
                 p3 = _dot_f32(xr + xi, bs)
                 return p1 - p2, p3 - p1 - p2
 
-            s6p = cb(pre, 6)
-            c6p, s6pz = jnp.cos(s6p), zz67 * jnp.sin(s6p)
-            s13p = cb(pre, 13)
+            bl, bm, pre1 = [], [], []
+            for b in B:
+                imag_sign = par_ref[0, b, pre, 125]
+                ui = (par_ref[0, b, pre, 127].astype(jnp.int32)
+                      if time_dep else 0)
+                c0p = _HALF_PI * sum(par_ref[0, b, pre, qq]
+                                     for qq in range(L))
+                c0q = _HALF_PI * sum(par_ref[0, b, post, qq]
+                                     for qq in range(L))
+                u7rt = u7r_ref[ui].T
+                u7it = u7i_ref[ui].T * imag_sign
+
+                def scaled(base, bias_p, bias_q, b=b, u7rt=u7rt, u7it=u7it):
+                    th = (angle7(b, pre, base, bias_p, z7i)
+                          + angle7(b, post, base, bias_q, z7o))
+                    dr = jnp.cos(th)
+                    di = jnp.sin(th)
+                    br = u7rt * dr - u7it * di
+                    bi = u7rt * di + u7it * dr
+                    return br, bi, br + bi
+
+                bl.append(scaled(0, c0p, c0q))
+                bm.append(scaled(7, 0.0, 0.0))
+                s6p = cb(b, pre, 6)
+                s13p = cb(b, pre, 13)
+                pre1.append((jnp.cos(s6p), zz67 * jnp.sin(s6p),
+                             jnp.cos(s13p), jnp.sin(s13p), ui, imag_sign))
 
             # pass 1: pre straddles + bits 0..13 kicks, per TOP block
             def p1_block(i, _):
-                mr = st_ref[0, pl.ds(i * bt, bt), :]
-                mi = st_ref[1, pl.ds(i * bt, bt), :]
-                mr, mi = _cmul(mr, mi, c6p, s6pz)
                 z14b = (1 - 2 * ((hbt + i * bt) & 1)).astype(jnp.float32)
-                mr, mi = _cmul(mr, mi, jnp.cos(s13p),
-                               (z13c * z14b) * jnp.sin(s13p))
-                mr = mr.reshape(bt * 128, 128)
-                mi = mi.reshape(bt * 128, 128)
-                mr, mi = kara_right(mr, mi, blr, bli, bls)
-                mr = jnp.swapaxes(mr.reshape(bt, 128, 128), 1, 2).reshape(
-                    bt * 128, 128)
-                mi = jnp.swapaxes(mi.reshape(bt, 128, 128), 1, 2).reshape(
-                    bt * 128, 128)
-                mr, mi = kara_right(mr, mi, bmr, bmi, bms)
-                st_ref[0, pl.ds(i * bt, bt), :] = jnp.swapaxes(
-                    mr.reshape(bt, 128, 128), 1, 2).reshape(bt, _C)
-                st_ref[1, pl.ds(i * bt, bt), :] = jnp.swapaxes(
-                    mi.reshape(bt, 128, 128), 1, 2).reshape(bt, _C)
+                for b in B:
+                    c6p, s6pz, c13p, s13p, _ui, _im = pre1[b]
+                    mr = st_ref[b, 0, pl.ds(i * bt, bt), :]
+                    mi = st_ref[b, 1, pl.ds(i * bt, bt), :]
+                    mr, mi = _cmul(mr, mi, c6p, s6pz)
+                    mr, mi = _cmul(mr, mi, c13p, (z13c * z14b) * s13p)
+                    mr = mr.reshape(bt * 128, 128)
+                    mi = mi.reshape(bt * 128, 128)
+                    mr, mi = kara_right(mr, mi, *bl[b])
+                    mr = jnp.swapaxes(mr.reshape(bt, 128, 128), 1, 2).reshape(
+                        bt * 128, 128)
+                    mi = jnp.swapaxes(mi.reshape(bt, 128, 128), 1, 2).reshape(
+                        bt * 128, 128)
+                    mr, mi = kara_right(mr, mi, *bm[b])
+                    st_ref[b, 0, pl.ds(i * bt, bt), :] = jnp.swapaxes(
+                        mr.reshape(bt, 128, 128), 1, 2).reshape(bt, _C)
+                    st_ref[b, 1, pl.ds(i * bt, bt), :] = jnp.swapaxes(
+                        mi.reshape(bt, 128, 128), 1, 2).reshape(bt, _C)
                 return _
 
             jax.lax.fori_loop(0, n_bt, p1_block, None)
 
             # pass 2: top kick + post bond-13/6 straddles, per column chunk
-            utr = utr_ref[ui]
-            uti = uti_ref[ui] * imag_sign
-            a_hi = angle_hi(pre, zhi)      # (1, TOP) input columns
-            b_hi = angle_hi(post, zho)     # (TOP, 1) output rows
-            s13q = cb(post, 13)
-            s6q = cb(post, 6)
-            c6q = jnp.cos(s6q)
-            s6qz = zz67c * jnp.sin(s6q)    # zz67 is 256-periodic; cs | 2048
+            post2 = []
+            for b in B:
+                _c6, _s6, _c13, _s13, ui, imag_sign = pre1[b]
+                utr = utr_ref[ui]
+                uti = uti_ref[ui] * imag_sign
+                a_hi = angle_hi(b, pre, zhi)   # (1, TOP) input columns
+                b_hi = angle_hi(b, post, zho)  # (TOP, 1) output rows
+                s13q = cb(b, post, 13)
+                s6q = cb(b, post, 6)
+                post2.append((utr, uti, a_hi, b_hi, s13q, jnp.cos(s6q),
+                              zz67c * jnp.sin(s6q)))
+
             for half, sgn in ((0, 1.0), (1, -1.0)):
-                th = b_hi + sgn * s13q * zho[0] + a_hi
-                dr = jnp.cos(th)
-                di = jnp.sin(th)
-                btr = utr * dr - uti * di
-                bti = utr * di + uti * dr
-                bts = btr + bti
+                bts_b = []
+                for b in B:
+                    utr, uti, a_hi, b_hi, s13q, _c6q, _s6qz = post2[b]
+                    th = b_hi + sgn * s13q * zho[0] + a_hi
+                    dr = jnp.cos(th)
+                    di = jnp.sin(th)
+                    btr = utr * dr - uti * di
+                    bti = utr * di + uti * dr
+                    bts_b.append((btr, bti, btr + bti))
                 base = half * (_C // 2)
 
-                def p2_chunk(j, _, btr=btr, bti=bti, bts=bts, base=base):
+                def p2_chunk(j, _, bts_b=bts_b, base=base):
                     off = base + j * cs
-                    hr = st_ref[0, :, pl.ds(off, cs)]
-                    hi_ = st_ref[1, :, pl.ds(off, cs)]
-                    q1 = _dot_f32(btr, hr)
-                    q2 = _dot_f32(bti, hi_)
-                    q3 = _dot_f32(bts, hr + hi_)
-                    kr = q1 - q2
-                    ki = q3 - q1 - q2
-                    kr, ki = _cmul(kr, ki, c6q, s6qz)
-                    st_ref[0, :, pl.ds(off, cs)] = kr
-                    st_ref[1, :, pl.ds(off, cs)] = ki
+                    for b in B:
+                        btr, bti, bts = bts_b[b]
+                        _u, _v, _a, _bh, _s, c6q, s6qz = post2[b]
+                        hr = st_ref[b, 0, :, pl.ds(off, cs)]
+                        hi_ = st_ref[b, 1, :, pl.ds(off, cs)]
+                        q1 = _dot_f32(btr, hr)
+                        q2 = _dot_f32(bti, hi_)
+                        q3 = _dot_f32(bts, hr + hi_)
+                        kr = q1 - q2
+                        ki = q3 - q1 - q2
+                        kr, ki = _cmul(kr, ki, c6q, s6qz)
+                        st_ref[b, 0, :, pl.ds(off, cs)] = kr
+                        st_ref[b, 1, :, pl.ds(off, cs)] = ki
                     return _
 
                 jax.lax.fori_loop(0, n_cs, p2_chunk, None)
             return _
 
-        n_active = par_ref[0, 0, 124].astype(jnp.int32)
+        # same-t pairing makes every pair in the grid step share the trip
+        # count; read it from pair 0
+        n_active = par_ref[0, 0, 0, 124].astype(jnp.int32)
         jax.lax.fori_loop(0, n_active, step, None)
 
         # terminal measurement, per TOP block
-        def measure_block(i, acc):
-            mr = st_ref[0, pl.ds(i * bt, bt), :]
-            mi = st_ref[1, pl.ds(i * bt, bt), :]
+        def measure_block(i, accs):
             zq = (1 - 2 * ((lci >> q) & 1)).astype(jnp.float32)
-            return acc + jnp.sum((mr * mr + mi * mi) * zq)
+            out = []
+            for b in B:
+                mr = st_ref[b, 0, pl.ds(i * bt, bt), :]
+                mi = st_ref[b, 1, pl.ds(i * bt, bt), :]
+                out.append(accs[b] + jnp.sum((mr * mr + mi * mi) * zq))
+            return tuple(out)
 
-        val = jax.lax.fori_loop(0, n_bt, measure_block,
-                                jnp.zeros((), jnp.float32))
+        vals = jax.lax.fori_loop(0, n_bt, measure_block,
+                                 (jnp.zeros((), jnp.float32),) * nb)
         arow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         alane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         apos = arow * 128 + alane
-        a_out_ref[0] = jnp.where(apos == 0, val, 0.0)
+        for b in B:
+            a_out_ref[0, b] = jnp.where(apos == 0, vals[b], 0.0)
 
     return kernel
 
@@ -502,6 +534,14 @@ def blocked_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
     u7r, u7i, utr, uti = _kick_matrices(angles, L, TOP, time_dependent)
     n_ts = ts.shape[0]
 
+    # nb same-t pairs per grid step (see _make_blocked_echo_kernel); the
+    # t-major regrouping below guarantees equal trip counts per step
+    nb = int(_os.environ.get("DTC_TPU_BLOCKED_NB", "1"))
+    if nb < 1:
+        raise ValueError(f"DTC_TPU_BLOCKED_NB={nb}: must be >= 1")
+    if (time_dependent or nb * (2 * TOP * _C * 4) > 110 * 1024 * 1024):
+        nb = 1
+
     def per_instance(h, ph, ks, ext_t, ext_s):
         if ext_t is not None:
             tiles, sig_fin = ext_t, ext_s
@@ -510,14 +550,21 @@ def blocked_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                 lambda k: jax.vmap(
                     lambda t: echo_pair_tiles(k, t, h, ph, L=L, T=T, p=p))(ts)
             )(ks)
-        n_pairs = ks.shape[0] * n_ts
-        tiles = tiles.reshape(n_pairs, 2 * T2, 128)
-        tile_mem = (pltpu.SMEM if 2 * T2 * 512 * 2 <= 1024 * 1024
+        c = ks.shape[0]
+        nb_ = nb if c % nb == 0 else 1
+        n_pairs = c * n_ts
+        # t-major grouping: grid step g holds pairs (t = g // (c//nb_),
+        # traj nb_*(g % (c//nb_)) + b) — same t across the step's pairs
+        tiles = jnp.swapaxes(tiles.reshape(c, n_ts, 2 * T2, 128), 0, 1)
+        tiles = tiles.reshape(n_pairs // nb_, nb_, 2 * T2, 128)
+        tile_mem = (pltpu.SMEM if nb_ * 2 * T2 * 512 * 2 <= 1024 * 1024
                     else pltpu.VMEM)
         a_raw = pl.pallas_call(
-            _make_blocked_echo_kernel(L, T2, q, b0, time_dependent, bt, cs),
-            out_shape=jax.ShapeDtypeStruct((n_pairs, 8, 128), jnp.float32),
-            grid=(n_pairs,),
+            _make_blocked_echo_kernel(L, T2, q, b0, time_dependent, bt, cs,
+                                      nb_),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_pairs // nb_, nb_, 8, 128), jnp.float32),
+            grid=(n_pairs // nb_,),
             in_specs=[
                 pl.BlockSpec((Tu, 128, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -527,19 +574,19 @@ def blocked_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((Tu, TOP, TOP), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2 * T2, 128), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, nb_, 2 * T2, 128), lambda i: (i, 0, 0, 0),
                              memory_space=tile_mem),  # step tiles
             ],
-            out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, nb_, 8, 128), lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, TOP, _C), jnp.float32),
+                pltpu.VMEM((nb_, 2, TOP, _C), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
         )(u7r, u7i, utr, uti, tiles)
-        val = a_raw.reshape(n_pairs, 1024)[:, 0].reshape(ks.shape[0], n_ts)
+        val = a_raw.reshape(n_pairs, 1024)[:, 0].reshape(n_ts, c).T
 
         sq = (1 - 2 * ((sig_fin >> q) & jnp.uint32(1)).astype(jnp.int32)
               ).astype(jnp.float32)

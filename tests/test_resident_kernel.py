@@ -342,6 +342,35 @@ def test_blocked_kernel_nb2_matches_sigma_interpret(monkeypatch):
     assert np.max(np.abs(b3 - s[:, :3])) < 1e-4
 
 
+def test_blocked_echo_nb2_matches_sigma_interpret(monkeypatch):
+    """nb=2 echo: SAME-t pair grouping (t-major regroup in the wrapper)
+    keeps trip counts equal within a grid step; values must match the
+    sigma engine trajectory-for-trajectory, including the odd-count
+    fallback. p=0.6 forces sampled events through the turnaround."""
+    from dtc_tpu.core.sigma_evolve import sigma_echo_batch
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.models.drives import build_kick_schedule
+    from dtc_tpu.ops.pallas_resident_blocked import blocked_echo_batch
+
+    monkeypatch.setenv("DTC_TPU_BLOCKED_NB", "2")
+    L, T, p, q = 17, 5, 0.6, 4
+    hs_np, phis_np = generate_disorder(L, 1, seed=7)
+    hs = jnp.asarray(hs_np[:, :L])
+    phis = jnp.asarray(phis_np[:, :L - 1])
+    ang = build_kick_schedule("x", 0.97, T).angles
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)[None]
+    ts = jnp.asarray([1, 2, 4])
+    b = np.asarray(blocked_echo_batch(
+        hs, phis, ang, keys, ts, L=L, T=T, p=p, q=q, interpret=True))
+    s = np.asarray(sigma_echo_batch(
+        hs, phis, ang, keys, ts, L=L, T=T, K=1, p=p, q=q, has_y=False,
+        initial_state="vacuum", dtype_name="complex64", ancilla_factor=1.0))
+    assert np.max(np.abs(b - s)) < 1e-4
+    b3 = np.asarray(blocked_echo_batch(
+        hs, phis, ang, keys[:, :3], ts, L=L, T=T, p=p, q=q, interpret=True))
+    assert np.max(np.abs(b3 - s[:, :3])) < 1e-4
+
+
 def test_echo_pair_tiles_shared_builder():
     """The (pre, post) tile builder shared by resident and streamed echo:
     trip count lane, imag signs, and final sigma are consistent."""
