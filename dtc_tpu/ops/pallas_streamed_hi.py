@@ -720,12 +720,12 @@ def streamed_hi_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
 @functools.partial(
     jax.jit,
     static_argnames=("L", "T", "p", "q", "initial_state", "ancilla_factor",
-                     "interpret", "geom"),
+                     "interpret", "geom", "debug_state"),
 )
 def streamed_hi_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                            initial_state="vacuum", ancilla_factor=1.0,
                            interpret=False, ext_tiles=None, ext_sig=None,
-                           geom=None):
+                           geom=None, debug_state=False):
     """(inst, L), (inst, L-1), (T,1,2), (inst, c, 2), (n_ts,) -> (inst, c, n_ts).
 
     r2-blocked HBM-streamed echo A0(t) for 22 <= L <= 30 (constant x
@@ -783,7 +783,7 @@ def streamed_hi_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                     else pltpu.VMEM)
 
         state0 = jnp.zeros((2, R2, 128, _C), jnp.float32)
-        a_raw, _ = pl.pallas_call(
+        a_raw, _st = pl.pallas_call(
             _make_hi_echo_kernel(L, T2, q, b0, MS, CS, width, NSA, NSB),
             out_shape=[
                 jax.ShapeDtypeStruct((n_pairs, 8, 128), jnp.float32),
@@ -823,6 +823,18 @@ def streamed_hi_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
 
         sq = (1 - 2 * ((sig_fin >> q) & jnp.uint32(1)).astype(jnp.int32)
               ).astype(jnp.float32)
+        if debug_state:
+            # diagnostic: also return the LAST pair's post-run state (the
+            # aliased HBM buffer) so hardware-only failures can be
+            # localized (state zeroed vs measurement lost) without a
+            # kernel rebuild — see benchmarks/hi_echo_l30_debug.py
+            return ancilla_factor * s0 * sq * val, _st
         return ancilla_factor * s0 * sq * val
 
+    if debug_state:
+        # no vmap: single instance, return (vals, final state)
+        return per_instance(hs[0], phis[0],
+                            keys[0],
+                            None if ext_tiles is None else ext_tiles[0],
+                            None if ext_sig is None else ext_sig[0])
     return jax.vmap(per_instance)(hs, phis, keys, ext_tiles, ext_sig)
