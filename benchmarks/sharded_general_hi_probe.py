@@ -85,6 +85,12 @@ print(f"  XLA sharded: {rate_x:8.1f} traj-cyc/s ({dt_x*1e3:.0f} ms)  "
       f"speedup {rate_g/rate_x:.2f}x   parity {err:.2e}", flush=True)
 rec.update(fwd_xla_traj_cyc_s=round(rate_x, 1), fwd_max_dev=err,
            fwd_speedup=round(rate_g / rate_x, 2))
+path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                     "parity_results.json")
+blob = json.load(open(path)) if _os.path.exists(path) else {}
+blob[f"sharded_general_hi_l{L}_{POL}"] = dict(rec)
+json.dump(blob, open(path, "w"), indent=1)
+print(f"recorded (forward) -> sharded_general_hi_l{L}_{POL}", flush=True)
 assert err < 5e-4, err
 
 print(f"echo at t={T_ECHO}: compiling per-shard general hi ECHO...",
@@ -107,8 +113,6 @@ rec.update(echo_traj_cyc_s=round(rate_eg, 1),
            echo_speedup=round(rate_eg / rate_ex, 2))
 assert err_e < 5e-4, err_e
 
-path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                     "parity_results.json")
 blob = json.load(open(path)) if _os.path.exists(path) else {}
 blob[f"sharded_general_hi_l{L}_{POL}"] = rec
 json.dump(blob, open(path, "w"), indent=1)

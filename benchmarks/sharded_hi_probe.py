@@ -81,6 +81,12 @@ print(f"  XLA sharded: {rate_x:8.1f} traj-cyc/s ({dt_x*1e3:.0f} ms)  "
       f"speedup {rate_k/rate_x:.2f}x   parity {err:.2e}", flush=True)
 rec.update(fwd_xla_traj_cyc_s=round(rate_x, 1), fwd_max_dev=err,
            fwd_speedup=round(rate_k / rate_x, 2))
+path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                     "parity_results.json")
+blob = json.load(open(path)) if _os.path.exists(path) else {}
+blob[f"sharded_hi_l{L}"] = dict(rec)
+json.dump(blob, open(path, "w"), indent=1)
+print(f"recorded (forward) -> sharded_hi_l{L}", flush=True)
 assert err < 5e-4, err
 
 print(f"echo at t={T_ECHO}: compiling per-shard hi ECHO...", flush=True)
@@ -101,8 +107,6 @@ rec.update(echo_traj_cyc_s=round(rate_ek, 1),
            echo_speedup=round(rate_ek / rate_ex, 2))
 assert err_e < 5e-4, err_e
 
-path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                     "parity_results.json")
 blob = json.load(open(path)) if _os.path.exists(path) else {}
 blob[f"sharded_hi_l{L}"] = rec
 json.dump(blob, open(path, "w"), indent=1)

@@ -432,7 +432,7 @@ def _make_hi_inverse_cycle_kernel(L: int, MS: int, CS: int, width: int,
     return kernel
 
 
-def _hi_shapes(L, state):
+def _hi_shapes(L, state, slots=None):
     R2 = 1 << (L - 21)
     n_traj = state.shape[0]
     M = 1 << L
@@ -442,12 +442,13 @@ def _hi_shapes(L, state):
     MS, CS = _hi_geometry(L)
     width = 128 if 5 * L - 2 <= 128 else 256
     NSA = min(2, R2)
-    NSB = min(4, (128 // MS) * (_C // CS))
+    NSB = min(slots if slots is not None else 4,
+              (128 // MS) * (_C // CS))
     return R2, n_traj, MS, CS, width, NSA, NSB
 
 
 def hi_cycle_forward_apply(state, params, u7r, u7i, u21r, u21i, *, L, q,
-                           interpret=False):
+                           interpret=False, slots=None):
     """Apply ONE factored Floquet cycle to a batch of shard-local states on
     the r2-blocked layout (22 <= L_loc <= 30).
 
@@ -468,7 +469,7 @@ def hi_cycle_forward_apply(state, params, u7r, u7i, u21r, u21i, *, L, q,
         raise ValueError("hi cycle kernel supports 22 <= L_loc <= 30")
     if not (0 <= q < L):
         raise ValueError("hi cycle kernel requires shard-local probe q < L")
-    R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state)
+    R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state, slots)
     state = state.reshape(n_traj, 2, R2, 128, _C)
     params = params.reshape(n_traj, 1, width)
 
@@ -512,7 +513,7 @@ def hi_cycle_forward_apply(state, params, u7r, u7i, u21r, u21i, *, L, q,
 
 
 def hi_cycle_inverse_apply(state, params, u7r, u7i, u21r, u21i, *, L,
-                           interpret=False):
+                           interpret=False, slots=None):
     """Apply ONE conjugated-frame inverse Floquet cycle (K.D pre-fold — see
     _make_hi_inverse_cycle_kernel) to a batch of shard-local states on the
     r2-blocked layout. Same operands as hi_cycle_forward_apply with the
@@ -520,7 +521,7 @@ def hi_cycle_inverse_apply(state, params, u7r, u7i, u21r, u21i, *, L,
     the echo turnaround. Returns the evolved states."""
     if not (22 <= L <= 30):
         raise ValueError("hi cycle kernel supports 22 <= L_loc <= 30")
-    R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state)
+    R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state, slots)
     state = state.reshape(n_traj, 2, R2, 128, _C)
     params = params.reshape(n_traj, 1, width)
 

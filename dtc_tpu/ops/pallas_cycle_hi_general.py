@@ -454,7 +454,7 @@ def general_hi_width(L: int) -> int:
     return 128 if 4 * L + 9 <= 128 else 256
 
 
-def _hi_shapes(L, state):
+def _hi_shapes(L, state, slots=None):
     R2 = 1 << (L - 21)
     n_traj = state.shape[0]
     M = 1 << L
@@ -463,11 +463,12 @@ def _hi_shapes(L, state):
                          f"{_C}) or (n, 2, {R2}, 128, {_C}) L={L} shard")
     MS, CS = _hi_geometry(L)
     NSA = min(2, R2)
-    NSB = min(4, (128 // MS) * (_C // CS))
+    NSB = min(slots if slots is not None else 4,
+              (128 // MS) * (_C // CS))
     return R2, n_traj, MS, CS, general_hi_width(L), NSA, NSB
 
 
-def general_hi_cycle_forward_apply(state, tiles, *, L, K, q,
+def general_hi_cycle_forward_apply(state, tiles, *, L, K, q, slots=None,
                                    interpret=False):
     """Apply ONE lab-frame Floquet cycle (K kick slots with their noise
     events and the folded local diagonal) to a batch of shard-local states
@@ -488,7 +489,7 @@ def general_hi_cycle_forward_apply(state, tiles, *, L, K, q,
     if not (0 <= q < L):
         raise ValueError(
             "general hi cycle kernel requires shard-local probe q < L")
-    R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state)
+    R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state, slots)
     state = state.reshape(n_traj, 2, R2, 128, _C)
     tiles = tiles.reshape(n_traj, K, width)
 
@@ -523,7 +524,8 @@ def general_hi_cycle_forward_apply(state, tiles, *, L, K, q,
     return state, a_raw[:, 0, 0]
 
 
-def general_hi_cycle_inverse_apply(state, tiles, *, L, K, interpret=False):
+def general_hi_cycle_inverse_apply(state, tiles, *, L, K, interpret=False,
+                                   slots=None):
     """Apply ONE lab-frame DAGGERED Floquet cycle to a batch of shard-local
     states on the r2-blocked layout (22 <= L_loc <= 30).
 
@@ -533,7 +535,7 @@ def general_hi_cycle_inverse_apply(state, tiles, *, L, K, interpret=False):
     (n_traj, 2, R2, 128, 16384)."""
     if not (22 <= L <= 30):
         raise ValueError("general hi cycle kernel supports 22 <= L_loc <= 30")
-    R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state)
+    R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state, slots)
     state = state.reshape(n_traj, 2, R2, 128, _C)
     tiles = tiles.reshape(n_traj, 2 * K, width)
 

@@ -599,9 +599,12 @@ def make_sharded_echo_kernel(
         def br_fwd(op):
             st, row_f, row_i, zm_k, zmp_k, sigb_k, csum_k = op
             if use_hi:
+                # slots=2: the echo switch co-allocates this kernel's
+                # scoped VMEM with the inverse kernel's (measured OOM by
+                # 1.75M at L_loc=24 with the forward default of 4)
                 st, _ = hi_cycle_forward_apply(
                     st, row_f, u7r, u7i, utr, uti, L=local_bits, q=q,
-                    interpret=interpret)
+                    interpret=interpret, slots=2)
                 st = st.reshape(n, 2, TOP, _C)
             else:
                 st, _ = cycle_forward_apply(
@@ -624,7 +627,7 @@ def make_sharded_echo_kernel(
             if use_hi:
                 st = hi_cycle_inverse_apply(
                     st, row_i, u7r, u7i, utr, uti, L=local_bits,
-                    interpret=interpret)
+                    interpret=interpret, slots=2)
                 return st.reshape(n, 2, TOP, _C)
             return cycle_inverse_apply(st, row_i, u7r, u7i, utr, uti,
                                        L=local_bits, interpret=interpret)
@@ -1022,8 +1025,11 @@ def make_sharded_echo_general(
         def br_fwd(op):
             st, ang_t, rf, ri, sigb, zmp, zmf, csf = op
             if use_hi:
+                # slots=2: co-allocated with the inverse kernel in the
+                # echo switch (see make_sharded_echo_kernel)
                 st, _ = general_hi_cycle_forward_apply(
-                    st, rf, L=local_bits, K=K, q=q, interpret=interpret)
+                    st, rf, L=local_bits, K=K, q=q, interpret=interpret,
+                    slots=2)
                 st = st.reshape(n, 2, TOP, _C)
             else:
                 st, _ = general_cycle_forward_apply(
@@ -1051,7 +1057,8 @@ def make_sharded_echo_general(
                         local_bits=local_bits, n_amp=n_amp, dagger=True)
             if use_hi:
                 st = general_hi_cycle_inverse_apply(
-                    st, ri, L=local_bits, K=K, interpret=interpret)
+                    st, ri, L=local_bits, K=K, interpret=interpret,
+                    slots=2)
                 return st.reshape(n, 2, TOP, _C)
             return general_cycle_inverse_apply(
                 st, ri, L=local_bits, K=K, interpret=interpret)
