@@ -722,13 +722,8 @@ def _device_general_rows(key, phis, p_1q, p_2q, epk, T, K, L):
     draws per cycle."""
     xm1, zm1, xme, zme, xmo, zmo = _device_presample_split(
         key, p_1q, p_2q, K * epk, T, L)
-    xm1 = xm1.reshape(T, K, epk)
-    zm1 = zm1.reshape(T, K, epk)
-    xk = xm1[..., 0]
-    zk = zm1[..., 0]
-    for e in range(1, epk):
-        xk = xk ^ xm1[..., e]
-        zk = zk ^ zm1[..., e]
+    xk, zk = _compose_1q(xm1.reshape(T, K, epk), zm1.reshape(T, K, epk),
+                         epk)
     # final slot composes the commuted bond events
     xk = xk.at[:, K - 1].set(xk[:, K - 1] ^ xme ^ xmo)
     zk = zk.at[:, K - 1].set(zk[:, K - 1] ^ zme ^ zmo)
@@ -806,13 +801,9 @@ def device_general_forward_oracle(hs, phis, p_1q, p_2q, angles, keys, *, L,
     def per_traj(key):
         xm1, zm1, xme, zme, xmo, zmo = _device_presample_split(
             key, p_1q, p_2q, K * events_per_kick, T, L)
-        xm1 = xm1.reshape(T, K, events_per_kick)
-        zm1 = zm1.reshape(T, K, events_per_kick)
-        xk = xm1[..., 0]
-        zk = zm1[..., 0]
-        for e in range(1, events_per_kick):
-            xk = xk ^ xm1[..., e]
-            zk = zk ^ zm1[..., e]
+        xk, zk = _compose_1q(xm1.reshape(T, K, events_per_kick),
+                             zm1.reshape(T, K, events_per_kick),
+                             events_per_kick)
 
         def body(st, inp):
             ang, xk_t, zk_t, xme_t, zme_t, xmo_t, zmo_t = inp
@@ -864,13 +855,8 @@ def _device_general_echo_rows(key, t_value, hs, phis, p_1q, p_2q, epk, T, K,
     T2 = 2 * T
     xm1, zm1, xme, zme, xmo, zmo = _device_presample_split(
         key, p_1q, p_2q, K * epk, T2, L)
-    xm1 = xm1.reshape(T2, K, epk)
-    zm1 = zm1.reshape(T2, K, epk)
-    xk = xm1[..., 0]
-    zk = zm1[..., 0]
-    for e in range(1, epk):
-        xk = xk ^ xm1[..., e]
-        zk = zk ^ zm1[..., e]
+    xk, zk = _compose_1q(xm1.reshape(T2, K, epk), zm1.reshape(T2, K, epk),
+                         epk)
 
     step = jnp.arange(T2)
     fwd = step < t_value
@@ -979,13 +965,9 @@ def device_general_echo_oracle(hs, phis, p_1q, p_2q, angles, key, t_value,
     T2 = 2 * T
     xm1, zm1, xme, zme, xmo, zmo = _device_presample_split(
         key, p_1q, p_2q, K * events_per_kick, T2, L)
-    xm1 = np.asarray(xm1).reshape(T2, K, events_per_kick)
-    zm1 = np.asarray(zm1).reshape(T2, K, events_per_kick)
-    xk = xm1[..., 0]
-    zk = zm1[..., 0]
-    for e in range(1, events_per_kick):
-        xk = xk ^ xm1[..., e]
-        zk = zk ^ zm1[..., e]
+    xk, zk = _compose_1q(np.asarray(xm1).reshape(T2, K, events_per_kick),
+                         np.asarray(zm1).reshape(T2, K, events_per_kick),
+                         events_per_kick)
     xme, zme, xmo, zmo = (np.asarray(m) for m in (xme, zme, xmo, zmo))
 
     for s in range(int(t_value)):
