@@ -463,7 +463,10 @@ def _hi_shapes(L, state, slots=None):
                          f"{_C}) or (n, 2, {R2}, 128, {_C}) L={L} shard")
     MS, CS = _hi_geometry(L)
     NSA = min(2, R2)
-    NSB = min(slots if slots is not None else 4,
+    # default 2 (not the x-kernel's 4): the lab-frame body's in-kernel
+    # group-matrix builds keep ~55M of temporaries live, and a 4-slot
+    # pass-B ring measured 568K past the 122M scoped-VMEM cap at L_loc=24
+    NSB = min(slots if slots is not None else 2,
               (128 // MS) * (_C // CS))
     return R2, n_traj, MS, CS, general_hi_width(L), NSA, NSB
 
