@@ -37,22 +37,22 @@ sched = build_kick_schedule("x", 0.97, T)
 keys = jax.random.split(jax.random.PRNGKey(3), 1)[None]
 ts = jnp.asarray([1])
 
-val, st = streamed_hi_echo_batch(
+val, (st_re, st_im) = streamed_hi_echo_batch(
     hs_j, phis_j, sched.angles, keys, ts, L=L, T=T, p=0.0, q=11,
     ancilla_factor=1.0, debug_state=True)
 val = np.asarray(val)
 print(f"L={L}: A0(1) = {val}", flush=True)
-# plane norms via device-side reduction (the state is 8 GB at L=30 —
-# never pull it to host whole)
-n_re = float(jnp.sum(st[0] * st[0]))
-n_im = float(jnp.sum(st[1] * st[1]))
+# plane norms via device-side reduction (the planes are 4 GB each at
+# L=30 — never pull them to host whole)
+n_re = float(jnp.sum(st_re * st_re))
+n_im = float(jnp.sum(st_im * st_im))
 print(f"  |re|^2 = {n_re:.6f}  |im|^2 = {n_im:.6f} "
       f"(norm {n_re + n_im:.6f}; healthy echo end-state ~ 1.0)", flush=True)
 # where is the weight? row-block profile of the real plane
-prof = np.asarray(jnp.sum(st[0] * st[0], axis=(1, 2)))
+prof = np.asarray(jnp.sum(st_re * st_re, axis=(1, 2)))
 nz = np.nonzero(prof > 1e-9)[0]
 print(f"  re-plane nonzero R2 rows: {nz[:8]}..{nz[-8:] if len(nz) else ''} "
       f"({len(nz)} rows)", flush=True)
-amp0 = float(st[0, 0, 0, 0])
-print(f"  st[0,0,0,0] (b0 amplitude if echo returned) = {amp0:.6f}",
+amp0 = float(st_re[0, 0, 0])
+print(f"  st_re[0,0,0] (b0 amplitude if echo returned) = {amp0:.6f}",
       flush=True)

@@ -44,9 +44,11 @@ def _cycle_kernel_ok(mesh, sched, cfg):
     (ops/pallas_cycle): TPU only, constant x-only schedule (same contract
     as the single-chip fast kernels — engine._resident_dispatch), a
     shard-local probe q < L - log2(n_amp),
-    and shard-local bits 17..30 (17..23 VMEM-resident per-shard kernel;
-    24..30 the r2-blocked HBM-streamed per-shard kernel,
-    ops/pallas_cycle_hi — kernel-rate sharding to L = 30 + log2(n_amp))."""
+    and shard-local bits 17..29 (17..23 VMEM-resident per-shard kernel;
+    24..29 the r2-blocked HBM-streamed per-shard kernel,
+    ops/pallas_cycle_hi — kernel-rate sharding to L = 29 + log2(n_amp);
+    L_loc = 30 states cross the 2^32 DMA-offset window and route to the
+    XLA sharded engine)."""
     engine = os.environ.get("DTC_TPU_SHARDED_ENGINE", "auto")
     if engine == "xla":
         return False
@@ -56,7 +58,7 @@ def _cycle_kernel_ok(mesh, sched, cfg):
     local_bits = cfg.L - int(np.log2(mesh.shape["amp"]))
     ang = np.asarray(sched.angles)
     eligible = (sched.K == 1 and cfg.probe_qubit < local_bits
-                and 17 <= local_bits <= 30
+                and 17 <= local_bits <= 29
                 and bool(np.all(ang[:, :, 1] == 0.0))
                 and bool(np.all(ang == ang[0]))
                 and jax.default_backend() == "tpu")
@@ -64,7 +66,7 @@ def _cycle_kernel_ok(mesh, sched, cfg):
         raise ValueError(
             "cycle_kernel sharded engine requires a constant x-only "
             "schedule, a shard-local probe q < L - log2(n_amp), a TPU "
-            f"backend and 17 <= L - log2(n_amp) <= 30 (got L={cfg.L}, "
+            f"backend and 17 <= L - log2(n_amp) <= 29 (got L={cfg.L}, "
             f"n_amp={mesh.shape['amp']}, q={cfg.probe_qubit})")
     return eligible
 

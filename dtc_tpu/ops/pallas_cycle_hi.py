@@ -432,6 +432,21 @@ def _make_hi_inverse_cycle_kernel(L: int, MS: int, CS: int, width: int,
     return kernel
 
 
+# DMA window offsets wrap at 2^32 bytes (measured: the fused L=30
+# streamed-hi state returned all zeros; its plane-1 base sits at exactly
+# 2^32, while L=29 — just under — is healthy). Per-shard states are
+# (n, 2, R2, 128, _C) single arrays, so (a) per-CALL batches are chunked
+# to keep every window offset under 2^32 and (b) L_loc = 30 (one
+# trajectory's plane 1 already AT 2^32) is rejected outright — it needs
+# the split-plane layout ops/pallas_streamed_hi now uses.
+_DMA_OFFSET_LIMIT = 1 << 32
+
+
+def _traj_chunk(L):
+    per_traj = 1 << (L + 3)  # 2 planes x 2^L f32
+    return _DMA_OFFSET_LIMIT // per_traj
+
+
 def _hi_shapes(L, state, slots=None):
     R2 = 1 << (L - 21)
     n_traj = state.shape[0]
@@ -465,13 +480,25 @@ def hi_cycle_forward_apply(state, params, u7r, u7i, u21r, u21i, *, L, q,
     exact because z_q on any shard-local bit commutes with the caller's
     remaining global ops of the same cycle).
     """
-    if not (22 <= L <= 30):
-        raise ValueError("hi cycle kernel supports 22 <= L_loc <= 30")
+    if not (22 <= L <= 29):
+        raise ValueError(
+            "hi cycle kernel supports 22 <= L_loc <= 29 (L_loc = 30 "
+            "single-trajectory states cross the 2^32 DMA-offset window; "
+            "use more shards or the XLA sharded engine)")
     if not (0 <= q < L):
         raise ValueError("hi cycle kernel requires shard-local probe q < L")
     R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state, slots)
     state = state.reshape(n_traj, 2, R2, 128, _C)
     params = params.reshape(n_traj, 1, width)
+    nc = _traj_chunk(L)
+    if n_traj > nc:
+        # window offsets past 2^32 wrap: split the batch
+        outs = [hi_cycle_forward_apply(
+            state[i:i + nc], params[i:i + nc], u7r, u7i, u21r, u21i, L=L,
+            q=q, interpret=interpret, slots=slots)
+            for i in range(0, n_traj, nc)]
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
 
     a_raw, state = pl.pallas_call(
         _make_hi_cycle_kernel(L, q, MS, CS, width, NSA, NSB),
@@ -519,11 +546,19 @@ def hi_cycle_inverse_apply(state, params, u7r, u7i, u21r, u21i, *, L,
     r2-blocked layout. Same operands as hi_cycle_forward_apply with the
     SAME un-negated angles; the caller negates the imaginary plane once at
     the echo turnaround. Returns the evolved states."""
-    if not (22 <= L <= 30):
-        raise ValueError("hi cycle kernel supports 22 <= L_loc <= 30")
+    if not (22 <= L <= 29):
+        raise ValueError(
+            "hi cycle kernel supports 22 <= L_loc <= 29 (see "
+            "hi_cycle_forward_apply)")
     R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state, slots)
     state = state.reshape(n_traj, 2, R2, 128, _C)
     params = params.reshape(n_traj, 1, width)
+    nc = _traj_chunk(L)
+    if n_traj > nc:
+        return jnp.concatenate([hi_cycle_inverse_apply(
+            state[i:i + nc], params[i:i + nc], u7r, u7i, u21r, u21i, L=L,
+            interpret=interpret, slots=slots)
+            for i in range(0, n_traj, nc)])
 
     (state,) = pl.pallas_call(
         _make_hi_inverse_cycle_kernel(L, MS, CS, width, NSA, NSB),

@@ -454,6 +454,15 @@ def general_hi_width(L: int) -> int:
     return 128 if 4 * L + 9 <= 128 else 256
 
 
+# see ops/pallas_cycle_hi: DMA window offsets wrap at 2^32 bytes, so
+# batches are chunked per call and L_loc = 30 is rejected
+_DMA_OFFSET_LIMIT = 1 << 32
+
+
+def _traj_chunk(L):
+    return _DMA_OFFSET_LIMIT // (1 << (L + 3))
+
+
 def _hi_shapes(L, state, slots=None):
     R2 = 1 << (L - 21)
     n_traj = state.shape[0]
@@ -487,14 +496,24 @@ def general_hi_cycle_forward_apply(state, tiles, *, L, K, q, slots=None,
     the evolved states and the shard-local sum(z_q |psi|^2) measured after
     the final slot (psum over 'amp' is the caller's job; no sigma sign —
     local bits are lab-frame)."""
-    if not (22 <= L <= 30):
-        raise ValueError("general hi cycle kernel supports 22 <= L_loc <= 30")
+    if not (22 <= L <= 29):
+        raise ValueError(
+            "general hi cycle kernel supports 22 <= L_loc <= 29 (L_loc = "
+            "30 states cross the 2^32 DMA-offset window)")
     if not (0 <= q < L):
         raise ValueError(
             "general hi cycle kernel requires shard-local probe q < L")
     R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state, slots)
     state = state.reshape(n_traj, 2, R2, 128, _C)
     tiles = tiles.reshape(n_traj, K, width)
+    nc = _traj_chunk(L)
+    if n_traj > nc:
+        outs = [general_hi_cycle_forward_apply(
+            state[i:i + nc], tiles[i:i + nc], L=L, K=K, q=q,
+            slots=slots, interpret=interpret)
+            for i in range(0, n_traj, nc)]
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
 
     a_raw, state = pl.pallas_call(
         _make_general_hi_cycle_kernel(L, K, q, MS, CS, width, NSA, NSB),
@@ -536,11 +555,19 @@ def general_hi_cycle_inverse_apply(state, tiles, *, L, K, interpret=False,
     rows (layout of pallas_resident_general.general_echo_batch.tiles_one's
     inverse steps, width = general_hi_width(L)). Returns state'
     (n_traj, 2, R2, 128, 16384)."""
-    if not (22 <= L <= 30):
-        raise ValueError("general hi cycle kernel supports 22 <= L_loc <= 30")
+    if not (22 <= L <= 29):
+        raise ValueError(
+            "general hi cycle kernel supports 22 <= L_loc <= 29 (see "
+            "general_hi_cycle_forward_apply)")
     R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state, slots)
     state = state.reshape(n_traj, 2, R2, 128, _C)
     tiles = tiles.reshape(n_traj, 2 * K, width)
+    nc = _traj_chunk(L)
+    if n_traj > nc:
+        return jnp.concatenate([general_hi_cycle_inverse_apply(
+            state[i:i + nc], tiles[i:i + nc], L=L, K=K,
+            interpret=interpret, slots=slots)
+            for i in range(0, n_traj, nc)])
 
     (state,) = pl.pallas_call(
         _make_general_hi_inverse_cycle_kernel(L, K, MS, CS, width, NSA,

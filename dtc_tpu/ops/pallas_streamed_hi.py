@@ -54,6 +54,31 @@ _C = 16384       # bits 0..13 (column axis)
 _HALF_PI = float(np.pi / 2)
 
 
+class _PlanePair:
+    """start()/wait() over the two per-plane DMAs of a split-state window.
+
+    The hi state is stored as SEPARATE real/imag HBM arrays: a fused
+    (2, R2, 128, 16384) array puts plane 1's base at byte offset
+    R2 * 2^23 — exactly 2^32 at L=30 — and DMA window offsets past 2^32
+    silently wrap (measured: every L=30 value came back zero while L=29,
+    whose highest offset is just UNDER 2^32, was healthy). Per-plane
+    arrays bound every window offset by the plane size (2^32 - 2^23 at
+    L=30).
+    """
+
+    def __init__(self, re, im):
+        self._re, self._im = re, im
+
+    def start(self):
+        self._re.start()
+        self._im.start()
+
+    def wait(self):
+        self._re.wait()
+        self._im.wait()
+
+
+
 def _make_hi_kernel(L: int, T: int, q: int, b0: int, MS: int, CS: int,
                     width: int, NSA: int, NSB: int):  # noqa: C901
     R2 = 1 << (L - 21)
@@ -63,10 +88,13 @@ def _make_hi_kernel(L: int, T: int, q: int, b0: int, MS: int, CS: int,
     DA = NSA - 1
     DB = NSB - 1
 
-    def kernel(u7r_ref, u7i_ref, u21r_ref, u21i_ref, par_ref, st_in_ref,
-               a_out_ref, st_hbm, aslab, bslab, acc, sems):
-        # st_in_ref is aliased to st_hbm (no HBM scratch on Mosaic)
-        del st_in_ref
+    def kernel(u7r_ref, u7i_ref, u21r_ref, u21i_ref, par_ref, sre_in_ref,
+               sim_in_ref, a_out_ref, st_re, st_im, aslab, bslab, acc,
+               sems):
+        # the split-plane inputs are aliased to the outputs (no HBM
+        # scratch on Mosaic); see _PlanePair for why the planes are
+        # separate arrays
+        del sre_in_ref, sim_in_ref
         arow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         alane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         apos = arow * 128 + alane
@@ -95,23 +123,38 @@ def _make_hi_kernel(L: int, T: int, q: int, b0: int, MS: int, CS: int,
         # DMA helpers (sem lanes: A loads [0,NSA), A stores [NSA,2NSA),
         # B loads/stores after; the init sweep borrows the A-store lanes)
         def loadA(slot, i):
-            return pltpu.make_async_copy(
-                st_hbm.at[:, i], aslab.at[slot], sems.at[slot])
+            return _PlanePair(
+                pltpu.make_async_copy(st_re.at[i], aslab.at[slot, 0],
+                                      sems.at[2 * slot]),
+                pltpu.make_async_copy(st_im.at[i], aslab.at[slot, 1],
+                                      sems.at[2 * slot + 1]))
 
         def storeA(slot, i):
-            return pltpu.make_async_copy(
-                aslab.at[slot], st_hbm.at[:, i], sems.at[NSA + slot])
+            return _PlanePair(
+                pltpu.make_async_copy(aslab.at[slot, 0], st_re.at[i],
+                                      sems.at[2 * (NSA + slot)]),
+                pltpu.make_async_copy(aslab.at[slot, 1], st_im.at[i],
+                                      sems.at[2 * (NSA + slot) + 1]))
 
         def loadB(slot, jm, jc):
-            return pltpu.make_async_copy(
-                st_hbm.at[:, :, pl.ds(jm * MS, MS), pl.ds(jc * CS, CS)],
-                bslab.at[slot], sems.at[2 * NSA + slot])
+            win = (pl.ds(jm * MS, MS), pl.ds(jc * CS, CS))
+            return _PlanePair(
+                pltpu.make_async_copy(st_re.at[:, win[0], win[1]],
+                                      bslab.at[slot, 0],
+                                      sems.at[2 * (2 * NSA + slot)]),
+                pltpu.make_async_copy(st_im.at[:, win[0], win[1]],
+                                      bslab.at[slot, 1],
+                                      sems.at[2 * (2 * NSA + slot) + 1]))
 
         def storeB(slot, jm, jc):
-            return pltpu.make_async_copy(
-                bslab.at[slot],
-                st_hbm.at[:, :, pl.ds(jm * MS, MS), pl.ds(jc * CS, CS)],
-                sems.at[2 * NSA + NSB + slot])
+            win = (pl.ds(jm * MS, MS), pl.ds(jc * CS, CS))
+            return _PlanePair(
+                pltpu.make_async_copy(bslab.at[slot, 0],
+                                      st_re.at[:, win[0], win[1]],
+                                      sems.at[2 * (2 * NSA + NSB + slot)]),
+                pltpu.make_async_copy(bslab.at[slot, 1],
+                                      st_im.at[:, win[0], win[1]],
+                                      sems.at[2 * (2 * NSA + NSB + slot) + 1]))
 
         # ------------------------------------------------------------------
         # init sweep: write the basis state b0 block by block (store-only)
@@ -322,9 +365,10 @@ def _make_hi_echo_kernel(L: int, T2: int, q: int, b0: int, MS: int, CS: int,
     DA = NSA - 1
     DB = NSB - 1
 
-    def kernel(u7r_ref, u7i_ref, u21r_ref, u21i_ref, par_ref, st_in_ref,
-               a_out_ref, st_hbm, aslab, bslab, acc, sems):
-        del st_in_ref
+    def kernel(u7r_ref, u7i_ref, u21r_ref, u21i_ref, par_ref, sre_in_ref,
+               sim_in_ref, a_out_ref, st_re, st_im, aslab, bslab, acc,
+               sems):
+        del sre_in_ref, sim_in_ref
         arow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         alane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         apos = arow * 128 + alane
@@ -351,23 +395,38 @@ def _make_hi_echo_kernel(L: int, T2: int, q: int, b0: int, MS: int, CS: int,
                 for k in range(L - 21)]
 
         def loadA(slot, i):
-            return pltpu.make_async_copy(
-                st_hbm.at[:, i], aslab.at[slot], sems.at[slot])
+            return _PlanePair(
+                pltpu.make_async_copy(st_re.at[i], aslab.at[slot, 0],
+                                      sems.at[2 * slot]),
+                pltpu.make_async_copy(st_im.at[i], aslab.at[slot, 1],
+                                      sems.at[2 * slot + 1]))
 
         def storeA(slot, i):
-            return pltpu.make_async_copy(
-                aslab.at[slot], st_hbm.at[:, i], sems.at[NSA + slot])
+            return _PlanePair(
+                pltpu.make_async_copy(aslab.at[slot, 0], st_re.at[i],
+                                      sems.at[2 * (NSA + slot)]),
+                pltpu.make_async_copy(aslab.at[slot, 1], st_im.at[i],
+                                      sems.at[2 * (NSA + slot) + 1]))
 
         def loadB(slot, jm, jc):
-            return pltpu.make_async_copy(
-                st_hbm.at[:, :, pl.ds(jm * MS, MS), pl.ds(jc * CS, CS)],
-                bslab.at[slot], sems.at[2 * NSA + slot])
+            win = (pl.ds(jm * MS, MS), pl.ds(jc * CS, CS))
+            return _PlanePair(
+                pltpu.make_async_copy(st_re.at[:, win[0], win[1]],
+                                      bslab.at[slot, 0],
+                                      sems.at[2 * (2 * NSA + slot)]),
+                pltpu.make_async_copy(st_im.at[:, win[0], win[1]],
+                                      bslab.at[slot, 1],
+                                      sems.at[2 * (2 * NSA + slot) + 1]))
 
         def storeB(slot, jm, jc):
-            return pltpu.make_async_copy(
-                bslab.at[slot],
-                st_hbm.at[:, :, pl.ds(jm * MS, MS), pl.ds(jc * CS, CS)],
-                sems.at[2 * NSA + NSB + slot])
+            win = (pl.ds(jm * MS, MS), pl.ds(jc * CS, CS))
+            return _PlanePair(
+                pltpu.make_async_copy(bslab.at[slot, 0],
+                                      st_re.at[:, win[0], win[1]],
+                                      sems.at[2 * (2 * NSA + NSB + slot)]),
+                pltpu.make_async_copy(bslab.at[slot, 1],
+                                      st_im.at[:, win[0], win[1]],
+                                      sems.at[2 * (2 * NSA + NSB + slot) + 1]))
 
         # init sweep: basis state b0, block by block (store-only)
         r2_b0 = b0 >> 21
@@ -669,12 +728,19 @@ def streamed_hi_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
 
         par_mem = (pltpu.SMEM if T * width * 4 * 2 <= 1024 * 1024
                    else pltpu.VMEM)
-        state0 = jnp.zeros((2, R2, 128, _C), jnp.float32)
-        a_raw, _ = pl.pallas_call(
+        # distinct fill constants: the two plane operands MUST be
+        # different buffers (each is hard-aliased to its own output; a
+        # CSE'd shared zeros broadcast could hand both aliases one
+        # buffer). Contents are irrelevant — the init sweep overwrites
+        # every block before any read.
+        plane_re = jnp.zeros((R2, 128, _C), jnp.float32)
+        plane_im = jnp.full((R2, 128, _C), 1.0, jnp.float32)
+        a_raw, _, _ = pl.pallas_call(
             _make_hi_kernel(L, T, q, b0, MS, CS, width, NSA, NSB),
             out_shape=[
                 jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
-                jax.ShapeDtypeStruct((2, R2, 128, _C), jnp.float32),
+                jax.ShapeDtypeStruct((R2, 128, _C), jnp.float32),
+                jax.ShapeDtypeStruct((R2, 128, _C), jnp.float32),
             ],
             grid=(n_traj,),
             in_specs=[
@@ -688,24 +754,27 @@ def streamed_hi_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
                              memory_space=pltpu.VMEM),  # u21i
                 pl.BlockSpec((1, T, width), lambda i: (i, 0, 0),
                              memory_space=par_mem),     # compact params
-                pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),      # re plane (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),      # im plane (aliased)
             ],
             out_specs=[
                 pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),      # re plane (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),      # im plane (aliased)
             ],
-            input_output_aliases={5: 1},
+            input_output_aliases={5: 1, 6: 2},
             scratch_shapes=[
                 pltpu.VMEM((NSA, 2, 128, _C), jnp.float32),   # pass-A slabs
                 pltpu.VMEM((NSB, 2, R2, MS, CS), jnp.float32),  # pass-B
                 pltpu.SMEM((1,), jnp.float32),                # A(t) partial
-                pltpu.SemaphoreType.DMA((2 * NSA + 2 * NSB,)),
+                pltpu.SemaphoreType.DMA((2 * (2 * NSA + 2 * NSB),)),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=122 * 1024 * 1024),
             interpret=interpret,
-        )(u7r[None], u7i[None], u21r[None], u21i[None], params, state0)
+        )(u7r[None], u7i[None], u21r[None], u21i[None], params,
+          plane_re, plane_im)
         a_raw = a_raw.reshape(n_traj, 1024)[:, :T]
 
         sig_start = jnp.concatenate(
@@ -782,12 +851,15 @@ def streamed_hi_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
         tile_mem = (pltpu.SMEM if 2 * T2 * width * 4 * 2 <= 1024 * 1024
                     else pltpu.VMEM)
 
-        state0 = jnp.zeros((2, R2, 128, _C), jnp.float32)
-        a_raw, _st = pl.pallas_call(
+        # distinct fill constants — see the forward wrapper's note
+        plane_re = jnp.zeros((R2, 128, _C), jnp.float32)
+        plane_im = jnp.full((R2, 128, _C), 1.0, jnp.float32)
+        a_raw, _st_re, _st_im = pl.pallas_call(
             _make_hi_echo_kernel(L, T2, q, b0, MS, CS, width, NSA, NSB),
             out_shape=[
                 jax.ShapeDtypeStruct((n_pairs, 8, 128), jnp.float32),
-                jax.ShapeDtypeStruct((2, R2, 128, _C), jnp.float32),
+                jax.ShapeDtypeStruct((R2, 128, _C), jnp.float32),
+                jax.ShapeDtypeStruct((R2, 128, _C), jnp.float32),
             ],
             grid=(n_pairs,),
             in_specs=[
@@ -801,34 +873,37 @@ def streamed_hi_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                              memory_space=pltpu.VMEM),  # u21i
                 pl.BlockSpec((1, 2 * T2, width), lambda i: (i, 0, 0),
                              memory_space=tile_mem),    # step tiles
-                pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),      # re plane (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),      # im plane (aliased)
             ],
             out_specs=[
                 pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),      # re plane (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),      # im plane (aliased)
             ],
-            input_output_aliases={5: 1},
+            input_output_aliases={5: 1, 6: 2},
             scratch_shapes=[
                 pltpu.VMEM((NSA, 2, 128, _C), jnp.float32),   # pass-A slabs
                 pltpu.VMEM((NSB, 2, R2, MS, CS), jnp.float32),  # pass-B
                 pltpu.SMEM((1,), jnp.float32),                # measurement
-                pltpu.SemaphoreType.DMA((2 * NSA + 2 * NSB,)),
+                pltpu.SemaphoreType.DMA((2 * (2 * NSA + 2 * NSB),)),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=122 * 1024 * 1024),
             interpret=interpret,
-        )(u7r[None], u7i[None], u21r[None], u21i[None], tiles, state0)
+        )(u7r[None], u7i[None], u21r[None], u21i[None], tiles,
+          plane_re, plane_im)
         val = a_raw.reshape(n_pairs, 1024)[:, 0].reshape(ks.shape[0], n_ts)
 
         sq = (1 - 2 * ((sig_fin >> q) & jnp.uint32(1)).astype(jnp.int32)
               ).astype(jnp.float32)
         if debug_state:
             # diagnostic: also return the LAST pair's post-run state (the
-            # aliased HBM buffer) so hardware-only failures can be
+            # aliased HBM planes) so hardware-only failures can be
             # localized (state zeroed vs measurement lost) without a
             # kernel rebuild — see benchmarks/hi_echo_l30_debug.py
-            return ancilla_factor * s0 * sq * val, _st
+            return ancilla_factor * s0 * sq * val, (_st_re, _st_im)
         return ancilla_factor * s0 * sq * val
 
     if debug_state:

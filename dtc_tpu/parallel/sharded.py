@@ -355,7 +355,7 @@ def make_sharded_autocorr_forward_kernel(
     only the shard-bit kicks + tiny diagonal factors stay in XLA.
     17 <= L_loc <= 23 (L_loc = L - log2(n_amp)) rides the VMEM-resident
     per-shard kernel (ops/pallas_cycle, state VMEM-resident within the
-    cycle); 24 <= L_loc <= 30 the r2-blocked HBM-streamed per-shard kernel
+    cycle); 24 <= L_loc <= 29 the r2-blocked HBM-streamed per-shard kernel
     (ops/pallas_cycle_hi, two bounded DMA sweeps per cycle) — kernel-rate
     sharding up to L = 30 + log2(n_amp). Requires a constant x-only
     schedule (only angles[0,0,0] is read — the engine dispatch contract
@@ -379,9 +379,9 @@ def make_sharded_autocorr_forward_kernel(
     n_traj_dev = mesh.shape["traj"]
     k_bits = int(np.log2(n_amp))
     local_bits = L - k_bits
-    if not (17 <= local_bits <= 30):
+    if not (17 <= local_bits <= 29):
         raise ValueError(
-            f"cycle-kernel sharding needs 17 <= L - log2(n_amp) <= 30 "
+            f"cycle-kernel sharding needs 17 <= L - log2(n_amp) <= 29 "
             f"(got L={L}, n_amp={n_amp}: local_bits={local_bits})")
     if not (0 <= q < local_bits):
         raise ValueError(
@@ -506,7 +506,7 @@ def make_sharded_echo_kernel(
 
     Same signature as make_sharded_echo: fn(angles, hs, phis,
     keys (n_traj,2), t_value) -> scalar; requires a constant x-only
-    schedule, shard-local probe q < L_loc, and 17 <= L_loc <= 30
+    schedule, shard-local probe q < L_loc, and 17 <= L_loc <= 29
     (L_loc = L - log2(n_amp); L_loc >= 24 rides
     the r2-blocked HBM-streamed per-shard kernels, ops/pallas_cycle_hi —
     see make_sharded_autocorr_forward_kernel; DTC_TPU_SHARDED_HI_MIN_LB
@@ -525,9 +525,9 @@ def make_sharded_echo_kernel(
     n_traj_dev = mesh.shape["traj"]
     k_bits = int(np.log2(n_amp))
     local_bits = L - k_bits
-    if not (17 <= local_bits <= 30):
+    if not (17 <= local_bits <= 29):
         raise ValueError(
-            f"cycle-kernel sharding needs 17 <= L - log2(n_amp) <= 30 "
+            f"cycle-kernel sharding needs 17 <= L - log2(n_amp) <= 29 "
             f"(got L={L}, n_amp={n_amp}: local_bits={local_bits})")
     if not (0 <= q < local_bits):
         raise ValueError(
@@ -742,7 +742,7 @@ def make_sharded_autocorr_forward_general(
     Same signature/semantics as make_sharded_autocorr_forward; matches it
     trajectory-for-trajectory (identical uniform draws) at the bf16x3 dot
     level. Requires a shard-local probe q < L - log2(n_amp) and
-    17 <= L - log2(n_amp) <= 30: shards through 23 ride the VMEM-resident
+    17 <= L - log2(n_amp) <= 29: shards through 23 ride the VMEM-resident
     general per-shard kernel (ops/pallas_cycle), 24..30 the r2-blocked
     HBM-streamed general kernel (ops/pallas_cycle_hi_general;
     DTC_TPU_SHARDED_HI_MIN_LB lowers the crossover to 22 for
@@ -766,10 +766,10 @@ def make_sharded_autocorr_forward_general(
     n_traj_dev = mesh.shape["traj"]
     k_bits = int(np.log2(n_amp))
     local_bits = L - k_bits
-    if not (17 <= local_bits <= 30):
+    if not (17 <= local_bits <= 29):
         raise ValueError(
             f"general cycle-kernel sharding needs 17 <= L - log2(n_amp) "
-            f"<= 30 (got L={L}, n_amp={n_amp}: local_bits={local_bits})")
+            f"<= 29 (got L={L}, n_amp={n_amp}: local_bits={local_bits})")
     if not (0 <= q < local_bits):
         raise ValueError(
             "cycle-kernel sharding requires a shard-local probe qubit "
@@ -893,7 +893,7 @@ def make_sharded_echo_general(
 
     Same signature as make_sharded_echo: fn(angles, hs, phis,
     keys (n_traj,2), t_value) -> scalar; requires a shard-local probe
-    q < L - log2(n_amp) and 17 <= L - log2(n_amp) <= 30 (shards past the
+    q < L - log2(n_amp) and 17 <= L - log2(n_amp) <= 29 (shards past the
     VMEM kernel's 23 ride the r2-blocked HBM-streamed general kernels,
     ops/pallas_cycle_hi_general; DTC_TPU_SHARDED_HI_MIN_LB lowers the
     crossover to 22 for cross-checks). Matches make_sharded_echo
@@ -920,10 +920,10 @@ def make_sharded_echo_general(
     n_traj_dev = mesh.shape["traj"]
     k_bits = int(np.log2(n_amp))
     local_bits = L - k_bits
-    if not (17 <= local_bits <= 30):
+    if not (17 <= local_bits <= 29):
         raise ValueError(
             f"general cycle-kernel sharding needs 17 <= L - log2(n_amp) "
-            f"<= 30 (got L={L}, n_amp={n_amp}: local_bits={local_bits})")
+            f"<= 29 (got L={L}, n_amp={n_amp}: local_bits={local_bits})")
     if not (0 <= q < local_bits):
         raise ValueError(
             "cycle-kernel sharding requires a shard-local probe qubit "
