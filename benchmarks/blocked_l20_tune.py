@@ -101,6 +101,9 @@ CONFIGS = [  # (bt, cs, nb)
 ]
 if MODE == "quick":
     CONFIGS = [(16, 2048, 1), (16, 2048, 2)]
+elif MODE == "combo":
+    # compose the per-axis winners of the full sweep
+    CONFIGS = [(32, 2048, 2), (32, 4096, 2), (32, 2048, 4)]
 
 results = {}
 best = (None, -1.0)
@@ -130,8 +133,9 @@ print(f"best: {best[0]} at {best[1]:.1f} cycles/s")
 path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                      "parity_results.json")
 blob = json.load(open(path)) if _os.path.exists(path) else {}
-blob["blocked_l20_tune"] = {"shape": "L20_T50_p0.05_ntraj32",
-                            "configs": results, "best": best[0],
-                            "best_cycles_s": best[1]}
+key = "blocked_l20_tune" if MODE != "combo" else "blocked_l20_tune_combo"
+blob[key] = {"shape": "L20_T50_p0.05_ntraj32",
+             "configs": results, "best": best[0],
+             "best_cycles_s": best[1]}
 json.dump(blob, open(path, "w"), indent=1)
-print(f"recorded -> {path} blocked_l20_tune")
+print(f"recorded -> {path} {key}")
