@@ -104,6 +104,15 @@ if MODE == "quick":
 elif MODE == "combo":
     # compose the per-axis winners of the full sweep
     CONFIGS = [(32, 2048, 2), (32, 4096, 2), (32, 2048, 4)]
+elif MODE == "round2":
+    # the corner the full sweep left untested: whole-TOP pass-1 blocks
+    # (bt=64 ran only with the degenerate cs=8192) and narrower chunks
+    CONFIGS = [(64, 2048, 1), (64, 4096, 1), (32, 1024, 1)]
+elif MODE == "pack":
+    # pass-2 block-diagonal packing (p2_pack_factor, default ON): re-run
+    # the default + bt32 configs with the packed kernel; compare against
+    # blocked_l20_tune's unpacked readings
+    CONFIGS = [(16, 2048, 1), (32, 2048, 1)]
 
 results = {}
 best = (None, -1.0)
@@ -133,7 +142,9 @@ print(f"best: {best[0]} at {best[1]:.1f} cycles/s")
 path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                      "parity_results.json")
 blob = json.load(open(path)) if _os.path.exists(path) else {}
-key = "blocked_l20_tune" if MODE != "combo" else "blocked_l20_tune_combo"
+key = {"combo": "blocked_l20_tune_combo",
+       "round2": "blocked_l20_tune_round2",
+       "pack": "blocked_l20_tune_pack"}.get(MODE, "blocked_l20_tune")
 blob[key] = {"shape": "L20_T50_p0.05_ntraj32",
              "configs": results, "best": best[0],
              "best_cycles_s": best[1]}

@@ -69,8 +69,11 @@ def blocked_block_sizes(TOP: int) -> tuple[int, int]:
       the chunk offset only where the formula says so — a cs below 256
       would silently corrupt the bond-6 signs."""
     # default bt=16 clamps to TOP at L=17 (TOP=8) so the kernel's full
-    # 17 <= L <= 23 range works without env overrides
-    bt = min(int(_os.environ.get("DTC_TPU_BLOCKED_BT", "16")), TOP)
+    # 17 <= L <= 23 range works without env overrides; at TOP=64 (L=20,
+    # the headline shape) bt=32 measured consistently ~3% faster across
+    # two tune sweeps (parity_results.json blocked_l20_tune{,_round2})
+    default_bt = "32" if TOP == 64 else "16"
+    bt = min(int(_os.environ.get("DTC_TPU_BLOCKED_BT", default_bt)), TOP)
     cs = int(_os.environ.get("DTC_TPU_BLOCKED_CS", "2048"))
     if TOP % bt or bt % 8:
         raise ValueError(f"bt={bt} must divide TOP={TOP} and be a"
@@ -81,10 +84,44 @@ def blocked_block_sizes(TOP: int) -> tuple[int, int]:
     return bt, cs
 
 
+def p2_pack_factor(TOP: int, cs: int) -> int:
+    """Pass-2 block-diagonal packing factor P (1 = unpacked).
+
+    At TOP < 128 the pass-2 top-kick dot (TOP, TOP) x (TOP, CS) fills
+    only a (TOP/128)^2 corner of the 128x128 MXU systolic array — at
+    L=20 (TOP=64) a quarter, at L=18 (TOP=16) 1/64. Packing
+    P = 128/TOP independent (half, chunk) tiles into ONE block-diagonal
+    (P*TOP, P*TOP) x (P*TOP, CS) dot restores full fill: the first P/2
+    diagonal blocks carry the bond-13 half-0 (+s13) scaled top matrix
+    acting on P/2 consecutive half-0 column chunks, the rest the half-1
+    (-s13) matrix on half-1 chunks; off-diagonal blocks are ZERO, so the
+    packed dot computes exactly the P separate products. The
+    kron(I_P, U_top) expansion is loop-invariant and built OUTSIDE the
+    kernel (the per-cycle diagonal folds are pure row scalings, so the
+    packed matrix is the same expansion row-scaled by the concatenated
+    per-block angle rows). P is capped at 2*n_cs (the number of
+    (half, chunk) tiles a cycle has) and gated by DTC_TPU_BLOCKED_P2PACK
+    (unset = auto: TOP <= 32 only — at TOP=64 the 2-tile concat/split
+    overhead measured ~7% SLOWER than the quarter-fill dot it replaces
+    on the L=20 bench shape, parity_results.json blocked_l20_tune_pack;
+    "1" forces packing at every TOP < 128, "0" disables).
+    """
+    n_cs = (_C // 2) // cs
+    mode = _os.environ.get("DTC_TPU_BLOCKED_P2PACK", "auto")
+    if mode == "0":
+        return 1
+    if mode != "1" and TOP > 32:
+        return 1
+    return max(1, min(128 // TOP, 2 * n_cs))
+
+
 def _make_blocked_kernel(L: int, T: int, q: int, b0: int,
                          time_dep: bool, bt: int, cs: int,
-                         nb: int = 1):  # noqa: C901
+                         nb: int = 1, P: int = 1):  # noqa: C901
     """One grid step = ``nb`` trajectories, all T cycles, blocked plane ops.
+
+    P > 1: pass-2 block-diagonal packing (see p2_pack_factor) — the
+    utr/uti refs then hold the kron(I_P, U_top) expansion.
 
     nb > 1 interleaves independent trajectories at the BLOCK level: the
     kick matrices are shared (constant schedule — only the SMEM noise rows
@@ -215,38 +252,87 @@ def _make_blocked_kernel(L: int, T: int, q: int, b0: int,
             uti = uti_ref[ui]
 
             a_next = (jnp.zeros((), jnp.float32),) * nb
-            for half, sgn in ((0, 1.0), (1, -1.0)):
+            if P == 1:
+                for half, sgn in ((0, 1.0), (1, -1.0)):
+                    bts_b = []
+                    for b in B:
+                        th = th_hi[b] + sgn * s13z14[b]
+                        dr = jnp.cos(th)
+                        di = jnp.sin(th)
+                        btr = utr * dr - uti * di
+                        bti = utr * di + uti * dr
+                        bts_b.append((btr, bti, btr + bti))
+                    base = half * (_C // 2)
+
+                    def p2_chunk(j, accs, bts_b=bts_b, base=base):
+                        off = base + j * cs
+                        zq = (1 - 2 * (((lcs + off) >> q) & 1)).astype(
+                            jnp.float32)
+                        out = []
+                        for b in B:
+                            btr, bti, bts = bts_b[b]
+                            hr = st_ref[b, 0, :, pl.ds(off, cs)]
+                            hi_ = st_ref[b, 1, :, pl.ds(off, cs)]
+                            q1 = _dot_f32(btr, hr)
+                            q2 = _dot_f32(bti, hi_)
+                            q3 = _dot_f32(bts, hr + hi_)
+                            kr = q1 - q2
+                            ki = q3 - q1 - q2
+                            st_ref[b, 0, :, pl.ds(off, cs)] = kr
+                            st_ref[b, 1, :, pl.ds(off, cs)] = ki
+                            out.append(
+                                accs[b] + jnp.sum((kr * kr + ki * ki) * zq))
+                        return tuple(out)
+
+                    a_next = jax.lax.fori_loop(0, n_cs, p2_chunk, a_next)
+            else:
+                # packed: one block-diagonal (P*TOP, P*TOP) x (P*TOP, cs)
+                # dot covers P/2 consecutive chunks of EACH bond-13 half
+                # per iteration (utr/uti hold kron(I_P, U_top); the
+                # per-block row angles select the half's +-s13 sign)
+                HB = P // 2
                 bts_b = []
                 for b in B:
-                    th = th_hi[b] + sgn * s13z14[b]
+                    thp = th_hi[b] + s13z14[b]
+                    thm = th_hi[b] - s13z14[b]
+                    th = jnp.concatenate([thp] * HB + [thm] * HB, axis=0)
                     dr = jnp.cos(th)
                     di = jnp.sin(th)
                     btr = utr * dr - uti * di
                     bti = utr * di + uti * dr
                     bts_b.append((btr, bti, btr + bti))
-                base = half * (_C // 2)
 
-                def p2_chunk(j, accs, bts_b=bts_b, base=base):
-                    off = base + j * cs
-                    zq = (1 - 2 * (((lcs + off) >> q) & 1)).astype(
-                        jnp.float32)
+                def p2_packed(j, accs):
+                    offs = [j * (HB * cs) + pi * cs for pi in range(HB)]
+                    offs = offs + [(_C // 2) + o for o in offs]
                     out = []
                     for b in B:
                         btr, bti, bts = bts_b[b]
-                        hr = st_ref[b, 0, :, pl.ds(off, cs)]
-                        hi_ = st_ref[b, 1, :, pl.ds(off, cs)]
+                        hr = jnp.concatenate(
+                            [st_ref[b, 0, :, pl.ds(o, cs)] for o in offs],
+                            axis=0)
+                        hi_ = jnp.concatenate(
+                            [st_ref[b, 1, :, pl.ds(o, cs)] for o in offs],
+                            axis=0)
                         q1 = _dot_f32(btr, hr)
                         q2 = _dot_f32(bti, hi_)
                         q3 = _dot_f32(bts, hr + hi_)
                         kr = q1 - q2
                         ki = q3 - q1 - q2
-                        st_ref[b, 0, :, pl.ds(off, cs)] = kr
-                        st_ref[b, 1, :, pl.ds(off, cs)] = ki
-                        out.append(
-                            accs[b] + jnp.sum((kr * kr + ki * ki) * zq))
+                        acc = accs[b]
+                        for pi, o in enumerate(offs):
+                            krp = kr[pi * TOP:(pi + 1) * TOP, :]
+                            kip = ki[pi * TOP:(pi + 1) * TOP, :]
+                            st_ref[b, 0, :, pl.ds(o, cs)] = krp
+                            st_ref[b, 1, :, pl.ds(o, cs)] = kip
+                            zq = (1 - 2 * (((lcs + o) >> q) & 1)).astype(
+                                jnp.float32)
+                            acc = acc + jnp.sum(
+                                (krp * krp + kip * kip) * zq)
+                        out.append(acc)
                     return tuple(out)
 
-                a_next = jax.lax.fori_loop(0, n_cs, p2_chunk, a_next)
+                a_next = jax.lax.fori_loop(0, n_cs // HB, p2_packed, a_next)
 
             @pl.when(cyc + 1 < T)
             def _():
@@ -266,7 +352,7 @@ def _make_blocked_kernel(L: int, T: int, q: int, b0: int,
 
 def _make_blocked_echo_kernel(L: int, T2: int, q: int, b0: int,
                               time_dep: bool, bt: int, cs: int,
-                              nb: int = 1):  # noqa: C901
+                              nb: int = 1, P: int = 1):  # noqa: C901
     """Echo: one grid step = ``nb`` (traj, t) pairs, 2T masked steps, blocked.
 
     Same (pre, post) interleaved compact step tiles as the L <= 21
@@ -429,36 +515,85 @@ def _make_blocked_echo_kernel(L: int, T2: int, q: int, b0: int,
                 post2.append((utr, uti, a_hi, b_hi, s13q, jnp.cos(s6q),
                               zz67c * jnp.sin(s6q)))
 
-            for half, sgn in ((0, 1.0), (1, -1.0)):
+            if P == 1:
+                for half, sgn in ((0, 1.0), (1, -1.0)):
+                    bts_b = []
+                    for b in B:
+                        utr, uti, a_hi, b_hi, s13q, _c6q, _s6qz = post2[b]
+                        th = b_hi + sgn * s13q * zho[0] + a_hi
+                        dr = jnp.cos(th)
+                        di = jnp.sin(th)
+                        btr = utr * dr - uti * di
+                        bti = utr * di + uti * dr
+                        bts_b.append((btr, bti, btr + bti))
+                    base = half * (_C // 2)
+
+                    def p2_chunk(j, _, bts_b=bts_b, base=base):
+                        off = base + j * cs
+                        for b in B:
+                            btr, bti, bts = bts_b[b]
+                            _u, _v, _a, _bh, _s, c6q, s6qz = post2[b]
+                            hr = st_ref[b, 0, :, pl.ds(off, cs)]
+                            hi_ = st_ref[b, 1, :, pl.ds(off, cs)]
+                            q1 = _dot_f32(btr, hr)
+                            q2 = _dot_f32(bti, hi_)
+                            q3 = _dot_f32(bts, hr + hi_)
+                            kr = q1 - q2
+                            ki = q3 - q1 - q2
+                            kr, ki = _cmul(kr, ki, c6q, s6qz)
+                            st_ref[b, 0, :, pl.ds(off, cs)] = kr
+                            st_ref[b, 1, :, pl.ds(off, cs)] = ki
+                        return _
+
+                    jax.lax.fori_loop(0, n_cs, p2_chunk, None)
+            else:
+                # packed pass 2 (see p2_pack_factor / the forward kernel):
+                # utr/uti refs hold kron(I_P, U_top); per-block ROW angles
+                # carry the half's +-s13 sign, the per-block COLUMN angles
+                # tile the pre-step's a_hi (same for every block — the
+                # off-diagonal blocks are zero in the kron so their angle
+                # values are inert)
+                HB = P // 2
                 bts_b = []
                 for b in B:
                     utr, uti, a_hi, b_hi, s13q, _c6q, _s6qz = post2[b]
-                    th = b_hi + sgn * s13q * zho[0] + a_hi
+                    rp = b_hi + s13q * zho[0]
+                    rm = b_hi - s13q * zho[0]
+                    rows = jnp.concatenate([rp] * HB + [rm] * HB, axis=0)
+                    cols = jnp.concatenate([a_hi] * P, axis=1)
+                    th = rows + cols
                     dr = jnp.cos(th)
                     di = jnp.sin(th)
                     btr = utr * dr - uti * di
                     bti = utr * di + uti * dr
                     bts_b.append((btr, bti, btr + bti))
-                base = half * (_C // 2)
 
-                def p2_chunk(j, _, bts_b=bts_b, base=base):
-                    off = base + j * cs
+                def p2_packed(j, _):
+                    offs = [j * (HB * cs) + pi * cs for pi in range(HB)]
+                    offs = offs + [(_C // 2) + o for o in offs]
                     for b in B:
                         btr, bti, bts = bts_b[b]
                         _u, _v, _a, _bh, _s, c6q, s6qz = post2[b]
-                        hr = st_ref[b, 0, :, pl.ds(off, cs)]
-                        hi_ = st_ref[b, 1, :, pl.ds(off, cs)]
+                        hr = jnp.concatenate(
+                            [st_ref[b, 0, :, pl.ds(o, cs)] for o in offs],
+                            axis=0)
+                        hi_ = jnp.concatenate(
+                            [st_ref[b, 1, :, pl.ds(o, cs)] for o in offs],
+                            axis=0)
                         q1 = _dot_f32(btr, hr)
                         q2 = _dot_f32(bti, hi_)
                         q3 = _dot_f32(bts, hr + hi_)
                         kr = q1 - q2
                         ki = q3 - q1 - q2
                         kr, ki = _cmul(kr, ki, c6q, s6qz)
-                        st_ref[b, 0, :, pl.ds(off, cs)] = kr
-                        st_ref[b, 1, :, pl.ds(off, cs)] = ki
+                        for pi, o in enumerate(offs):
+                            st_ref[b, 0, :, pl.ds(o, cs)] = kr[
+                                pi * TOP:(pi + 1) * TOP, :]
+                            st_ref[b, 1, :, pl.ds(o, cs)] = ki[
+                                pi * TOP:(pi + 1) * TOP, :]
                     return _
 
-                jax.lax.fori_loop(0, n_cs, p2_chunk, None)
+                jax.lax.fori_loop(0, n_cs // HB, p2_packed, None)
             return _
 
         # same-t pairing makes every pair in the grid step share the trip
@@ -532,6 +667,12 @@ def blocked_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
     T2 = 2 * T
     Tu = T if time_dependent else 1
     u7r, u7i, utr, uti = _kick_matrices(angles, L, TOP, time_dependent)
+    P = p2_pack_factor(TOP, cs)
+    if P > 1:
+        eyeP = jnp.eye(P, dtype=jnp.float32)
+        utr = jax.vmap(lambda m: jnp.kron(eyeP, m))(utr)
+        uti = jax.vmap(lambda m: jnp.kron(eyeP, m))(uti)
+    PT = P * TOP
     n_ts = ts.shape[0]
 
     # nb same-t pairs per grid step (see _make_blocked_echo_kernel); the
@@ -561,7 +702,7 @@ def blocked_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                     else pltpu.VMEM)
         a_raw = pl.pallas_call(
             _make_blocked_echo_kernel(L, T2, q, b0, time_dependent, bt, cs,
-                                      nb_),
+                                      nb_, P),
             out_shape=jax.ShapeDtypeStruct(
                 (n_pairs // nb_, nb_, 8, 128), jnp.float32),
             grid=(n_pairs // nb_,),
@@ -570,9 +711,9 @@ def blocked_echo_batch(hs, phis, angles, keys, ts, *, L, T, p, q,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((Tu, 128, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Tu, TOP, TOP), lambda i: (0, 0, 0),
+                pl.BlockSpec((Tu, PT, PT), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Tu, TOP, TOP), lambda i: (0, 0, 0),
+                pl.BlockSpec((Tu, PT, PT), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, nb_, 2 * T2, 128), lambda i: (i, 0, 0, 0),
                              memory_space=tile_mem),  # step tiles
@@ -639,6 +780,12 @@ def blocked_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
 
     Tu = T if time_dependent else 1
     u7r, u7i, utr, uti = _kick_matrices(angles, L, TOP, time_dependent)
+    P = p2_pack_factor(TOP, cs)
+    if P > 1:
+        eyeP = jnp.eye(P, dtype=jnp.float32)
+        utr = jax.vmap(lambda m: jnp.kron(eyeP, m))(utr)
+        uti = jax.vmap(lambda m: jnp.kron(eyeP, m))(uti)
+    PT = P * TOP
 
     # nb interleaved trajectories per grid step (see _make_blocked_kernel):
     # +throughput on long-lived sweep shapes where the one-time Mosaic
@@ -673,7 +820,8 @@ def blocked_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
         params = params.reshape(n_traj // nb_, nb_, T, 128)
 
         a_raw = pl.pallas_call(
-            _make_blocked_kernel(L, T, q, b0, time_dependent, bt, cs, nb_),
+            _make_blocked_kernel(L, T, q, b0, time_dependent, bt, cs, nb_,
+                                 P),
             out_shape=jax.ShapeDtypeStruct(
                 (n_traj // nb_, nb_, 8, 128), jnp.float32),
             grid=(n_traj // nb_,),
@@ -682,9 +830,9 @@ def blocked_forward_batch(hs, phis, angles, keys, *, L, T, p, q,
                              memory_space=pltpu.VMEM),  # u7r
                 pl.BlockSpec((Tu, 128, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # u7i
-                pl.BlockSpec((Tu, TOP, TOP), lambda i: (0, 0, 0),
+                pl.BlockSpec((Tu, PT, PT), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # utr
-                pl.BlockSpec((Tu, TOP, TOP), lambda i: (0, 0, 0),
+                pl.BlockSpec((Tu, PT, PT), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # uti
                 pl.BlockSpec((1, nb_, T, 128), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.SMEM),  # params

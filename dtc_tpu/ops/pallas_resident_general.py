@@ -124,11 +124,17 @@ def _tile_helpers(tiles_ref, L):
                 th = th + cbc(ti, 13 + k) * (zt[k - 1] * zt[k])
         return th
 
-    def build_group(ti, u8, nbits, off, transposed):
+    def build_group(ti, u8, nbits, off, transposed, pad_blocks=1):
         """Planar (2^nbits, 2^nbits) group matrix with the step's X-mask
         folded in: element value prod_j u[(a_j XOR x_j), b_j], laid out
-        [b, a] when transposed (right-multiply form) else [a, b]."""
-        n = 1 << nbits
+        [b, a] when transposed (right-multiply form) else [a, b].
+
+        pad_blocks > 1: build at size pad_blocks * 2^nbits as a BLOCK-
+        DIAGONAL kron(I_pad, G) — the bit products only read bits
+        0..nbits-1 of the iotas, so the larger iotas tile G for free and
+        one diagonal mask zeroes the off-diagonal blocks (the pass-2 MXU
+        packing of ops/pallas_resident_blocked.p2_pack_factor)."""
+        n = pad_blocks << nbits
         a_ax = 1 if transposed else 0
         ia = jax.lax.broadcasted_iota(jnp.int32, (n, n), a_ax)
         ib = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1 - a_ax)
@@ -148,6 +154,10 @@ def _tile_helpers(tiles_ref, L):
                 br, bi = fr, fi
             else:
                 br, bi = _cmul(br, bi, fr, fi)
+        if pad_blocks > 1:
+            bd = (((ia ^ ib) >> nbits) == 0).astype(jnp.float32)
+            br = br * bd
+            bi = bi * bd
         return br, bi
 
     return czc, cbc, angle7, angle_hi, build_group
@@ -322,18 +332,25 @@ def _blocked_min_L() -> int:
 
 
 def _make_general_kernel_blocked(L: int, S: int, q: int, b0: int,
-                                 echo: bool, bt: int, cs: int):  # noqa: C901
+                                 echo: bool, bt: int, cs: int,
+                                 P: int = 1):  # noqa: C901
     """Blocked-plane variant for L = 22..23: same math and tile layout as
     _make_general_kernel, plane ops restructured into fori_loops over
     TOP-row blocks (pass 1) and column chunks (pass 2) so Mosaic's
     register allocator stays bounded (the full-plane body spills at L=22;
     see ops/pallas_resident_blocked.py). The echo's inactive-step select
     is dropped: the per-pair trip count already bounds the loop to active
-    steps."""
+    steps.
+
+    P > 1: pass-2 block-diagonal MXU packing (see
+    ops/pallas_resident_blocked.p2_pack_factor) — here the kron(I_P, G)
+    expansion is built IN-kernel by build_group(pad_blocks=P), since the
+    top group matrix is per-step."""
     TOP = 1 << (L - 14)
     n_bt = TOP // bt
     n_cs = (_C // 2) // cs
     TPS = 2 if echo else 1
+    PT = P * TOP
 
     def kernel(tiles_ref, a_out_ref, st_ref):
         arow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -434,50 +451,111 @@ def _make_general_kernel_blocked(L: int, S: int, q: int, b0: int,
             jax.lax.fori_loop(0, n_bt, p1_block, None)
 
             # pass 2: top kick + post straddles [+ forward measure]
-            utr, uti = build_group(kt, u8, L - 14, 14, transposed=False)
-            b_hi = angle_hi(post, zho)
             s13q = cbc(post, 13)
-            th_hi = b_hi + (angle_hi(kt, zhi) if echo else 0.0)
             s6q = cbc(post, 6)
             c6q = jnp.cos(s6q)
             s6qz = zz67c * jnp.sin(s6q)
             a_next = jnp.zeros((), jnp.float32)
             if not echo:  # only final-slot steps measure (K >= 2 families)
                 measures = tiles_ref[0, kt, FO + _LANE_MPOS] >= 0.0
-            for half, sgn in ((0, 1.0), (1, -1.0)):
-                th = th_hi + sgn * s13q * zho[0]
+            if P == 1:
+                utr, uti = build_group(kt, u8, L - 14, 14, transposed=False)
+                b_hi = angle_hi(post, zho)
+                th_hi = b_hi + (angle_hi(kt, zhi) if echo else 0.0)
+                for half, sgn in ((0, 1.0), (1, -1.0)):
+                    th = th_hi + sgn * s13q * zho[0]
+                    dr = jnp.cos(th)
+                    di = jnp.sin(th)
+                    htr, hti_ = _cmul(utr, uti, dr, di)
+                    hts = htr + hti_
+                    base = half * (_C // 2)
+
+                    def p2_chunk(j, acc, htr=htr, hti_=hti_, hts=hts,
+                                 base=base):
+                        off = base + j * cs
+                        hr = st_ref[0, :, pl.ds(off, cs)]
+                        hi2 = st_ref[1, :, pl.ds(off, cs)]
+                        q1 = _dot_f32(htr, hr)
+                        q2 = _dot_f32(hti_, hi2)
+                        q3 = _dot_f32(hts, hr + hi2)
+                        kr = q1 - q2
+                        ki = q3 - q1 - q2
+                        kr, ki = _cmul(kr, ki, c6q, s6qz)
+                        st_ref[0, :, pl.ds(off, cs)] = kr
+                        st_ref[1, :, pl.ds(off, cs)] = ki
+                        if echo:
+                            return acc
+
+                        def msum():
+                            zqc = (1 - 2 * (((lcs + off) >> q) & 1)).astype(
+                                jnp.float32)
+                            return acc + jnp.sum((kr * kr + ki * ki) * zqc)
+
+                        # the reduce runs only on measuring slots (the
+                        # final kick slot of a cycle); K >= 2 families
+                        # skip it on the other slots
+                        return jax.lax.cond(measures, msum, lambda: acc)
+
+                    a_next = jax.lax.fori_loop(0, n_cs, p2_chunk, a_next)
+            else:
+                # packed: kron(I_P, G_top) built in-kernel; the tiled
+                # angle rows come from PT-sized iotas for free (the angle
+                # formulas only read bits 0..L-15), the bond-13 half sign
+                # from the block-index bit
+                HB = P // 2
+                utr, uti = build_group(kt, u8, L - 14, 14,
+                                       transposed=False, pad_blocks=P)
+                hti_pt = jax.lax.broadcasted_iota(jnp.int32, (PT, 1), 0)
+                zho_pt = [(1 - 2 * ((hti_pt >> k) & 1)).astype(jnp.float32)
+                          for k in range(L - 14)]
+                rows = angle_hi(post, zho_pt)
+                if echo:
+                    htc_pt = jax.lax.broadcasted_iota(jnp.int32, (1, PT), 1)
+                    zhi_pt = [(1 - 2 * ((htc_pt >> k) & 1)).astype(
+                        jnp.float32) for k in range(L - 14)]
+                    rows = rows + angle_hi(kt, zhi_pt)
+                sgn_pt = (1 - 2 * ((hti_pt >> (L - 14 + P.bit_length() - 2))
+                                   & 1)).astype(jnp.float32)
+                th = rows + sgn_pt * s13q * zho_pt[0]
                 dr = jnp.cos(th)
                 di = jnp.sin(th)
-                htr, hti_ = _cmul(utr, uti, dr, di)
-                hts = htr + hti_
-                base = half * (_C // 2)
+                htr, hti2 = _cmul(utr, uti, dr, di)
+                hts = htr + hti2
 
-                def p2_chunk(j, acc, htr=htr, hti_=hti_, hts=hts, base=base):
-                    off = base + j * cs
-                    hr = st_ref[0, :, pl.ds(off, cs)]
-                    hi2 = st_ref[1, :, pl.ds(off, cs)]
+                def p2_packed(j, acc):
+                    offs = [j * (HB * cs) + pi * cs for pi in range(HB)]
+                    offs = offs + [(_C // 2) + o for o in offs]
+                    hr = jnp.concatenate(
+                        [st_ref[0, :, pl.ds(o, cs)] for o in offs], axis=0)
+                    hi2 = jnp.concatenate(
+                        [st_ref[1, :, pl.ds(o, cs)] for o in offs], axis=0)
                     q1 = _dot_f32(htr, hr)
-                    q2 = _dot_f32(hti_, hi2)
+                    q2 = _dot_f32(hti2, hi2)
                     q3 = _dot_f32(hts, hr + hi2)
                     kr = q1 - q2
                     ki = q3 - q1 - q2
                     kr, ki = _cmul(kr, ki, c6q, s6qz)
-                    st_ref[0, :, pl.ds(off, cs)] = kr
-                    st_ref[1, :, pl.ds(off, cs)] = ki
+                    for pi, o in enumerate(offs):
+                        st_ref[0, :, pl.ds(o, cs)] = kr[
+                            pi * TOP:(pi + 1) * TOP, :]
+                        st_ref[1, :, pl.ds(o, cs)] = ki[
+                            pi * TOP:(pi + 1) * TOP, :]
                     if echo:
                         return acc
 
                     def msum():
-                        zqc = (1 - 2 * (((lcs + off) >> q) & 1)).astype(
-                            jnp.float32)
-                        return acc + jnp.sum((kr * kr + ki * ki) * zqc)
+                        s = acc
+                        for pi, o in enumerate(offs):
+                            zqc = (1 - 2 * (((lcs + o) >> q) & 1)).astype(
+                                jnp.float32)
+                            krp = kr[pi * TOP:(pi + 1) * TOP, :]
+                            kip = ki[pi * TOP:(pi + 1) * TOP, :]
+                            s = s + jnp.sum((krp * krp + kip * kip) * zqc)
+                        return s
 
-                    # the reduce runs only on measuring slots (the final
-                    # kick slot of a cycle); K >= 2 families skip it on
-                    # the other slots
                     return jax.lax.cond(measures, msum, lambda: acc)
 
-                a_next = jax.lax.fori_loop(0, n_cs, p2_chunk, a_next)
+                a_next = jax.lax.fori_loop(0, n_cs // HB, p2_packed, a_next)
 
             if not echo:
                 mpos = tiles_ref[0, kt, FO + _LANE_MPOS]
@@ -597,12 +675,15 @@ def general_forward_batch(hs, phis, angles, keys, *, L, T, K, p, q,
         if L < _blocked_min_L():
             kern = _make_general_kernel(L, S, q, b0, TOP > 1, echo=False)
         else:
-            from dtc_tpu.ops.pallas_resident_blocked import \
-                blocked_block_sizes
+            from dtc_tpu.ops.pallas_resident_blocked import (
+                blocked_block_sizes,
+                p2_pack_factor,
+            )
 
             bt, cs = blocked_block_sizes(TOP)
             kern = _make_general_kernel_blocked(L, S, q, b0, echo=False,
-                                                bt=bt, cs=cs)
+                                                bt=bt, cs=cs,
+                                                P=p2_pack_factor(TOP, cs))
         a_raw = pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
@@ -752,12 +833,15 @@ def general_echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q,
         if L < _blocked_min_L():
             kern = _make_general_kernel(L, S, q, b0, TOP > 1, echo=True)
         else:
-            from dtc_tpu.ops.pallas_resident_blocked import \
-                blocked_block_sizes
+            from dtc_tpu.ops.pallas_resident_blocked import (
+                blocked_block_sizes,
+                p2_pack_factor,
+            )
 
             bt, cs = blocked_block_sizes(TOP)
             kern = _make_general_kernel_blocked(L, S, q, b0, echo=True,
-                                                bt=bt, cs=cs)
+                                                bt=bt, cs=cs,
+                                                P=p2_pack_factor(TOP, cs))
         a_raw = pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((n_pairs, 8, 128), jnp.float32),
