@@ -115,7 +115,10 @@ else:
     # programs are distinct compiles, geom is a static jit arg).
     from dtc_tpu.ops.pallas_streamed_hi import _hi_geometry
     MS, CS = _hi_geometry(L)
-    for alt in ((MS // 2, 2 * CS), (MS // 4, 4 * CS)):
+    # Mosaic DMA slices need MS >= 8 (sublane tiling): at L=30 the
+    # (MS*CS = 2048, CS >= 128) geometry space admits only ONE alt cut
+    alts = [a for a in ((MS // 2, 2 * CS), (MS // 4, 4 * CS)) if a[0] >= 8]
+    for alt in alts:
         t0 = time.time()
         a_alt, dt_alt = timed(lambda: streamed_hi_forward_batch(
             hs, phis, sched.angles, keys, geom=alt, **kw), reps=1,

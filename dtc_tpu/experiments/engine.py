@@ -243,6 +243,107 @@ def _general_dispatch(angles, *, K, L, q, T, dtype_name, engine, max_L=21,
             and T * K <= max_steps and jax.default_backend() != "cpu")
 
 
+def _singlechip_general_hi_ok(cfg, sched) -> bool:
+    """Single-chip GENERAL-drive kernel dispatch for 24 <= L <= 29.
+
+    Non-x polarizations and per-cycle schedules past the blocked general
+    kernels' L=23 used to fall to the XLA sigma engine; the (1,1)-mesh
+    degenerate run of the sharded general cycle-kernel scan (per-shard
+    VMEM/hi kernels with NO shard bits, so no collectives and no global
+    tail) runs the same workload at kernel rate — measured 4.2x the XLA
+    sharded engine at L=24 (parity_results.json sharded_general_hi_l24_y)
+    and covers the reference's circular/time-dependent drives at large L
+    (autocorr-delta-a-single-qiskit-fast-circular-polarization.py:110-142).
+    Constant x-schedules are excluded: the whole-trajectory streamed /
+    streamed-hi kernels are faster there."""
+    import os
+
+    engine = os.environ.get("DTC_TPU_ENGINE", "auto")
+    if engine not in ("auto", "sharded_general"):
+        return False
+    if jax.default_backend() == "cpu" or cfg.dtype != "complex64":
+        return False
+    if not (24 <= cfg.L <= 29 and 0 <= cfg.probe_qubit < cfg.L):
+        return False
+    ang = np.asarray(sched.angles)
+    const_x = (sched.K == 1 and bool(np.all(ang[:, :, 1] == 0.0))
+               and bool(np.all(ang == ang[0])))
+    return not const_x
+
+
+@functools.lru_cache(maxsize=8)
+def _singlechip_general_fn(echo, **kw):
+    """Cached (1,1)-mesh sharded-general builder: rebuilding per sweep call
+    would make every repeated sweep retrace the shard_map scan (a fresh
+    jax.jit identity) — seconds of host work per call."""
+    from dtc_tpu.parallel.mesh import make_mesh
+    from dtc_tpu.parallel.sharded import (
+        make_sharded_autocorr_forward_general,
+        make_sharded_echo_general,
+    )
+
+    mesh = make_mesh(n_amp=1, n_traj=1, devices=jax.devices()[:1])
+    maker = (make_sharded_echo_general if echo
+             else make_sharded_autocorr_forward_general)
+    return maker(mesh, **kw)
+
+
+def _singlechip_general_forward(cfg, sched, params, noise, key, *,
+                                interpret=False):
+    """forward_sweep via the (1,1)-mesh sharded GENERAL builder (see
+    _singlechip_general_hi_ok). Returns (inst, T) trajectory averages;
+    same uniform draws per trajectory key as the sigma engine."""
+    hs, phis = params
+    af = noise.ancilla_factor if noise.p > 0 else 1.0
+    fn = _singlechip_general_fn(
+        False, L=cfg.L, T=cfg.tf, K=sched.K, p=noise.p, q=cfg.probe_qubit,
+        initial_state=cfg.initial_state, ancilla_factor=af,
+        interpret=interpret)
+    n_traj = cfg.n_trajectories if noise.p > 0 else 1
+    # one trajectory's HBM-aliased state is 2^(L+3) bytes; keep ~4 GB live
+    chunk = max(1, (4 << 30) >> (cfg.L + 3))
+    out = np.zeros((cfg.inst, cfg.tf))
+    for i in range(cfg.inst):
+        acc = np.zeros(cfg.tf)
+        done = 0
+        while done < n_traj:
+            c = min(chunk, n_traj - done)
+            keys = _inst_keys(key, cfg.inst, done, c)[i]
+            vals = guard("singlechip_general_forward",
+                         fn(sched.angles, hs[i], phis[i], keys), bound=1.0)
+            acc += c * vals
+            done += c
+        out[i] = acc / n_traj
+    return guard("forward_sweep", out, bound=1.0)
+
+
+def _singlechip_general_echo(cfg, sched, params, noise, key, *,
+                             interpret=False):
+    """echo_sweep via the (1,1)-mesh sharded GENERAL echo builder (one
+    masked-2T switch scan per t value; per-shard inverse kernels)."""
+    hs, phis = params
+    fn = _singlechip_general_fn(
+        True, L=cfg.L, T=cfg.tf, K=sched.K, p=noise.p, q=cfg.probe_qubit,
+        initial_state=cfg.initial_state,
+        ancilla_factor=noise.ancilla_factor, interpret=interpret)
+    n_traj = cfg.n_trajectories
+    chunk = max(1, (4 << 30) >> (cfg.L + 3))
+    out = np.zeros((cfg.inst, cfg.tf))
+    for i in range(cfg.inst):
+        for t in range(cfg.tf):
+            acc = 0.0
+            done = 0
+            while done < n_traj:
+                c = min(chunk, n_traj - done)
+                keys = _inst_keys(key, cfg.inst, 7919 + done, c)[i]
+                val = float(fn(sched.angles, hs[i], phis[i], keys,
+                               jnp.asarray(t)))
+                acc += c * val
+                done += c
+            out[i, t] = acc / n_traj
+    return guard("echo_sweep", out, bound=1.0)
+
+
 def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
                 dtype_name, ancilla_factor, has_y=False):
     """-> (inst, c, n_ts) echo values (sigma-frame).
@@ -346,6 +447,17 @@ def _echo_batch(hs, phis, angles, keys, ts, *, L, T, K, p, q, initial_state,
 
 
 def _inst_keys(key, inst, salt, count):
+    """(inst, count, 2) trajectory keys; ``salt`` is the chunk offset.
+
+    Because the chunk offset folds into the key, the trajectory ensemble
+    a sweep draws depends on its CHUNK BOUNDARIES, and chunk sizes are
+    engine-dependent (kernel routes chunk by pair/trajectory count, XLA
+    routes by state-bytes budget). Reproducibility per engine+config is
+    exact, but engine-vs-engine "trajectory-exact" comparisons must use
+    a trajectory count both routes take in ONE chunk — mismatched
+    chunking yields different (equally valid) ensembles that differ by
+    sampling noise (docs/PERFORMANCE.md round-4 notes, measured 4.2e-3
+    on a y/L=24 echo A/B vs 3.3e-5 chunk-matched)."""
     ki = jax.random.split(key, inst)
     return jnp.stack([jax.random.split(jax.random.fold_in(k, salt), count)
                       for k in ki])
@@ -360,6 +472,8 @@ def forward_sweep(cfg, sched, params, noise, key) -> np.ndarray:
               initial_state=cfg.initial_state, dtype_name=cfg.dtype,
               ancilla_factor=af, has_y=cfg.polarization != "x")
 
+    if _singlechip_general_hi_ok(cfg, sched):
+        return _singlechip_general_forward(cfg, sched, params, noise, key)
     n_traj = cfg.n_trajectories if p > 0 else 1
     if _kernel_dispatch_likely(cfg, sched, echo=False):
         chunk = min(n_traj, 4096)  # kernel HBM residency = param rows only
@@ -391,6 +505,8 @@ def echo_sweep(cfg, sched, params, noise, key, *, t_chunk: int = 8) -> np.ndarra
               ancilla_factor=noise.ancilla_factor,
               has_y=cfg.polarization != "x")
 
+    if _singlechip_general_hi_ok(cfg, sched):
+        return _singlechip_general_echo(cfg, sched, params, noise, key)
     n_traj = cfg.n_trajectories
     if _kernel_dispatch_likely(cfg, sched, echo=True):
         # kernel echo: (traj, t) pairs are grid steps over a VMEM/HBM

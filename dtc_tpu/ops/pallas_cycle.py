@@ -44,16 +44,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dtc_tpu.ops.pallas_resident import _C, _HALF_PI, _cmul, _dot_f32
-from dtc_tpu.ops.pallas_resident_blocked import blocked_block_sizes
+from dtc_tpu.ops.pallas_resident_blocked import (blocked_block_sizes,
+                                                 p2_pack_factor)
 
 
-def _make_cycle_kernel(L: int, q: int, bt: int, cs: int):  # noqa: C901
+def _make_cycle_kernel(L: int, q: int, bt: int, cs: int,
+                       P: int = 1):  # noqa: C901
     """One grid step = one trajectory's shard, ONE cycle, blocked plane ops.
 
     L here is the LOCAL bit count (shard size log2). Body identical to
     _make_blocked_kernel's per-cycle closure with T=1, except the state
     arrives via DMA from the ANY-space aliased pair instead of living in a
-    persistent scratch across cycles.
+    persistent scratch across cycles. P > 1: pass-2 block-diagonal MXU
+    packing (ops/pallas_resident_blocked.p2_pack_factor) — the utr/uti
+    refs then hold the kron(I_P, U_top) expansion.
     """
     TOP = 1 << (L - 14)
     n_bt = TOP // bt
@@ -149,37 +153,80 @@ def _make_cycle_kernel(L: int, q: int, bt: int, cs: int):  # noqa: C901
         uti = uti_ref[0]
 
         a_next = jnp.zeros((), jnp.float32)
-        for half, sgn in ((0, 1.0), (1, -1.0)):
-            th = th_hi + sgn * s13z14
+        if P == 1:
+            for half, sgn in ((0, 1.0), (1, -1.0)):
+                th = th_hi + sgn * s13z14
+                dr = jnp.cos(th)
+                di = jnp.sin(th)
+                btr = utr * dr - uti * di
+                bti = utr * di + uti * dr
+                bts = btr + bti
+                base = half * (_C // 2)
+
+                def p2_chunk(j, acc, btr=btr, bti=bti, bts=bts, base=base):
+                    off = base + j * cs
+                    hr = st_ref[0, :, pl.ds(off, cs)]
+                    hi_ = st_ref[1, :, pl.ds(off, cs)]
+                    q1 = _dot_f32(btr, hr)
+                    q2 = _dot_f32(bti, hi_)
+                    q3 = _dot_f32(bts, hr + hi_)
+                    kr = q1 - q2
+                    ki = q3 - q1 - q2
+                    st_ref[0, :, pl.ds(off, cs)] = kr
+                    st_ref[1, :, pl.ds(off, cs)] = ki
+                    # z_q: column sign for q < 14, TOP-row sign
+                    # (shard-local bits 14..L-1) above
+                    if q < 14:
+                        zq = (1 - 2 * (((lcs + off) >> q) & 1)).astype(
+                            jnp.float32)
+                    else:
+                        zq = (1 - 2 * ((hti >> (q - 14)) & 1)).astype(
+                            jnp.float32)
+                    return acc + jnp.sum((kr * kr + ki * ki) * zq)
+
+                a_next = jax.lax.fori_loop(0, n_cs, p2_chunk, a_next)
+        else:
+            # packed pass 2 (see ops/pallas_resident_blocked): one
+            # block-diagonal dot covers P/2 chunks of EACH bond-13 half
+            HB = P // 2
+            thp = th_hi + s13z14
+            thm = th_hi - s13z14
+            th = jnp.concatenate([thp] * HB + [thm] * HB, axis=0)
             dr = jnp.cos(th)
             di = jnp.sin(th)
             btr = utr * dr - uti * di
             bti = utr * di + uti * dr
             bts = btr + bti
-            base = half * (_C // 2)
+            if q >= 14:
+                zq_row = (1 - 2 * ((hti >> (q - 14)) & 1)).astype(
+                    jnp.float32)
 
-            def p2_chunk(j, acc, btr=btr, bti=bti, bts=bts, base=base):
-                off = base + j * cs
-                hr = st_ref[0, :, pl.ds(off, cs)]
-                hi_ = st_ref[1, :, pl.ds(off, cs)]
+            def p2_packed(j, acc):
+                offs = [j * (HB * cs) + pi * cs for pi in range(HB)]
+                offs = offs + [(_C // 2) + o for o in offs]
+                hr = jnp.concatenate(
+                    [st_ref[0, :, pl.ds(o, cs)] for o in offs], axis=0)
+                hi_ = jnp.concatenate(
+                    [st_ref[1, :, pl.ds(o, cs)] for o in offs], axis=0)
                 q1 = _dot_f32(btr, hr)
                 q2 = _dot_f32(bti, hi_)
                 q3 = _dot_f32(bts, hr + hi_)
                 kr = q1 - q2
                 ki = q3 - q1 - q2
-                st_ref[0, :, pl.ds(off, cs)] = kr
-                st_ref[1, :, pl.ds(off, cs)] = ki
-                # z_q: column sign for q < 14, TOP-row sign (shard-local
-                # bits 14..L-1) above
-                if q < 14:
-                    zq = (1 - 2 * (((lcs + off) >> q) & 1)).astype(
-                        jnp.float32)
-                else:
-                    zq = (1 - 2 * ((hti >> (q - 14)) & 1)).astype(
-                        jnp.float32)
-                return acc + jnp.sum((kr * kr + ki * ki) * zq)
+                for pi, o in enumerate(offs):
+                    krp = kr[pi * TOP:(pi + 1) * TOP, :]
+                    kip = ki[pi * TOP:(pi + 1) * TOP, :]
+                    st_ref[0, :, pl.ds(o, cs)] = krp
+                    st_ref[1, :, pl.ds(o, cs)] = kip
+                    if q < 14:
+                        zq = (1 - 2 * (((lcs + o) >> q) & 1)).astype(
+                            jnp.float32)
+                    else:
+                        zq = zq_row
+                    acc = acc + jnp.sum((krp * krp + kip * kip) * zq)
+                return acc
 
-            a_next = jax.lax.fori_loop(0, n_cs, p2_chunk, a_next)
+            a_next = jax.lax.fori_loop(0, n_cs // HB, p2_packed, a_next)
 
         pltpu.make_async_copy(st_ref, st_hbm.at[i], sems.at[1]).start()
         pltpu.make_async_copy(st_ref, st_hbm.at[i], sems.at[1]).wait()
@@ -192,7 +239,8 @@ def _make_cycle_kernel(L: int, q: int, bt: int, cs: int):  # noqa: C901
     return kernel
 
 
-def _make_inverse_kernel(L: int, bt: int, cs: int):  # noqa: C901
+def _make_inverse_kernel(L: int, bt: int, cs: int,
+                         P: int = 1):  # noqa: C901
     """PRE-fold cycle body: applies K·D (diagonal THEN kicks) with the SAME
     compact-row angles as the forward kernel's D·K. Combined with one
     imaginary-plane negation at the echo turnaround this yields the exact
@@ -226,9 +274,6 @@ def _make_inverse_kernel(L: int, bt: int, cs: int):  # noqa: C901
         lci = jax.lax.broadcasted_iota(jnp.int32, (1, _C), 1)
         zz67 = (1 - 2 * (((lci >> 6) ^ (lci >> 7)) & 1)).astype(jnp.float32)
         z13l = (1 - 2 * ((lci >> 13) & 1)).astype(jnp.float32)
-        hti = jax.lax.broadcasted_iota(jnp.int32, (1, TOP), 1)
-        zh = [(1 - 2 * ((hti >> k) & 1)).astype(jnp.float32)
-              for k in range(L - 14)]
 
         u7rt = u7r_ref[0].T
         u7it = u7i_ref[0].T
@@ -297,12 +342,19 @@ def _make_inverse_kernel(L: int, bt: int, cs: int):  # noqa: C901
 
         jax.lax.fori_loop(0, n_bt, p1_block, None)
 
-        # ---- pass 2 (pre-fold): high diag scales the contracted columns
-        th_hi = jnp.zeros((1, TOP), jnp.float32)
+        # ---- pass 2 (pre-fold): high diag scales the contracted columns.
+        # No bond-13 half split here (s13 ran in pass 1), so the packed
+        # variant's P diagonal blocks are IDENTICAL — the (1, P*TOP) iota
+        # tiles the column angles for free (only bits 0..L-15 are read)
+        PT = P * TOP
+        hti_pt = jax.lax.broadcasted_iota(jnp.int32, (1, PT), 1)
+        zh_pt = [(1 - 2 * ((hti_pt >> k) & 1)).astype(jnp.float32)
+                 for k in range(L - 14)]
+        th_hi = jnp.zeros((1, PT), jnp.float32)
         for k in range(L - 14):
-            th_hi = th_hi + cz(14 + k) * zh[k]
+            th_hi = th_hi + cz(14 + k) * zh_pt[k]
             if k > 0:
-                th_hi = th_hi + cb(13 + k) * (zh[k - 1] * zh[k])
+                th_hi = th_hi + cb(13 + k) * (zh_pt[k - 1] * zh_pt[k])
         dr = jnp.cos(th_hi)
         di = jnp.sin(th_hi)
         utr = utr_ref[0]
@@ -311,18 +363,39 @@ def _make_inverse_kernel(L: int, bt: int, cs: int):  # noqa: C901
         bti = utr * di + uti * dr
         bts = btr + bti
 
-        def p2_chunk(j, _):
-            off = j * cs
-            hr = st_ref[0, :, pl.ds(off, cs)]
-            hi_ = st_ref[1, :, pl.ds(off, cs)]
-            q1 = _dot_f32(btr, hr)
-            q2 = _dot_f32(bti, hi_)
-            q3 = _dot_f32(bts, hr + hi_)
-            st_ref[0, :, pl.ds(off, cs)] = q1 - q2
-            st_ref[1, :, pl.ds(off, cs)] = q3 - q1 - q2
-            return _
+        if P == 1:
+            def p2_chunk(j, _):
+                off = j * cs
+                hr = st_ref[0, :, pl.ds(off, cs)]
+                hi_ = st_ref[1, :, pl.ds(off, cs)]
+                q1 = _dot_f32(btr, hr)
+                q2 = _dot_f32(bti, hi_)
+                q3 = _dot_f32(bts, hr + hi_)
+                st_ref[0, :, pl.ds(off, cs)] = q1 - q2
+                st_ref[1, :, pl.ds(off, cs)] = q3 - q1 - q2
+                return _
 
-        jax.lax.fori_loop(0, n_cs, p2_chunk, None)
+            jax.lax.fori_loop(0, n_cs, p2_chunk, None)
+        else:
+            def p2_packed(j, _):
+                offs = [j * (P * cs) + pi * cs for pi in range(P)]
+                hr = jnp.concatenate(
+                    [st_ref[0, :, pl.ds(o, cs)] for o in offs], axis=0)
+                hi_ = jnp.concatenate(
+                    [st_ref[1, :, pl.ds(o, cs)] for o in offs], axis=0)
+                q1 = _dot_f32(btr, hr)
+                q2 = _dot_f32(bti, hi_)
+                q3 = _dot_f32(bts, hr + hi_)
+                kr = q1 - q2
+                ki = q3 - q1 - q2
+                for pi, o in enumerate(offs):
+                    st_ref[0, :, pl.ds(o, cs)] = kr[
+                        pi * TOP:(pi + 1) * TOP, :]
+                    st_ref[1, :, pl.ds(o, cs)] = ki[
+                        pi * TOP:(pi + 1) * TOP, :]
+                return _
+
+            jax.lax.fori_loop(0, n_cs // P, p2_packed, None)
 
         pltpu.make_async_copy(st_ref, st_hbm.at[i], sems.at[1]).start()
         pltpu.make_async_copy(st_ref, st_hbm.at[i], sems.at[1]).wait()
@@ -346,10 +419,16 @@ def cycle_inverse_apply(state, params, u7r, u7i, utr, uti, *, L,
         raise ValueError(f"state shape {state.shape} != "
                          f"{(n_traj, 2, TOP, _C)}")
     bt, cs = blocked_block_sizes(TOP)
+    P = p2_pack_factor(TOP, cs)
+    if P > 1:
+        eyeP = jnp.eye(P, dtype=jnp.float32)
+        utr = jax.vmap(lambda m: jnp.kron(eyeP, m))(utr)
+        uti = jax.vmap(lambda m: jnp.kron(eyeP, m))(uti)
+    PT = P * TOP
     params = params.reshape(n_traj, 1, 128)
 
     (state,) = pl.pallas_call(
-        _make_inverse_kernel(L, bt, cs),
+        _make_inverse_kernel(L, bt, cs, P),
         out_shape=[jax.ShapeDtypeStruct(state.shape, jnp.float32)],
         grid=(n_traj,),
         in_specs=[
@@ -357,9 +436,9 @@ def cycle_inverse_apply(state, params, u7r, u7i, utr, uti, *, L,
                          memory_space=pltpu.VMEM),  # u7r
             pl.BlockSpec((1, 128, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),  # u7i
-            pl.BlockSpec((1, TOP, TOP), lambda i: (0, 0, 0),
+            pl.BlockSpec((1, PT, PT), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),  # utr
-            pl.BlockSpec((1, TOP, TOP), lambda i: (0, 0, 0),
+            pl.BlockSpec((1, PT, PT), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),  # uti
             pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),  # cycle row
@@ -403,10 +482,16 @@ def cycle_forward_apply(state, params, u7r, u7i, utr, uti, *, L, q,
         raise ValueError(f"state shape {state.shape} != "
                          f"{(n_traj, 2, TOP, _C)}")
     bt, cs = blocked_block_sizes(TOP)
+    P = p2_pack_factor(TOP, cs)
+    if P > 1:
+        eyeP = jnp.eye(P, dtype=jnp.float32)
+        utr = jax.vmap(lambda m: jnp.kron(eyeP, m))(utr)
+        uti = jax.vmap(lambda m: jnp.kron(eyeP, m))(uti)
+    PT = P * TOP
     params = params.reshape(n_traj, 1, 128)
 
     a_raw, state = pl.pallas_call(
-        _make_cycle_kernel(L, q, bt, cs),
+        _make_cycle_kernel(L, q, bt, cs, P),
         out_shape=[
             jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct(state.shape, jnp.float32),
@@ -417,9 +502,9 @@ def cycle_forward_apply(state, params, u7r, u7i, utr, uti, *, L, q,
                          memory_space=pltpu.VMEM),  # u7r
             pl.BlockSpec((1, 128, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),  # u7i
-            pl.BlockSpec((1, TOP, TOP), lambda i: (0, 0, 0),
+            pl.BlockSpec((1, PT, PT), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),  # utr
-            pl.BlockSpec((1, TOP, TOP), lambda i: (0, 0, 0),
+            pl.BlockSpec((1, PT, PT), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),  # uti
             pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),  # cycle row
@@ -443,7 +528,7 @@ def cycle_forward_apply(state, params, u7r, u7i, utr, uti, *, L, q,
 
 
 def _make_general_cycle_kernel(L: int, K: int, q: int, bt: int,
-                               cs: int):  # noqa: C901
+                               cs: int, P: int = 1):  # noqa: C901
     """LAB-frame per-shard cycle kernel: one grid step = one trajectory's
     shard, ONE cycle = K statically-unrolled slot steps of
     pallas_resident_general._make_general_kernel_blocked's body (in-kernel
@@ -531,46 +616,100 @@ def _make_general_cycle_kernel(L: int, K: int, q: int, bt: int,
 
             jax.lax.fori_loop(0, n_bt, p1_block, None)
 
-            utr, uti = build_group(si, u8, L - 14, 14, transposed=False)
-            b_hi = angle_hi(si, zho)
             s13q = cbc(si, 13)
             s6q = cbc(si, 6)
             c6q = jnp.cos(s6q)
             s6qz = zz67c * jnp.sin(s6q)
             measuring = si == K - 1
-            for half, sgn in ((0, 1.0), (1, -1.0)):
-                th = b_hi + sgn * s13q * zho[0]
+            if P == 1:
+                utr, uti = build_group(si, u8, L - 14, 14, transposed=False)
+                b_hi = angle_hi(si, zho)
+                for half, sgn in ((0, 1.0), (1, -1.0)):
+                    th = b_hi + sgn * s13q * zho[0]
+                    dr = jnp.cos(th)
+                    di = jnp.sin(th)
+                    htr, hti_ = _cmul2(utr, uti, dr, di)
+                    hts = htr + hti_
+                    base = half * (_C // 2)
+
+                    def p2_chunk(j, acc, htr=htr, hti_=hti_, hts=hts,
+                                 base=base, c6q=c6q, s6qz=s6qz,
+                                 measuring=measuring):
+                        off = base + j * cs
+                        hr = st_ref[0, :, pl.ds(off, cs)]
+                        hi2 = st_ref[1, :, pl.ds(off, cs)]
+                        q1 = _dot_f32(htr, hr)
+                        q2 = _dot_f32(hti_, hi2)
+                        q3 = _dot_f32(hts, hr + hi2)
+                        kr = q1 - q2
+                        ki = q3 - q1 - q2
+                        kr, ki = _cmul2(kr, ki, c6q, s6qz)
+                        st_ref[0, :, pl.ds(off, cs)] = kr
+                        st_ref[1, :, pl.ds(off, cs)] = ki
+                        if not measuring:
+                            return acc
+                        # z_q: column sign for q < 14, TOP-row sign above
+                        if q < 14:
+                            zqc = (1 - 2 * (((lcs + off) >> q) & 1)).astype(
+                                jnp.float32)
+                        else:
+                            zqc = (1 - 2 * ((hti >> (q - 14)) & 1)).astype(
+                                jnp.float32)
+                        return acc + jnp.sum((kr * kr + ki * ki) * zqc)
+
+                    a_next = jax.lax.fori_loop(0, n_cs, p2_chunk, a_next)
+            else:
+                # packed pass 2 (ops/pallas_resident_blocked.p2_pack_factor):
+                # kron(I_P, G_top) built in-kernel, half sign from the
+                # block-index bit, PT-sized iotas tile the angle rows free
+                HB = P // 2
+                PT = P * TOP
+                utr, uti = build_group(si, u8, L - 14, 14,
+                                       transposed=False, pad_blocks=P)
+                hti_pt = jax.lax.broadcasted_iota(jnp.int32, (PT, 1), 0)
+                zho_pt = [(1 - 2 * ((hti_pt >> k) & 1)).astype(jnp.float32)
+                          for k in range(L - 14)]
+                sgn_pt = (1 - 2 * ((hti_pt >> (L - 14 + P.bit_length() - 2))
+                                   & 1)).astype(jnp.float32)
+                th = angle_hi(si, zho_pt) + sgn_pt * s13q * zho_pt[0]
                 dr = jnp.cos(th)
                 di = jnp.sin(th)
                 htr, hti_ = _cmul2(utr, uti, dr, di)
                 hts = htr + hti_
-                base = half * (_C // 2)
+                if q >= 14:
+                    zq_row = (1 - 2 * ((hti >> (q - 14)) & 1)).astype(
+                        jnp.float32)
 
-                def p2_chunk(j, acc, htr=htr, hti_=hti_, hts=hts, base=base,
-                             c6q=c6q, s6qz=s6qz, measuring=measuring):
-                    off = base + j * cs
-                    hr = st_ref[0, :, pl.ds(off, cs)]
-                    hi2 = st_ref[1, :, pl.ds(off, cs)]
+                def p2_packed(j, acc, htr=htr, hti_=hti_, hts=hts,
+                              c6q=c6q, s6qz=s6qz, measuring=measuring):
+                    offs = [j * (HB * cs) + pi * cs for pi in range(HB)]
+                    offs = offs + [(_C // 2) + o for o in offs]
+                    hr = jnp.concatenate(
+                        [st_ref[0, :, pl.ds(o, cs)] for o in offs], axis=0)
+                    hi2 = jnp.concatenate(
+                        [st_ref[1, :, pl.ds(o, cs)] for o in offs], axis=0)
                     q1 = _dot_f32(htr, hr)
                     q2 = _dot_f32(hti_, hi2)
                     q3 = _dot_f32(hts, hr + hi2)
                     kr = q1 - q2
                     ki = q3 - q1 - q2
                     kr, ki = _cmul2(kr, ki, c6q, s6qz)
-                    st_ref[0, :, pl.ds(off, cs)] = kr
-                    st_ref[1, :, pl.ds(off, cs)] = ki
-                    if not measuring:
-                        return acc
-                    # z_q: column sign for q < 14, TOP-row sign above
-                    if q < 14:
-                        zqc = (1 - 2 * (((lcs + off) >> q) & 1)).astype(
-                            jnp.float32)
-                    else:
-                        zqc = (1 - 2 * ((hti >> (q - 14)) & 1)).astype(
-                            jnp.float32)
-                    return acc + jnp.sum((kr * kr + ki * ki) * zqc)
+                    for pi, o in enumerate(offs):
+                        krp = kr[pi * TOP:(pi + 1) * TOP, :]
+                        kip = ki[pi * TOP:(pi + 1) * TOP, :]
+                        st_ref[0, :, pl.ds(o, cs)] = krp
+                        st_ref[1, :, pl.ds(o, cs)] = kip
+                        if measuring:
+                            if q < 14:
+                                zqc = (1 - 2 * (((lcs + o) >> q) & 1)
+                                       ).astype(jnp.float32)
+                            else:
+                                zqc = zq_row
+                            acc = acc + jnp.sum(
+                                (krp * krp + kip * kip) * zqc)
+                    return acc
 
-                a_next = jax.lax.fori_loop(0, n_cs, p2_chunk, a_next)
+                a_next = jax.lax.fori_loop(0, n_cs // HB, p2_packed, a_next)
 
         pltpu.make_async_copy(st_ref, st_hbm.at[i], sems.at[1]).start()
         pltpu.make_async_copy(st_ref, st_hbm.at[i], sems.at[1]).wait()
@@ -607,7 +746,8 @@ def general_cycle_forward_apply(state, tiles, *, L, K, q, interpret=False):
     tiles = tiles.reshape(n_traj, K, 128)
 
     a_raw, state = pl.pallas_call(
-        _make_general_cycle_kernel(L, K, q, bt, cs),
+        _make_general_cycle_kernel(L, K, q, bt, cs,
+                                   p2_pack_factor(TOP, cs)),
         out_shape=[
             jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct(state.shape, jnp.float32),
@@ -636,7 +776,7 @@ def general_cycle_forward_apply(state, tiles, *, L, K, q, interpret=False):
 
 
 def _make_general_inverse_cycle_kernel(L: int, K: int, bt: int,
-                                       cs: int):  # noqa: C901
+                                       cs: int, P: int = 1):  # noqa: C901
     """LAB-frame per-shard INVERSE cycle kernel: one grid step = one
     trajectory's shard, ONE daggered cycle = K slot steps of the general
     ECHO body of pallas_resident_general._make_general_kernel_blocked
@@ -746,36 +886,82 @@ def _make_general_inverse_cycle_kernel(L: int, K: int, bt: int,
             jax.lax.fori_loop(0, n_bt, p1_block, None)
 
             # pass 2: top kick (pre + post angle folds) + post straddles
-            utr, uti = build_group(kt, u8, L - 14, 14, transposed=False)
-            th_hi = angle_hi(post, zho) + angle_hi(kt, zhi)
             s13q = cbc(post, 13)
             s6q = cbc(post, 6)
             c6q = jnp.cos(s6q)
             s6qz = zz67c * jnp.sin(s6q)
-            for half, sgn in ((0, 1.0), (1, -1.0)):
-                th = th_hi + sgn * s13q * zho[0]
+            if P == 1:
+                utr, uti = build_group(kt, u8, L - 14, 14, transposed=False)
+                th_hi = angle_hi(post, zho) + angle_hi(kt, zhi)
+                for half, sgn in ((0, 1.0), (1, -1.0)):
+                    th = th_hi + sgn * s13q * zho[0]
+                    dr = jnp.cos(th)
+                    di = jnp.sin(th)
+                    htr, hti_ = _cmul2(utr, uti, dr, di)
+                    hts = htr + hti_
+                    base = half * (_C // 2)
+
+                    def p2_chunk(j, _, htr=htr, hti_=hti_, hts=hts,
+                                 base=base, c6q=c6q, s6qz=s6qz):
+                        off = base + j * cs
+                        hr = st_ref[0, :, pl.ds(off, cs)]
+                        hi2 = st_ref[1, :, pl.ds(off, cs)]
+                        q1 = _dot_f32(htr, hr)
+                        q2 = _dot_f32(hti_, hi2)
+                        q3 = _dot_f32(hts, hr + hi2)
+                        kr = q1 - q2
+                        ki = q3 - q1 - q2
+                        kr, ki = _cmul2(kr, ki, c6q, s6qz)
+                        st_ref[0, :, pl.ds(off, cs)] = kr
+                        st_ref[1, :, pl.ds(off, cs)] = ki
+                        return _
+
+                    jax.lax.fori_loop(0, n_cs, p2_chunk, None)
+            else:
+                # packed (ops/pallas_resident_blocked.p2_pack_factor):
+                # rows carry the post angles + the block half sign, the
+                # pre angles tile along the packed column axis
+                HB = P // 2
+                PT = P * TOP
+                utr, uti = build_group(kt, u8, L - 14, 14,
+                                       transposed=False, pad_blocks=P)
+                hti_pt = jax.lax.broadcasted_iota(jnp.int32, (PT, 1), 0)
+                zho_pt = [(1 - 2 * ((hti_pt >> k) & 1)).astype(jnp.float32)
+                          for k in range(L - 14)]
+                htc_pt = jax.lax.broadcasted_iota(jnp.int32, (1, PT), 1)
+                zhi_pt = [(1 - 2 * ((htc_pt >> k) & 1)).astype(jnp.float32)
+                          for k in range(L - 14)]
+                sgn_pt = (1 - 2 * ((hti_pt >> (L - 14 + P.bit_length() - 2))
+                                   & 1)).astype(jnp.float32)
+                th = (angle_hi(post, zho_pt) + angle_hi(kt, zhi_pt)
+                      + sgn_pt * s13q * zho_pt[0])
                 dr = jnp.cos(th)
                 di = jnp.sin(th)
                 htr, hti_ = _cmul2(utr, uti, dr, di)
                 hts = htr + hti_
-                base = half * (_C // 2)
 
-                def p2_chunk(j, _, htr=htr, hti_=hti_, hts=hts, base=base,
-                             c6q=c6q, s6qz=s6qz):
-                    off = base + j * cs
-                    hr = st_ref[0, :, pl.ds(off, cs)]
-                    hi2 = st_ref[1, :, pl.ds(off, cs)]
+                def p2_packed(j, _, htr=htr, hti_=hti_, hts=hts,
+                              c6q=c6q, s6qz=s6qz):
+                    offs = [j * (HB * cs) + pi * cs for pi in range(HB)]
+                    offs = offs + [(_C // 2) + o for o in offs]
+                    hr = jnp.concatenate(
+                        [st_ref[0, :, pl.ds(o, cs)] for o in offs], axis=0)
+                    hi2 = jnp.concatenate(
+                        [st_ref[1, :, pl.ds(o, cs)] for o in offs], axis=0)
                     q1 = _dot_f32(htr, hr)
                     q2 = _dot_f32(hti_, hi2)
                     q3 = _dot_f32(hts, hr + hi2)
                     kr = q1 - q2
                     ki = q3 - q1 - q2
                     kr, ki = _cmul2(kr, ki, c6q, s6qz)
-                    st_ref[0, :, pl.ds(off, cs)] = kr
-                    st_ref[1, :, pl.ds(off, cs)] = ki
+                    for pi, o in enumerate(offs):
+                        st_ref[0, :, pl.ds(o, cs)] = kr[
+                            pi * TOP:(pi + 1) * TOP, :]
+                        st_ref[1, :, pl.ds(o, cs)] = ki[
+                            pi * TOP:(pi + 1) * TOP, :]
                     return _
 
-                jax.lax.fori_loop(0, n_cs, p2_chunk, None)
+                jax.lax.fori_loop(0, n_cs // HB, p2_packed, None)
 
         pltpu.make_async_copy(st_ref, st_hbm.at[i], sems.at[1]).start()
         pltpu.make_async_copy(st_ref, st_hbm.at[i], sems.at[1]).wait()
@@ -802,7 +988,8 @@ def general_cycle_inverse_apply(state, tiles, *, L, K, interpret=False):
     tiles = tiles.reshape(n_traj, 2 * K, 128)
 
     state = pl.pallas_call(
-        _make_general_inverse_cycle_kernel(L, K, bt, cs),
+        _make_general_inverse_cycle_kernel(L, K, bt, cs,
+                                   p2_pack_factor(TOP, cs)),
         out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
         grid=(n_traj,),
         in_specs=[
