@@ -71,21 +71,43 @@ rate_k = T * NTRAJ / dt_k
 print(f"kernel fwd ({POL}): {rate_k:8.1f} traj-cyc/s ({dt_k*1e3:.0f} ms)",
       flush=True)
 
-# gather engine at a reduced trajectory count (it is the slow engine)
-NG = max(8, NTRAJ // 8)
+# gather engine at a reduced trajectory count (it is the slow engine) —
+# but large enough that the per-t variance estimate is usable (NG=8 gave
+# heavy-tailed z values that tripped the 4.5 band on correct code).
+# Chunked at 8 trajectories per call: a single 16-trajectory gather call
+# at L=20 reproducibly crashes the TPU worker (the documented live-batch
+# wall — its pauli-gather temps scale with the batch).
+NG = max(16, NTRAJ // 4)
+GCH = 8
+gkeys = jax.random.split(jax.random.PRNGKey(11), NG)
+
+
+def gather_all():
+    outs = [device_autocorr_forward(hs_j, phis_j, p1, p2, sched.angles,
+                                    gkeys[i:i + GCH], **kw)
+            for i in range(0, NG, GCH)]
+    return np.concatenate([np.asarray(o) for o in outs], axis=0)
+
+
 t0 = time.time()
-a_g, dt_g = timed(lambda: device_autocorr_forward(
-    hs_j, phis_j, p1, p2, sched.angles,
-    jax.random.split(jax.random.PRNGKey(11), NG), **kw), groups=3)
+a_g, dt_g = timed(gather_all, groups=3)
 print(f"gather engine compile+first: {time.time() - t0:.0f} s", flush=True)
 rate_g = T * NG / dt_g
 print(f"gather fwd ({POL}): {rate_g:8.1f} traj-cyc/s ({dt_g*1e3:.0f} ms)",
       flush=True)
 
-# statistical parity: independent RNG streams -> z-test per time point
+# statistical parity: independent RNG streams -> z-test per time point.
+# The denominator is floored at the bf16x3 dot-precision scale (~2e-4,
+# CLAUDE.md rule 5): at near-deterministic time points (t=0 exactly, and
+# early cycles in the DTC phase) the trajectory spread is ~0 and an
+# unfloored z turns benign engine-precision differences into huge values
+# (the round-4 first run recorded max z 11.41 from exactly this; the
+# rate DISTRIBUTIONS match — oracle-vs-gather at L=14, N=768/side, max
+# z 1.57 on CPU).
 mk, sk = a_k.mean(0), a_k.std(0) / np.sqrt(NTRAJ)
 mg, sg = a_g.mean(0), a_g.std(0) / np.sqrt(NG)
-z = np.abs(mk - mg) / np.sqrt(sk**2 + sg**2 + 1e-12)
+PREC_FLOOR = 3e-4
+z = np.abs(mk - mg) / np.sqrt(sk**2 + sg**2 + PREC_FLOOR**2)
 print(f"fwd ensemble z-score: max {z.max():.2f} (want < ~4.5)", flush=True)
 
 # echo: rate over a strided sweep + noiseless invariant
@@ -111,15 +133,17 @@ print(f"noiseless A0(t)==1: max dev {err0:.2e}", flush=True)
 path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                      "parity_results.json")
 blob = json.load(open(path)) if _os.path.exists(path) else {}
+ok = bool(z.max() < 4.5 and err0 < 5e-4)
 blob[f"device_general_l{L}"] = {
-    "pol": POL, "n_traj": NTRAJ, "T": T,
+    "pol": POL, "n_traj": NTRAJ, "n_gather": NG, "T": T,
     "kernel_traj_cyc_s": round(rate_k, 1),
     "gather_traj_cyc_s": round(rate_g, 1),
     "speedup": round(rate_k / rate_g, 2),
     "fwd_max_z": round(float(z.max()), 2),
     "echo_steps_s": round(rate_e, 1),
     "echo_noiseless_dev": err0,
+    "pass": ok,
 }
 json.dump(blob, open(path, "w"), indent=1)
-print(f"recorded -> {path} device_general_l{L}")
-assert z.max() < 4.5 and err0 < 5e-4
+print(f"recorded -> {path} device_general_l{L}  pass={ok}")
+assert ok, (float(z.max()), err0)

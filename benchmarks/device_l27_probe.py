@@ -127,9 +127,14 @@ if "--no-echo" not in _sys.argv:
           f"{rate_ek:8.1f} active steps/s ({dt_ek:.2f} s) "
           f"A0(1,2)={np.asarray(a_ek)[0, :2].round(4)}", flush=True)
     # record the rate IMMEDIATELY: the parity leg below can die on the
-    # oracle's own memory wall without invalidating the measurement
-    blob = json.load(open(path))
-    blob[f"device_l{L}"].update(echo_steps_s=round(rate_ek, 1))
+    # oracle's own memory wall without invalidating the measurement.
+    # Guarded creates: under --echo-only the forward leg may never have
+    # recorded this L (or the file may not exist) — an unguarded
+    # blob[f"device_l{L}"] would KeyError here and lose the minutes of
+    # kernel time just spent.
+    blob = json.load(open(path)) if _os.path.exists(path) else {}
+    blob.setdefault(f"device_l{L}", {"n_traj": NTRAJ, "T": T}).update(
+        echo_steps_s=round(rate_ek, 1))
     json.dump(blob, open(path, "w"), indent=1)
 
     # Value parity: the eager sigma-frame oracle (identical presampled
@@ -163,8 +168,8 @@ if "--no-echo" not in _sys.argv:
                  "echo_check": "noiseless A0(t)==1 (sigma oracle OOMs)"}
         print(f"noiseless A0(t)==1: max dev {err_e:.2e}")
         assert np.all(np.asarray(a_eks) <= 1.0 + 5e-4)  # noisy decays
-    blob = json.load(open(path))
-    blob[f"device_l{L}"].update(**check)
+    blob = json.load(open(path)) if _os.path.exists(path) else {}
+    blob.setdefault(f"device_l{L}", {}).update(**check)
     json.dump(blob, open(path, "w"), indent=1)
     print(f"recorded -> {path} device_l{L} (echo)")
     assert err_e < 5e-4, err_e

@@ -458,8 +458,12 @@ def run_adaptive_realtime(cfg, hs=None, phis=None, *, out_dir=None,
         "av_autocorr_echo_standard_g84": av_echo_84,
         "av_autocorr_standard_g97": av_fwd_97,
         "av_autocorr_echo_standard_g97": av_echo_97,
-        "sqrt_av_autocorr_echo_adaptive": np.sqrt(np.maximum(av_echo_a, 0)),
-        "sqrt_av_autocorr_echo_standard": np.sqrt(np.maximum(av_echo_84, 0)),
+        # sqrt columns use sqrt(|x|) like every extant reference adaptive
+        # schema (controlled-g.py:675-677, g-optimization.py:766-768);
+        # the plain *_standard names survive from the older script version
+        # whose shipped L4 CSVs the parity tests replay
+        "sqrt_av_autocorr_echo_adaptive": np.sqrt(np.abs(av_echo_a)),
+        "sqrt_av_autocorr_echo_standard": np.sqrt(np.abs(av_echo_84)),
         "sqrt_av_autocorr_echo_standard_g84": np.sqrt(np.abs(av_echo_84)),
         "sqrt_av_autocorr_echo_standard_g97": np.sqrt(np.abs(av_echo_97)),
     }

@@ -1,6 +1,6 @@
 """Per-cycle HBM-streamed Floquet kernel on the r2-blocked layout — the
 per-shard engine for amplitude-sharded runs whose SHARD does not fit VMEM
-(22 <= L_loc <= 30; the VMEM-resident per-shard kernel, ops/pallas_cycle,
+(22 <= L_loc <= 29; the VMEM-resident per-shard kernel, ops/pallas_cycle,
 bounds at L_loc = 23 because the whole shard lives in a VMEM scratch).
 
 One pallas_call = ONE sigma-frame factored Floquet cycle on the shard-local
@@ -447,7 +447,14 @@ def _traj_chunk(L):
     return _DMA_OFFSET_LIMIT // per_traj
 
 
-def _hi_shapes(L, state, slots=None):
+def _hi_shapes(L, state, slots=None, width=None, default_slots=4):
+    """Shared shape/geometry resolver for the per-shard hi kernels.
+
+    The general lab-frame module (ops/pallas_cycle_hi_general) reuses it
+    with its own compact-row ``width`` and ``default_slots=2`` (its
+    in-kernel group-matrix builds keep ~55M of temporaries live — a
+    4-slot pass-B ring measured 568K past the 122M scoped-VMEM cap at
+    L_loc=24), so the DMA-wrap chunking rule lives in ONE place."""
     R2 = 1 << (L - 21)
     n_traj = state.shape[0]
     M = 1 << L
@@ -455,9 +462,10 @@ def _hi_shapes(L, state, slots=None):
         raise ValueError(f"state shape {state.shape} is not a (n, 2, TOP, "
                          f"{_C}) or (n, 2, {R2}, 128, {_C}) L={L} shard")
     MS, CS = _hi_geometry(L)
-    width = 128 if 5 * L - 2 <= 128 else 256
+    if width is None:
+        width = 128 if 5 * L - 2 <= 128 else 256
     NSA = min(2, R2)
-    NSB = min(slots if slots is not None else 4,
+    NSB = min(slots if slots is not None else default_slots,
               (128 // MS) * (_C // CS))
     return R2, n_traj, MS, CS, width, NSA, NSB
 
@@ -465,7 +473,8 @@ def _hi_shapes(L, state, slots=None):
 def hi_cycle_forward_apply(state, params, u7r, u7i, u21r, u21i, *, L, q,
                            interpret=False, slots=None):
     """Apply ONE factored Floquet cycle to a batch of shard-local states on
-    the r2-blocked layout (22 <= L_loc <= 30).
+    the r2-blocked layout (22 <= L_loc <= 29; 30 is rejected by the
+    2^32 DMA-offset wrap bound, _traj_chunk).
 
     state: (n_traj, 2, TOP, 16384) or (n_traj, 2, R2, 128, 16384) f32
     planar (TOP = 2**(L-14) = 128*R2; flat input is reshaped — free);

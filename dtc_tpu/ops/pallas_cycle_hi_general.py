@@ -1,7 +1,7 @@
 """Per-cycle HBM-streamed GENERAL (lab-frame) Floquet kernel on the
 r2-blocked layout — the per-shard engine for amplitude-sharded runs of
 EVERY polarization family (y/xy/yx/circular/xy_cycle + per-cycle-g
-schedules) whose shard does not fit VMEM (22 <= L_loc <= 30; the
+schedules) whose shard does not fit VMEM (22 <= L_loc <= 29; the
 VMEM-resident general per-shard kernel, ops/pallas_cycle.
 general_cycle_forward_apply, bounds at L_loc = 23).
 
@@ -450,41 +450,36 @@ def _make_general_hi_inverse_cycle_kernel(L: int, K: int, MS: int, CS: int,
 
 
 def general_hi_width(L: int) -> int:
-    """Compact general row width at L_loc = L (4L+9 lanes must fit)."""
+    """Compact general row width at L_loc = L (4L+9 lanes must fit).
+
+    The 256 branch is currently unreachable: it would first engage at
+    L_loc = 30 (4*30+9 = 129), which _traj_chunk rejects (the 2^32
+    DMA-offset wrap). Kept so the row packing doesn't silently truncate
+    if the wrap bound is ever lifted."""
     return 128 if 4 * L + 9 <= 128 else 256
 
 
-# see ops/pallas_cycle_hi: DMA window offsets wrap at 2^32 bytes, so
-# batches are chunked per call and L_loc = 30 is rejected
-_DMA_OFFSET_LIMIT = 1 << 32
-
-
-def _traj_chunk(L):
-    return _DMA_OFFSET_LIMIT // (1 << (L + 3))
+# the 2^32 DMA-offset wrap chunking rule and shape resolver are shared
+# with the x-kernel module so the safety bound lives in ONE place
+from dtc_tpu.ops.pallas_cycle_hi import (  # noqa: E402
+    _traj_chunk,
+)
+from dtc_tpu.ops.pallas_cycle_hi import _hi_shapes as _hi_shapes_shared
 
 
 def _hi_shapes(L, state, slots=None):
-    R2 = 1 << (L - 21)
-    n_traj = state.shape[0]
-    M = 1 << L
-    if state.shape[1:] not in ((2, M // _C, _C), (2, R2, 128, _C)):
-        raise ValueError(f"state shape {state.shape} is not a (n, 2, TOP, "
-                         f"{_C}) or (n, 2, {R2}, 128, {_C}) L={L} shard")
-    MS, CS = _hi_geometry(L)
-    NSA = min(2, R2)
-    # default 2 (not the x-kernel's 4): the lab-frame body's in-kernel
-    # group-matrix builds keep ~55M of temporaries live, and a 4-slot
-    # pass-B ring measured 568K past the 122M scoped-VMEM cap at L_loc=24
-    NSB = min(slots if slots is not None else 2,
-              (128 // MS) * (_C // CS))
-    return R2, n_traj, MS, CS, general_hi_width(L), NSA, NSB
+    # default_slots=2 (not the x-kernel's 4): the lab-frame body's
+    # in-kernel group-matrix builds keep ~55M of temporaries live, and a
+    # 4-slot pass-B ring measured 568K past the 122M cap at L_loc=24
+    return _hi_shapes_shared(L, state, slots=slots,
+                             width=general_hi_width(L), default_slots=2)
 
 
 def general_hi_cycle_forward_apply(state, tiles, *, L, K, q, slots=None,
                                    interpret=False):
     """Apply ONE lab-frame Floquet cycle (K kick slots with their noise
     events and the folded local diagonal) to a batch of shard-local states
-    on the r2-blocked layout (22 <= L_loc <= 30).
+    on the r2-blocked layout (22 <= L_loc <= 29).
 
     state: (n_traj, 2, TOP, 16384) or (n_traj, 2, R2, 128, 16384) f32
     planar (flat input is reshaped — free); tiles: (n_traj, K, width)
@@ -549,7 +544,7 @@ def general_hi_cycle_forward_apply(state, tiles, *, L, K, q, slots=None,
 def general_hi_cycle_inverse_apply(state, tiles, *, L, K, interpret=False,
                                    slots=None):
     """Apply ONE lab-frame DAGGERED Floquet cycle to a batch of shard-local
-    states on the r2-blocked layout (22 <= L_loc <= 30).
+    states on the r2-blocked layout (22 <= L_loc <= 29).
 
     tiles: (n_traj, K, 2, width) per-slot (pre, post) compact general echo
     rows (layout of pallas_resident_general.general_echo_batch.tiles_one's

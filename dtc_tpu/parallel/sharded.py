@@ -357,7 +357,9 @@ def make_sharded_autocorr_forward_kernel(
     per-shard kernel (ops/pallas_cycle, state VMEM-resident within the
     cycle); 24 <= L_loc <= 29 the r2-blocked HBM-streamed per-shard kernel
     (ops/pallas_cycle_hi, two bounded DMA sweeps per cycle) — kernel-rate
-    sharding up to L = 30 + log2(n_amp). Requires a constant x-only
+    sharding up to L = 29 + log2(n_amp) (L_loc = 30 would put one
+    trajectory's plane 1 at the 2^32 DMA-offset wrap — docs/PERFORMANCE.md
+    round-4 notes). Requires a constant x-only
     schedule (only angles[0,0,0] is read — the engine dispatch contract
     shared with ops/pallas_streamed), K=1 and a shard-local probe
     q < L - log2(n_amp) (column sign for q < 14, row/block sign above).
@@ -743,11 +745,11 @@ def make_sharded_autocorr_forward_general(
     trajectory-for-trajectory (identical uniform draws) at the bf16x3 dot
     level. Requires a shard-local probe q < L - log2(n_amp) and
     17 <= L - log2(n_amp) <= 29: shards through 23 ride the VMEM-resident
-    general per-shard kernel (ops/pallas_cycle), 24..30 the r2-blocked
+    general per-shard kernel (ops/pallas_cycle), 24..29 the r2-blocked
     HBM-streamed general kernel (ops/pallas_cycle_hi_general;
     DTC_TPU_SHARDED_HI_MIN_LB lowers the crossover to 22 for
     cross-checks) — kernel-rate general-drive sharding up to
-    L = 30 + log2(n_amp).
+    L = 29 + log2(n_amp).
     """
     from dtc_tpu.core.sigma_evolve import _codes_from_uniform, _masks_from_codes
     from dtc_tpu.ops.pallas_cycle import general_cycle_forward_apply
