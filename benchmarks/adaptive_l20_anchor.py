@@ -128,7 +128,7 @@ for name, use_opt, gain in LOOP_LEGS:
     if use_opt:
         # optimizer jumps straight into the self-correcting regime like
         # the reference's shipped history (0.84 -> ~0.95 late mean)
-        sane = common and gh[5:].mean() > 0.86
+        sane = common and bool(gh[5:].mean() > 0.86)
     else:
         # linear law: echo < target always, so g must rise monotonically
         # from g0 at a gain-proportional pace until clipped
@@ -150,6 +150,11 @@ path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                      "parity_results.json")
 blob = json.load(open(path)) if _os.path.exists(path) else {}
 blob.setdefault("adaptive_l20", {}).update(results)
-json.dump(blob, open(path, "w"), indent=1)
+# serialize FIRST: json.dump(…, open(path, "w")) truncates the artifact
+# before encoding, so a non-serializable value (e.g. a stray np.bool_)
+# would destroy every previously recorded anchor in the file
+text = json.dumps(blob, indent=1)
+with open(path, "w") as f:
+    f.write(text)
 print(f"recorded -> {path} adaptive_l20  (all pass: {ok})")
 assert ok

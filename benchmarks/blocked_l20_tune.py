@@ -148,5 +148,8 @@ key = {"combo": "blocked_l20_tune_combo",
 blob[key] = {"shape": "L20_T50_p0.05_ntraj32",
              "configs": results, "best": best[0],
              "best_cycles_s": best[1]}
-json.dump(blob, open(path, "w"), indent=1)
+text = json.dumps(blob, indent=1)  # serialize FIRST: a failed
+# encode must not truncate previously recorded anchors
+with open(path, "w") as _f:
+    _f.write(text)
 print(f"recorded -> {path} {key}")

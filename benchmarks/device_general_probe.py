@@ -144,6 +144,9 @@ blob[f"device_general_l{L}"] = {
     "echo_noiseless_dev": err0,
     "pass": ok,
 }
-json.dump(blob, open(path, "w"), indent=1)
+text = json.dumps(blob, indent=1)  # serialize FIRST: a failed
+# encode must not truncate previously recorded anchors
+with open(path, "w") as _f:
+    _f.write(text)
 print(f"recorded -> {path} device_general_l{L}  pass={ok}")
 assert ok, (float(z.max()), err0)

@@ -94,7 +94,10 @@ if "--echo-only" not in _sys.argv:
         "n_traj": NTRAJ, "T": T, "kernel_traj_cyc_s": round(rate_k, 1),
         "sigma_traj_cyc_s": round(rate_s, 1), "max_dev": err,
     }
-    json.dump(blob, open(path, "w"), indent=1)
+    text = json.dumps(blob, indent=1)  # serialize FIRST: a failed
+# encode must not truncate previously recorded anchors
+with open(path, "w") as _f:
+    _f.write(text)
     print(f"recorded -> {path} device_l{L}")
     assert err < 5e-4, err
 
@@ -135,7 +138,10 @@ if "--no-echo" not in _sys.argv:
     blob = json.load(open(path)) if _os.path.exists(path) else {}
     blob.setdefault(f"device_l{L}", {"n_traj": NTRAJ, "T": T}).update(
         echo_steps_s=round(rate_ek, 1))
-    json.dump(blob, open(path, "w"), indent=1)
+    text = json.dumps(blob, indent=1)  # serialize FIRST: a failed
+# encode must not truncate previously recorded anchors
+with open(path, "w") as _f:
+    _f.write(text)
 
     # Value parity: the eager sigma-frame oracle (identical presampled
     # events) — but at L=27 its remat'd while-body holds ~20 x 512 MB f32
@@ -170,6 +176,9 @@ if "--no-echo" not in _sys.argv:
         assert np.all(np.asarray(a_eks) <= 1.0 + 5e-4)  # noisy decays
     blob = json.load(open(path)) if _os.path.exists(path) else {}
     blob.setdefault(f"device_l{L}", {}).update(**check)
-    json.dump(blob, open(path, "w"), indent=1)
+    text = json.dumps(blob, indent=1)  # serialize FIRST: a failed
+# encode must not truncate previously recorded anchors
+with open(path, "w") as _f:
+    _f.write(text)
     print(f"recorded -> {path} device_l{L} (echo)")
     assert err_e < 5e-4, err_e

@@ -86,6 +86,9 @@ path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                      "parity_results.json")
 blob = json.load(open(path)) if _os.path.exists(path) else {}
 blob["l20_reference"] = results
-json.dump(blob, open(path, "w"), indent=1)
+text = json.dumps(blob, indent=1)  # serialize FIRST: a failed
+# encode must not truncate previously recorded anchors
+with open(path, "w") as _f:
+    _f.write(text)
 print(f"recorded -> {path} l20_reference")
 assert ok, results

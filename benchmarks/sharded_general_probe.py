@@ -113,5 +113,8 @@ path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                      "parity_results.json")
 blob = json.load(open(path)) if _os.path.exists(path) else {}
 blob[f"sharded_general_l{L}"] = {"n_traj": NTRAJ, "T": T, **results}
-json.dump(blob, open(path, "w"), indent=1)
+text = json.dumps(blob, indent=1)  # serialize FIRST: a failed
+# encode must not truncate previously recorded anchors
+with open(path, "w") as _f:
+    _f.write(text)
 print(f"recorded -> {path} sharded_general_l{L}")

@@ -85,7 +85,10 @@ path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                      "parity_results.json")
 blob = json.load(open(path)) if _os.path.exists(path) else {}
 blob[f"sharded_hi_l{L}"] = dict(rec)
-json.dump(blob, open(path, "w"), indent=1)
+text = json.dumps(blob, indent=1)  # serialize FIRST: a failed
+# encode must not truncate previously recorded anchors
+with open(path, "w") as _f:
+    _f.write(text)
 print(f"recorded (forward) -> sharded_hi_l{L}", flush=True)
 assert err < 5e-4, err
 
@@ -109,5 +112,8 @@ assert err_e < 5e-4, err_e
 
 blob = json.load(open(path)) if _os.path.exists(path) else {}
 blob[f"sharded_hi_l{L}"] = rec
-json.dump(blob, open(path, "w"), indent=1)
+text = json.dumps(blob, indent=1)  # serialize FIRST: a failed
+# encode must not truncate previously recorded anchors
+with open(path, "w") as _f:
+    _f.write(text)
 print(f"recorded -> {path} sharded_hi_l{L}", flush=True)

@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dtc_tpu.core.statevector import initial_statevector
 from dtc_tpu.models.drives import slot_unitary
@@ -508,12 +509,31 @@ def device_kernel_echo_batch(hs, phis, p_1q, p_2q, angles, keys, ts, *, L, T,
     return vals[0]
 
 
+
+
+def _require_constant_x(angles, fname):
+    """The sigma-frame device engines evolve EVERY cycle with
+    angles[0, 0] — calling them with a per-cycle or K > 1 schedule would
+    silently return wrong physics, so reject anything but a constant
+    x-only K=1 schedule loudly (tracers skip the check: jitted callers
+    own the guarantee)."""
+    if isinstance(angles, jax.core.Tracer):
+        return
+    ang = np.asarray(angles)
+    if (ang.ndim != 3 or ang.shape[1] != 1
+            or not (np.all(ang[:, :, 1] == 0.0) and np.all(ang == ang[0]))):
+        raise ValueError(
+            f"{fname} supports only CONSTANT x-polarized K=1 kick "
+            f"schedules (got shape {getattr(ang, 'shape', None)}); use "
+            "device_general_kernel_forward_batch/_echo_batch or the dense "
+            "gather engine for general drives")
+
 @functools.partial(
     jax.jit,
     static_argnames=("L", "T", "q", "initial_state", "dtype_name",
                      "events_per_kick"),
 )
-def device_sigma_echo_batch(hs, phis, p_1q, p_2q, angles, keys, ts, *, L, T,
+def _device_sigma_echo_batch_jit(hs, phis, p_1q, p_2q, angles, keys, ts, *, L, T,
                             q, initial_state="vacuum", dtype_name="complex64",
                             ancilla_factor=1.0, events_per_kick=2):
     """Gather-free device-noise echo A0(t) — the exact-event ORACLE for the
@@ -606,12 +626,18 @@ def device_sigma_echo_batch(hs, phis, p_1q, p_2q, angles, keys, ts, *, L, T,
     return jax.vmap(lambda k: jax.vmap(lambda t: one(k, t))(ts))(keys)
 
 
+def device_sigma_echo_batch(hs, phis, p_1q, p_2q, angles, keys, ts, **kw):
+    _require_constant_x(angles, "device_sigma_echo_batch")
+    return _device_sigma_echo_batch_jit(hs, phis, p_1q, p_2q, angles, keys,
+                                        ts, **kw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("L", "T", "q", "initial_state", "dtype_name",
                      "events_per_kick"),
 )
-def device_sigma_forward_batch(hs, phis, p_1q, p_2q, angles, keys, *, L, T, q,
+def _device_sigma_forward_batch_jit(hs, phis, p_1q, p_2q, angles, keys, *, L, T, q,
                                initial_state="vacuum", dtype_name="complex64",
                                ancilla_factor=1.0, events_per_kick=2):
     """Gather-free device-noise forward A(t): (n_traj, 2) keys -> (n_traj, T).
@@ -738,6 +764,12 @@ def _device_general_rows(key, phis, p_1q, p_2q, epk, T, K, L):
     phi_rows = phi_rows.at[:, K - 1].set(phi_fin)
     S = T * K
     return zk.reshape(S), xk.reshape(S), phi_rows.reshape(S, L - 1)
+
+
+def device_sigma_forward_batch(hs, phis, p_1q, p_2q, angles, keys, **kw):
+    _require_constant_x(angles, "device_sigma_forward_batch")
+    return _device_sigma_forward_batch_jit(hs, phis, p_1q, p_2q, angles,
+                                           keys, **kw)
 
 
 @functools.partial(

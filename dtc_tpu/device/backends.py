@@ -70,7 +70,8 @@ class QasmExportBackend:
                 with open(path, "w") as f:
                     f.write(circuit_to_qasm(
                         cfg.L, hs[i], phis[i], t, sched, echo=echo,
-                        initial_state=cfg.initial_state))
+                        initial_state=cfg.initial_state,
+                        probe_qubit=cfg.probe_qubit))
                 manifest["jobs"].append(
                     {"instance": i, "t": t, "qasm": name,
                      "gate_counts": gate_counts(

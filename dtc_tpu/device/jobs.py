@@ -23,8 +23,15 @@ def counts_to_z_expectation(counts: dict, num_qubits: int) -> list[float]:
 
     Bitstrings are little-endian (qubit 0 = rightmost character), matching
     the reference's reversal (fast.py:101).
+
+    An empty histogram (a 'completed' job record whose runner returned no
+    shots) yields NaN per qubit instead of ZeroDivisionError: campaign
+    ingest fills unmeasured points with NaN, so a shotless record reads
+    as not-yet-measured and the resumable-ingest contract survives.
     """
     total = sum(counts.values())
+    if total == 0:
+        return [float("nan")] * num_qubits
     out = []
     for q in range(num_qubits):
         diff = 0

@@ -26,6 +26,17 @@ from dtc_tpu.io.disorder import get_disorder
 from dtc_tpu.utils.profiling import phase_timer
 
 
+def _raw_sqrt(x):
+    """np.sqrt without clamping: the reference's base autocorr schema
+    writes np.sqrt(av_autocorr_echo) directly (fast.py:263), so a
+    negative trajectory-averaged echo records NaN in the contract column
+    — clamping to 0 would silently diverge from the shipped CSVs at
+    every late-time dip below zero. (The adaptive schemas use sqrt(|x|)
+    instead — experiments/adaptive.py.)"""
+    with np.errstate(invalid="ignore"):
+        return np.sqrt(np.asarray(x, dtype=float))
+
+
 def run_autocorr(cfg, hs=None, phis=None, *, out_dir=None, disorder_dir=None,
                  with_envelopes: bool = False, write=True,
                  method: str = "trajectories", emit_gate_counts=False) -> dict:
@@ -87,7 +98,7 @@ def run_autocorr(cfg, hs=None, phis=None, *, out_dir=None, disorder_dir=None,
         "time": ts,
         "av_autocorr": av,
         "av_autocorr_echo": av_echo,
-        "sqrt_av_autocorr_echo": np.sqrt(np.maximum(av_echo, 0.0)),
+        "sqrt_av_autocorr_echo": _raw_sqrt(av_echo),
     }
     if with_envelopes:
         fu, fl = find_envelope(av)

@@ -9,8 +9,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from dtc_tpu.core.device_evolve import device_autocorr_echo, device_autocorr_forward
-from dtc_tpu.experiments.engine import traj_chunks
+from dtc_tpu.experiments.engine import _inst_keys, traj_chunks
 from dtc_tpu.models.device_noise import fake_device_model
+from dtc_tpu.utils.validation import guard
 
 
 # dense-gather support ceiling: the per-gate gather engine
@@ -117,10 +118,14 @@ def device_forward_sweep(cfg, sched, params, key) -> np.ndarray:
     done = 0
     while done < n_traj:
         c = min(chunk, n_traj - done)
-        keys = jnp.stack([
-            jax.random.split(jax.random.fold_in(key, 31 * i + done), c)
-            for i in range(cfg.inst)])
-        out += np.asarray(jnp.sum(run_v(hs_j, phis_j, keys), axis=1))
+        # per-instance keys are SPLIT before the chunk salt folds in
+        # (engine._inst_keys): folding 31*i + done directly would alias
+        # instance and chunk offsets (inst 0 at done=31 == inst 1 at
+        # done=0), silently correlating the disorder-instance ensembles
+        keys = _inst_keys(key, cfg.inst, done, c)
+        out += guard("device_forward_sweep",
+                     np.asarray(jnp.sum(run_v(hs_j, phis_j, keys), axis=1)),
+                     bound=float(c))
         done += c
     return out / n_traj
 
@@ -183,11 +188,12 @@ def device_echo_sweep(cfg, sched, params, key, *, t_chunk: int = 4) -> np.ndarra
         done = 0
         while done < n_traj:
             c = min(chunk, n_traj - done)
-            keys = jnp.stack([
-                jax.random.split(jax.random.fold_in(key, 7919 + 31 * i + done), c)
-                for i in range(cfg.inst)])
-            out += np.asarray(jnp.sum(run_v(hs_j, phis_j, keys, ts_all),
-                                      axis=1))  # (inst, c, tf) -> (inst, tf)
+            keys = _inst_keys(key, cfg.inst, 7919 + done, c)
+            out += guard(
+                "device_echo_sweep",
+                np.asarray(jnp.sum(run_v(hs_j, phis_j, keys, ts_all),
+                                   axis=1)),  # (inst, c, tf) -> (inst, tf)
+                bound=float(c))
             done += c
         return out / n_traj
 
@@ -211,11 +217,12 @@ def device_echo_sweep(cfg, sched, params, key, *, t_chunk: int = 4) -> np.ndarra
         done = 0
         while done < n_traj:
             c = min(chunk, n_traj - done)
-            keys = jnp.stack([
-                jax.random.split(jax.random.fold_in(key, 7919 + 31 * i + done), c)
-                for i in range(cfg.inst)])
-            out += np.asarray(jnp.sum(run_v(hs_j, phis_j, keys, ts_all),
-                                      axis=1))
+            keys = _inst_keys(key, cfg.inst, 7919 + done, c)
+            out += guard(
+                "device_echo_sweep_general",
+                np.asarray(jnp.sum(run_v(hs_j, phis_j, keys, ts_all),
+                                   axis=1)),
+                bound=float(c))
             done += c
         return out / n_traj
 
@@ -236,11 +243,10 @@ def device_echo_sweep(cfg, sched, params, key, *, t_chunk: int = 4) -> np.ndarra
         done = 0
         while done < n_traj:
             c = min(chunk, n_traj - done)
-            keys = jnp.stack([
-                jax.random.split(jax.random.fold_in(key, 7919 + 31 * i + done), c)
-                for i in range(cfg.inst)])
+            keys = _inst_keys(key, cfg.inst, 7919 + done, c)
             vals = run(hs_j, phis_j, keys, ts_pad)  # (inst, t_chunk, c)
-            acc += np.asarray(jnp.sum(vals, axis=2))
+            acc += guard("device_echo_sweep_gather",
+                         np.asarray(jnp.sum(vals, axis=2)), bound=float(c))
             done += c
         out[:, t0 : t0 + len(ts)] = (acc / n_traj)[:, : len(ts)]
     return out

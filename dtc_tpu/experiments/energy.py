@@ -126,8 +126,22 @@ def run_energy(cfg, hs=None, phis=None, *, nprobs=DEFAULT_NPROBS, component="ful
         journal = SweepJournal(checkpoint_path)
     data = {"time": np.arange(cfg.tf)}
     z_data = {}
+    # the journal key carries the FULL run identity — config knobs that
+    # change the physics plus a digest of the actual disorder arrays —
+    # so resuming a checkpoint with a changed g/tf/seed/drive (or freshly
+    # drawn disorder) recomputes instead of silently returning stale
+    # cached energies under the new config's labels
+    import hashlib
+
+    dig = hashlib.sha1(
+        np.ascontiguousarray(np.asarray(hs, dtype=np.float64)).tobytes()
+        + np.ascontiguousarray(np.asarray(phis, dtype=np.float64)).tobytes()
+    ).hexdigest()[:10]
+    ident = (f"L{cfg.L}_inst{cfg.inst}_g{cfg.g}_tf{cfg.tf}"
+             f"_traj{cfg.n_trajectories}_pol{cfg.polarization}"
+             f"_seed{cfg.seed}_init{cfg.initial_state}_d{dig}")
     for p in nprobs:
-        jkey = f"energy_{component}_p{p}_L{cfg.L}_inst{cfg.inst}"
+        jkey = f"energy_{component}_p{p}_{ident}"
         if journal is not None and jkey in journal:
             e = journal.get(jkey)
             zs = journal.get(jkey + "_z")

@@ -59,18 +59,28 @@ def _kernel_dispatch_likely(cfg, sched, *, echo: bool) -> bool:
     fast, ti = _resident_dispatch(sched.angles, has_y=cfg.polarization != "x",
                                   max_L=23, **kw)
     if fast and (ti or cfg.L <= 21):
-        return True
+        # mirror _echo_batch exactly: at 22 <= L <= 23 the only fast echo
+        # path is the blocked echo kernel, which additionally needs
+        # T <= 512 — over-claiming here would kernel-size the chunks for
+        # what is really the XLA sigma engine and blow the HBM budget
+        if not echo or cfg.L <= 21 or cfg.tf <= 512:
+            return True
     if _general_dispatch(sched.angles, max_steps=512 if echo else 1024,
                          max_L=23, **kw):
         return True
+    # streamed (22..28) / streamed-hi (29..30, or explicit) constant-x
+    # kernels — the hi branch makes L=29/30 sweeps chunk by trajectory
+    # count like every other kernel route instead of the XLA state-bytes
+    # budget (which would sliver them to 1 trajectory per dispatch)
     ang = np.asarray(sched.angles)
-    return (sched.K == 1 and 22 <= cfg.L <= 28
+    return (sched.K == 1 and 22 <= cfg.L <= 30
             and cfg.probe_qubit < cfg.L
             and cfg.dtype == "complex64"
             and cfg.tf <= (512 if echo else 1024)
             and bool(np.all(ang[:, :, 1] == 0.0))
             and bool(np.all(ang == ang[0]))
-            and engine in ("auto", "resident", "streamed", "blocked")
+            and engine in ("auto", "resident", "streamed", "blocked",
+                           "streamed_hi")
             and jax.default_backend() != "cpu")
 
 

@@ -12,11 +12,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dtc_tpu.experiments.autocorr import _raw_sqrt
 from dtc_tpu.io import csvio, naming
 from dtc_tpu.io.disorder import get_disorder
 from dtc_tpu.models.drives import build_kick_schedule
 from dtc_tpu.models.noise import NoiseSpec
 from dtc_tpu.parallel.mesh import make_mesh
+from dtc_tpu.utils.validation import guard
 from dtc_tpu.parallel.sharded import (
     make_sharded_autocorr_forward,
     make_sharded_autocorr_forward_general,
@@ -122,14 +124,21 @@ def run_autocorr_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
     n_traj -= n_traj % mesh.shape["traj"]
 
     autocorr = np.zeros((cfg.inst, cfg.tf))
-    echo = np.ones((cfg.inst, cfg.tf))
+    # p == 0: echo == 1 exactly (the noiseless U^dag U = I invariant), so
+    # ones ARE the correct values everywhere. With noise, time points not
+    # evaluated below (with_echo=False, or an echo_ts subset) must read as
+    # NaN in the contract CSV — a fabricated 1.0 is indistinguishable from
+    # a measured noise-free echo.
+    echo = (np.ones((cfg.inst, cfg.tf)) if noise.p == 0
+            else np.full((cfg.inst, cfg.tf), np.nan))
     key = jax.random.PRNGKey(cfg.seed)
     for i in range(cfg.inst):
         keys = jax.random.split(jax.random.fold_in(key, i), n_traj)
         with phase_timer(f"sharded forward inst {i}"):
-            autocorr[i] = np.asarray(
+            autocorr[i] = guard(
+                "sharded_forward",
                 fwd(sched.angles, jnp.asarray(hs[i][: cfg.L]),
-                    jnp.asarray(phis[i][: cfg.L - 1]), keys))
+                    jnp.asarray(phis[i][: cfg.L - 1]), keys), bound=1.0)
     if with_echo and noise.p > 0:
         # echo rides the cycle kernels too (roadmap #5) — without this the
         # echo half of every multi-chip forward+echo study ran at the
@@ -145,10 +154,11 @@ def run_autocorr_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
         for i in range(cfg.inst):
             keys = jax.random.split(jax.random.fold_in(key, 7919 + i), n_traj)
             for t in ts:
-                echo[i, t] = float(
+                echo[i, t] = float(guard(
+                    "sharded_echo",
                     ech(sched.angles, jnp.asarray(hs[i][: cfg.L]),
                         jnp.asarray(phis[i][: cfg.L - 1]), keys,
-                        jnp.asarray(t)))
+                        jnp.asarray(t)), bound=1.0))
 
     av = autocorr.mean(axis=0)
     av_echo = echo.mean(axis=0)
@@ -156,7 +166,9 @@ def run_autocorr_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
         "time": np.arange(cfg.tf),
         "av_autocorr": av,
         "av_autocorr_echo": av_echo,
-        "sqrt_av_autocorr_echo": np.sqrt(np.maximum(av_echo, 0.0)),
+        # raw sqrt like the reference's base schema (fast.py:263): a
+        # negative trajectory-averaged echo records NaN, not a clamped 0
+        "sqrt_av_autocorr_echo": _raw_sqrt(av_echo),
     }
     result = dict(data)
     result["mesh_shape"] = dict(mesh.shape)
