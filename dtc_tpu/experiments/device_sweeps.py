@@ -16,21 +16,91 @@ from dtc_tpu.utils.validation import guard
 
 # dense-gather support ceiling: the per-gate gather engine
 # (core.device_evolve.device_autocorr_forward/echo) crashes the TPU worker
-# above ~L=24 (docs/PERFORMANCE.md round-3 notes) — it is the only device-
-# noise path for general (non-x / K>1) polarizations, so those requests
-# must fail loudly instead of killing the worker mid-sweep.
+# above ~L=24 (docs/PERFORMANCE.md round-3 notes) — it is the LAST-RESORT
+# device-noise path for general (non-x / K>1) polarizations (the kernel
+# routes cover 14 <= L <= 23 and the (1,1)-mesh per-shard route 24 <= L
+# <= 29), so requests that would land on it above the cliff must fail
+# loudly instead of killing the worker mid-sweep.
 _GATHER_MAX_L = 24
 
 
 def _guard_gather_path(cfg):
     if cfg.L > _GATHER_MAX_L and jax.default_backend() != "cpu":
         raise ValueError(
-            f"device-noise {cfg.polarization!r} polarization at L={cfg.L} has "
-            f"no safe engine: past the general-kernel range (14 <= L <= 23, "
-            f"q < 14) general polarizations fall to the dense gather path, "
-            f"which crashes the TPU worker above L={_GATHER_MAX_L}. Supported: "
-            f"x-polarization (kernel/sigma engines) up to L=30, general "
-            f"polarizations up to L={_GATHER_MAX_L}.")
+            f"device-noise {cfg.polarization!r} polarization at L={cfg.L} "
+            f"would fall to the dense gather path, which crashes the TPU "
+            f"worker above L={_GATHER_MAX_L}. Supported: x-polarization "
+            f"(kernel/sigma engines) up to L=30; general polarizations up "
+            f"to L=29 via the lab-frame kernels (q < L, tf*K <= 1024, "
+            f"DTC_TPU_DEVICE_ENGINE=auto|kernel) — this request missed "
+            f"those constraints.")
+
+
+def _device_general_hi_run(cfg, sched, p1, p2, af, echo):
+    """(1,1)-mesh per-shard general builder with device rows — the
+    single-chip device-noise route for general polarizations past the
+    gather cliff, 24 <= L <= 29 (parallel/sharded.py `device=`)."""
+    from dtc_tpu.parallel.mesh import make_mesh
+    from dtc_tpu.parallel.sharded import (
+        make_sharded_autocorr_forward_general,
+        make_sharded_echo_general,
+    )
+
+    mesh = make_mesh(n_amp=1, n_traj=1, devices=jax.devices()[:1])
+    maker = (make_sharded_echo_general if echo
+             else make_sharded_autocorr_forward_general)
+    return maker(
+        mesh, L=cfg.L, T=cfg.tf, K=sched.K, p=0.0, q=cfg.probe_qubit,
+        initial_state=cfg.initial_state, ancilla_factor=af,
+        device=(np.asarray(p1), np.asarray(p2), 2))
+
+
+def _device_general_hi_forward(cfg, sched, p1, p2, af, hs, phis, key):
+    fn = _device_general_hi_run(cfg, sched, p1, p2, af, echo=False)
+    hs_np = np.asarray(hs)
+    phis_np = np.asarray(phis)
+    n_traj = cfg.n_trajectories
+    # one trajectory's HBM-aliased state is 2^(L+3) bytes; keep ~4 GB live
+    chunk = max(1, (4 << 30) >> (cfg.L + 3))
+    out = np.zeros((cfg.inst, cfg.tf))
+    for i in range(cfg.inst):
+        h = jnp.asarray(hs_np[i, : cfg.L])
+        ph = jnp.asarray(phis_np[i, : cfg.L - 1])
+        acc = np.zeros(cfg.tf)
+        done = 0
+        while done < n_traj:
+            c = min(chunk, n_traj - done)
+            keys = _inst_keys(key, cfg.inst, done, c)[i]
+            vals = guard("device_general_hi_forward",
+                         np.asarray(fn(sched.angles, h, ph, keys)),
+                         bound=1.0)
+            acc += c * vals
+            done += c
+        out[i] = acc / n_traj
+    return guard("device_forward_sweep", out, bound=1.0)
+
+
+def _device_general_hi_echo(cfg, sched, p1, p2, af, hs, phis, key):
+    fn = _device_general_hi_run(cfg, sched, p1, p2, af, echo=True)
+    hs_np = np.asarray(hs)
+    phis_np = np.asarray(phis)
+    n_traj = cfg.n_trajectories
+    chunk = max(1, (4 << 30) >> (cfg.L + 3))
+    out = np.zeros((cfg.inst, cfg.tf))
+    for i in range(cfg.inst):
+        h = jnp.asarray(hs_np[i, : cfg.L])
+        ph = jnp.asarray(phis_np[i, : cfg.L - 1])
+        for t in range(cfg.tf):
+            acc = 0.0
+            done = 0
+            while done < n_traj:
+                c = min(chunk, n_traj - done)
+                keys = _inst_keys(key, cfg.inst, 7919 + done, c)[i]
+                acc += c * float(fn(sched.angles, h, ph, keys,
+                                    jnp.asarray(t)))
+                done += c
+            out[i, t] = acc / n_traj
+    return guard("device_echo_sweep", out, bound=1.0)
 
 
 def _model(cfg):
@@ -98,6 +168,13 @@ def device_forward_sweep(cfg, sched, params, key) -> np.ndarray:
                   initial_state=cfg.initial_state, ancilla_factor=af)
         run = lambda h, ph, keys: device_general_kernel_forward_batch(
             h, ph, p1, p2, sched.angles, keys, **kw)
+    elif (engine in ("auto", "kernel") and 24 <= cfg.L <= 29
+          and cfg.probe_qubit < cfg.L and cfg.tf * sched.K <= 1024
+          and jax.default_backend() != "cpu"):
+        # general polarizations PAST the gather cliff: (1,1)-mesh per-shard
+        # general kernels with device rows — previously a hard error
+        return _device_general_hi_forward(cfg, sched, p1, p2, af, hs, phis,
+                                          key)
     else:
         _guard_gather_path(cfg)
         kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, q=cfg.probe_qubit,
@@ -136,7 +213,9 @@ def device_echo_sweep(cfg, sched, params, key, *, t_chunk: int = 4) -> np.ndarra
     x-only schedules at 17 <= L <= 30 ride the UNCHANGED blocked/streamed/streamed-hi
     echo kernels (core.device_evolve.device_kernel_echo_batch); other
     x-only runs the gather-free sigma-frame engine (survives large L);
-    general polarizations the dense gather path (L <= ~24)."""
+    general polarizations ride the lab-frame kernels at 14 <= L <= 23,
+    the (1,1)-mesh per-shard device-rows route at 24 <= L <= 29, and the
+    dense gather path only below the cliff (L <= 24)."""
     hs, phis = params
     model = _model(cfg)
     af = model.ancilla_interferometric_factor() * model.readout_z_factor(cfg.probe_qubit)
@@ -225,6 +304,14 @@ def device_echo_sweep(cfg, sched, params, key, *, t_chunk: int = 4) -> np.ndarra
                 bound=float(c))
             done += c
         return out / n_traj
+
+    if (engine in ("auto", "kernel") and 24 <= cfg.L <= 29
+            and cfg.probe_qubit < cfg.L and 2 * cfg.tf * sched.K <= 1024
+            and jax.default_backend() != "cpu"):
+        # general-polarization device ECHO past the gather cliff (see the
+        # forward branch) — previously a hard error
+        return _device_general_hi_echo(cfg, sched, p1, p2, af, hs, phis,
+                                       key)
 
     _guard_gather_path(cfg)
     kw = dict(L=cfg.L, T=cfg.tf, K=sched.K, q=cfg.probe_qubit,

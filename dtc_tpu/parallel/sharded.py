@@ -722,7 +722,7 @@ def _global_general_slot_kick(st, tx, ty, sig_w, zmp_w, *, local_bits,
 
 def make_sharded_autocorr_forward_general(
     mesh, *, L, T, K, p, q, initial_state="vacuum", ancilla_factor=None,
-    interpret=False,
+    interpret=False, device=None,
 ):
     """LAB-frame cycle-kernel sharded forward autocorrelator for EVERY
     polarization family and per-cycle schedule (y/xy/yx/circular/xy_cycle,
@@ -750,6 +750,19 @@ def make_sharded_autocorr_forward_general(
     DTC_TPU_SHARDED_HI_MIN_LB lowers the crossover to 22 for
     cross-checks) — kernel-rate general-drive sharding up to
     L = 29 + log2(n_amp).
+
+    `device=(p_1q (L,), p_2q (L-1,), events_per_kick)` replaces the
+    depolarizing draw with DEVICE-noise rows (core.device_evolve.
+    _device_general_rows: composed per-slot Pauli masks + bond-parity
+    sign-flipped final-slot phi rows — the same commutation algebra as
+    device_general_kernel_forward_batch, so the kernels run unchanged).
+    Requires a (1,1)-degenerate amp mesh (n_amp == 1: device events are
+    built in the lab frame across all L qubits, with no global XOR-frame
+    deferral) and p == 0. This is the single-chip device-noise route for
+    general polarizations at 24 <= L <= 29 — previously a hard error past
+    the dense-gather cliff (reference device mode
+    autocorr-delta-a-single-qiskit-fast.py:77-79 crossed with its general
+    drives …-circular-polarization.py:110-142).
     """
     from dtc_tpu.core.sigma_evolve import _codes_from_uniform, _masks_from_codes
     from dtc_tpu.ops.pallas_cycle import general_cycle_forward_apply
@@ -787,6 +800,17 @@ def make_sharded_autocorr_forward_general(
     s0 = 1.0 if ((init_idx >> q) & 1) == 0 else -1.0
     S = T * K
     gmask = jnp.uint32(((1 << L) - 1) & ~(M - 1))
+    if device is not None:
+        if n_amp != 1:
+            raise ValueError("device rows need n_amp == 1 (lab-frame "
+                             "events across all L qubits)")
+        if p != 0.0:
+            raise ValueError("device mode replaces depolarizing noise; "
+                             "pass p=0")
+        from dtc_tpu.core.device_evolve import _device_general_rows
+        dev_p1 = jnp.asarray(device[0], jnp.float32)
+        dev_p2 = jnp.asarray(device[1], jnp.float32)
+        dev_epk = int(device[2])
 
     def local_fn(angles, hs, phis, keys):
         u8 = jax.vmap(jax.vmap(lambda a: slot_u8(a[0], a[1])))(angles)
@@ -807,6 +831,20 @@ def make_sharded_autocorr_forward_general(
             (n, 2, TOP, _C))
 
         def sample(key):
+            if device is not None:
+                # device-noise rows: composed per-slot masks + sign-flipped
+                # final-slot phi rows (same presample as the oracle in
+                # core.device_evolve — trajectory-exact validation)
+                zm, xm, phi_rows = _device_general_rows(
+                    key, phis.astype(jnp.float32), dev_p1, dev_p2,
+                    dev_epk, T, K, L)
+                zmb = _bits_row(zm, local_bits).reshape(T, K, local_bits)
+                xmb = _bits_row(xm, local_bits).reshape(T, K, local_bits)
+                tiles = jnp.concatenate(
+                    [zmb, xmb, hrow, phi_rows.reshape(T, K, L - 1), flags],
+                    axis=-1)
+                zk = jnp.zeros((T, K), jnp.uint32)
+                return tiles, zk, zk, zk[:, 0], zk[:, 0]
             # same uniform draw as general_forward_batch / sigma engine
             if p > 0.0:
                 u = jax.random.uniform(key, (S, L), dtype=jnp.float32)
@@ -870,7 +908,7 @@ def make_sharded_autocorr_forward_general(
 
 def make_sharded_echo_general(
     mesh, *, L, T, K, p, q, initial_state="vacuum", ancilla_factor=None,
-    interpret=False,
+    interpret=False, device=None,
 ):
     """LAB-frame cycle-kernel sharded echo A0(t) for EVERY polarization
     family and per-cycle schedule — the echo half of multi-chip
@@ -942,6 +980,19 @@ def make_sharded_echo_general(
     T2 = 2 * T
     gmask = jnp.uint32(((1 << L) - 1) & ~(M - 1))
     mlow = jnp.uint32(M - 1)
+    if device is not None:
+        # device-noise rows (see make_sharded_autocorr_forward_general):
+        # (1,1)-degenerate amp mesh only, lab-frame events on all L qubits
+        if n_amp != 1:
+            raise ValueError("device rows need n_amp == 1 (lab-frame "
+                             "events across all L qubits)")
+        if p != 0.0:
+            raise ValueError("device mode replaces depolarizing noise; "
+                             "pass p=0")
+        from dtc_tpu.core.device_evolve import _device_general_echo_rows
+        dev_p1 = jnp.asarray(device[0], jnp.float32)
+        dev_p2 = jnp.asarray(device[1], jnp.float32)
+        dev_epk = int(device[2])
 
     def local_fn(angles, hs, phis, keys, t_value):
         step = jnp.arange(T2)
@@ -989,6 +1040,36 @@ def make_sharded_echo_general(
             (n, 2, TOP, _C))
 
         def sample(key):
+            if device is not None:
+                # device-noise (pre, post) rows: forward steps carry the
+                # commuted bond events + sign-conjugated postdiag in the
+                # final slot; inverse steps carry the conjugated D0^dag
+                # prediag in the first slot (same presample as the dense
+                # original-order oracle in core.device_evolve)
+                xk, zk, pre_h, pre_phi, post_h, post_phi = (
+                    _device_general_echo_rows(
+                        key, t_value, hs.astype(jnp.float32),
+                        phis.astype(jnp.float32), dev_p1, dev_p2,
+                        dev_epk, T, K, L))
+                zmb = _bits_row(zk & mlow, local_bits)
+                xmb = _bits_row(xk & mlow, local_bits)
+                hrow_fd = jnp.zeros((T2, K, local_bits), jnp.float32
+                                    ).at[:, K - 1].set(post_h)
+                prow_fd = jnp.zeros((T2, K, local_bits - 1), jnp.float32
+                                    ).at[:, K - 1].set(post_phi)
+                hrow_id = jnp.zeros((T2, K, local_bits), jnp.float32
+                                    ).at[:, 0].set(pre_h)
+                prow_id = jnp.zeros((T2, K, local_bits - 1), jnp.float32
+                                    ).at[:, 0].set(pre_phi)
+                rows_f = jnp.concatenate(
+                    [zmb, xmb, hrow_fd, prow_fd, flags_f], axis=-1)
+                pre = jnp.concatenate(
+                    [zl, xmb, hrow_id, prow_id, flags_i], axis=-1)
+                post = jnp.concatenate(
+                    [zmb, zl, 0.0 * hrow_fd, zp, zfl], axis=-1)
+                rows_i = jnp.stack([pre, post], axis=2)
+                zkz = jnp.zeros((T2, K), jnp.uint32)
+                return (rows_f, rows_i, zkz, zkz, zkz[:, 0], zkz[:, 0])
             # identical uniform draw to make_sharded_echo so the engines
             # agree trajectory-for-trajectory with the same keys
             if p > 0.0:

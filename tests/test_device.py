@@ -562,12 +562,13 @@ def test_device_engine_env_dispatch(monkeypatch):
 
 
 def test_device_general_pol_gather_cliff_guard(monkeypatch):
-    """General-polarization device noise has only the dense gather engine,
-    which crashes the TPU worker above ~L=24 (docs/PERFORMANCE.md): on a
-    TPU backend such requests must raise a clear ValueError BEFORE any
-    compute, forward and echo alike; x-polarization at the same L must
-    still dispatch (kernel/sigma engines cover it to L=30), and CPU runs
-    (where the gather path is safe) are not blocked."""
+    """Requests that would land on the dense gather engine above ~L=24
+    (where it crashes the TPU worker, docs/PERFORMANCE.md) must raise a
+    clear ValueError BEFORE any compute, forward and echo alike. General
+    polarizations are kernel-covered to L=29 ((1,1)-mesh per-shard device
+    rows past 23), so the cliff now sits at L=30; x-polarization at the
+    same L still dispatches (kernel/sigma engines cover it to L=30), and
+    CPU runs (where the gather path is safe) are not blocked."""
     import pytest as _pytest
 
     from dtc_tpu.experiments import device_sweeps
@@ -579,7 +580,7 @@ def test_device_general_pol_gather_cliff_guard(monkeypatch):
     from dtc_tpu.io.disorder import generate_disorder
     from dtc_tpu.utils.config import SimConfig
 
-    L = 26
+    L = 30
     cfg = SimConfig(L=L, tf=2, g=0.9, use_fakebackend=1, n_trajectories=2,
                     polarization="y")
     hs, phis = generate_disorder(L, 1, seed=1)
@@ -590,8 +591,13 @@ def test_device_general_pol_gather_cliff_guard(monkeypatch):
         device_echo_sweep(cfg, sched, params, key)
     with _pytest.raises(ValueError, match="dense gather"):
         device_forward_sweep(cfg, sched, params, key)
-    # at/below the ceiling the general path stays available (no raise at
-    # dispatch time; don't run the sweep — just check the guard helper)
+    # a too-long schedule misses the per-shard route's tf*K bound and
+    # falls back to the cliff guard even inside 24 <= L <= 29
+    cfg_long = SimConfig(L=26, tf=2048, g=0.9, use_fakebackend=1,
+                         n_trajectories=2, polarization="y")
+    with _pytest.raises(ValueError, match="dense gather"):
+        device_sweeps._guard_gather_path(cfg_long)
+    # at/below the gather ceiling the guard helper passes (L <= 24)
     cfg_ok = SimConfig(L=24, tf=2, g=0.9, use_fakebackend=1,
                        n_trajectories=2, polarization="y")
     device_sweeps._guard_gather_path(cfg_ok)

@@ -435,3 +435,77 @@ def test_general_hi_cycle_kernel_sharded_parity(monkeypatch, pol, K):
     a = float(e_x(sched.angles, hs, phis, keys, jnp.asarray(T)))
     b = float(e_g(sched.angles, hs, phis, keys, jnp.asarray(T)))
     assert abs(a - b) < 1e-4, (a, b)
+
+
+@pytest.mark.parametrize("pol,K", [("y", 1), ("circular_left", 2)])
+def test_device_rows_sharded_general_forward_matches_oracle(pol, K):
+    """Single-chip DEVICE-noise general drives past the gather cliff
+    (device_sweeps previously hard-errored at L > 24 for non-x
+    polarizations): the (1,1)-mesh per-shard general scan with device
+    rows (`make_sharded_autocorr_forward_general(device=…)`) consumes the
+    SAME presample as core.device_evolve's dense original-order oracle, so
+    the comparison is trajectory-exact — any error in the row mapping
+    (mask slot placement, sign-flipped phi rows) is deterministic, not
+    statistical. Mirrors the reference's FakeBackend mode
+    (autocorr-delta-a-single-qiskit-fast.py:77-79) crossed with its
+    general drives (…-circular-polarization.py:110-142)."""
+    from dtc_tpu.core.device_evolve import device_general_forward_oracle
+    from dtc_tpu.parallel.sharded import (
+        make_sharded_autocorr_forward_general,
+    )
+
+    L, T, q = 17, 4, 9
+    hs, phis = generate_disorder(L, 1, seed=9)
+    hsj = jnp.asarray(hs[0])
+    phj = jnp.asarray(phis[0])
+    p1 = jnp.linspace(0.1, 0.4, L)
+    p2 = jnp.linspace(0.15, 0.45, L - 1)
+    keys = jax.random.split(jax.random.PRNGKey(5), 2)
+    mesh = make_mesh(n_amp=1, n_traj=1)
+    sched = build_kick_schedule(pol, 0.97, T)
+    fn = make_sharded_autocorr_forward_general(
+        mesh, L=L, T=T, K=K, p=0.0, q=q, ancilla_factor=0.9,
+        interpret=True, device=(p1, p2, 2))
+    a_k = np.asarray(fn(sched.angles, hsj, phj, keys))
+    a_o = np.asarray(device_general_forward_oracle(
+        hsj, phj, p1, p2, sched.angles, keys, L=L, T=T, K=K, q=q,
+        ancilla_factor=0.9)).mean(axis=0)
+    assert np.max(np.abs(a_k - a_o)) < 1e-4, (pol, a_k, a_o)
+
+
+@pytest.mark.parametrize("pol,K", [("y", 1), ("circular_left", 2)])
+def test_device_rows_sharded_general_echo_matches_oracle(pol, K):
+    """Device-noise ECHO through the (1,1)-mesh per-shard general
+    inverse kernels: `make_sharded_echo_general(device=…)` maps
+    core.device_evolve._device_general_echo_rows into the (pre, post)
+    row layout — forward steps carry the commuted bond events +
+    turnaround-conjugated postdiag in the final slot, inverse steps the
+    conjugated D0^dag prediag in the first slot. Trajectory-exact vs the
+    dense original-order oracle (same presample); the noiseless
+    A0(t) == 1 invariant rides along."""
+    from dtc_tpu.core.device_evolve import device_general_echo_oracle
+    from dtc_tpu.parallel.sharded import make_sharded_echo_general
+
+    L, T, q = 17, 3, 9
+    hs, phis = generate_disorder(L, 1, seed=9)
+    hsj = jnp.asarray(hs[0])
+    phj = jnp.asarray(phis[0])
+    p1 = jnp.linspace(0.1, 0.35, L)
+    p2 = jnp.linspace(0.15, 0.4, L - 1)
+    keys = jax.random.split(jax.random.PRNGKey(5), 1)
+    mesh = make_mesh(n_amp=1, n_traj=1)
+    sched = build_kick_schedule(pol, 0.97, T)
+    fn = make_sharded_echo_general(
+        mesh, L=L, T=T, K=K, p=0.0, q=q, ancilla_factor=0.9,
+        interpret=True, device=(p1, p2, 2))
+    for t in (1, 3):
+        a_k = float(fn(sched.angles, hsj, phj, keys, jnp.asarray(t)))
+        a_o = float(np.mean([np.asarray(device_general_echo_oracle(
+            hsj, phj, p1, p2, sched.angles, k, t, L=L, T=T, K=K, q=q,
+            ancilla_factor=0.9)) for k in keys]))
+        assert abs(a_k - a_o) < 1e-4, (pol, t, a_k, a_o)
+    fn0 = make_sharded_echo_general(
+        mesh, L=L, T=T, K=K, p=0.0, q=q, ancilla_factor=1.0,
+        interpret=True, device=(np.zeros(L), np.zeros(L - 1), 2))
+    a0 = float(fn0(sched.angles, hsj, phj, keys, jnp.asarray(2)))
+    assert abs(a0 - 1.0) < 1e-4, a0
