@@ -731,3 +731,35 @@ def test_device_general_kernel_echo_matches_original_order_oracle():
         hsj, phj, jnp.zeros((L,)), jnp.zeros((L - 1,)), sched.angles, keys,
         ts, L=L, T=T, K=2, q=q, ancilla_factor=1.0, interpret=True))
     np.testing.assert_allclose(a0, 1.0, atol=1e-4)
+
+
+def test_device_general_hi_dispatch_routing(monkeypatch):
+    """device_forward_sweep/device_echo_sweep must route general
+    polarizations at 24 <= L <= 29 to the (1,1)-mesh per-shard
+    device-rows helpers (previously those configs raised at the gather
+    cliff). Stubbed helpers — this guards branch SELECTION; the compute
+    path is interpret-validated in tests/test_sharded_kernel.py."""
+    from dtc_tpu.experiments import device_sweeps
+    from dtc_tpu.experiments.engine import build_context
+    from dtc_tpu.io.disorder import generate_disorder
+    from dtc_tpu.utils.config import SimConfig
+
+    L = 26
+    cfg = SimConfig(L=L, tf=2, g=0.9, use_fakebackend=1, n_trajectories=2,
+                    polarization="y")
+    hs, phis = generate_disorder(L, 1, seed=1)
+    sched, params, _ = build_context(cfg, hs, phis)
+    key = jax.random.PRNGKey(0)
+    hit = []
+    monkeypatch.setattr(device_sweeps.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        device_sweeps, "_device_general_hi_forward",
+        lambda *a, **k: hit.append("fwd") or np.zeros((1, 2)))
+    monkeypatch.setattr(
+        device_sweeps, "_device_general_hi_echo",
+        lambda *a, **k: hit.append("echo") or np.zeros((1, 2)))
+    assert device_sweeps.device_forward_sweep(cfg, sched, params, key).shape \
+        == (1, 2)
+    assert device_sweeps.device_echo_sweep(cfg, sched, params, key).shape \
+        == (1, 2)
+    assert hit == ["fwd", "echo"]
