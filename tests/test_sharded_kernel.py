@@ -509,3 +509,42 @@ def test_device_rows_sharded_general_echo_matches_oracle(pol, K):
         interpret=True, device=(np.zeros(L), np.zeros(L - 1), 2))
     a0 = float(fn0(sched.angles, hsj, phj, keys, jnp.asarray(2)))
     assert abs(a0 - 1.0) < 1e-4, a0
+
+
+def test_device_rows_hi_layout_matches_vmem_layout(monkeypatch):
+    """Device rows on the r2-blocked HI per-shard kernels (the layout the
+    24 <= L <= 29 production dispatch actually uses): at L=22 both the
+    VMEM general kernel (default) and the hi kernel (forced via
+    DTC_TPU_SHARDED_HI_MIN_LB) can run, so the same keys must give the
+    same trajectories — this pins the width-dependent row packing (the hi
+    tiles pad the flag lanes past 128) that the L=17 oracle test cannot
+    reach. The zero-rate echo invariant rides the hi echo switch."""
+    from dtc_tpu.parallel.sharded import (
+        make_sharded_autocorr_forward_general,
+        make_sharded_echo_general,
+    )
+
+    L, T, q = 22, 2, 9
+    hs, phis = generate_disorder(L, 1, seed=9)
+    hsj = jnp.asarray(hs[0])
+    phj = jnp.asarray(phis[0])
+    p1 = jnp.linspace(0.1, 0.4, L)
+    p2 = jnp.linspace(0.15, 0.45, L - 1)
+    keys = jax.random.split(jax.random.PRNGKey(5), 1)
+    mesh = make_mesh(n_amp=1, n_traj=1)
+    sched = build_kick_schedule("y", 0.97, T)
+    kw = dict(L=L, T=T, K=1, p=0.0, q=q, ancilla_factor=0.9,
+              interpret=True, device=(p1, p2, 2))
+    a_vmem = np.asarray(
+        make_sharded_autocorr_forward_general(mesh, **kw)(
+            sched.angles, hsj, phj, keys))
+    monkeypatch.setenv("DTC_TPU_SHARDED_HI_MIN_LB", "22")
+    a_hi = np.asarray(
+        make_sharded_autocorr_forward_general(mesh, **kw)(
+            sched.angles, hsj, phj, keys))
+    assert np.max(np.abs(a_hi - a_vmem)) < 1e-4, (a_hi, a_vmem)
+    e0 = make_sharded_echo_general(
+        mesh, L=L, T=T, K=1, p=0.0, q=q, ancilla_factor=1.0,
+        interpret=True, device=(np.zeros(L), np.zeros(L - 1), 2))
+    v = float(e0(sched.angles, hsj, phj, keys, jnp.asarray(1)))
+    assert abs(v - 1.0) < 1e-4, v
