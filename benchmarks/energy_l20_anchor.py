@@ -1,0 +1,127 @@
+"""TPU: energy/per-qubit-Z engine anchor at the headline scale (L=20).
+
+Round-5 capability: the energy study — the last reference observable
+family on the deopted engine (VERDICT r4 missing #1) — runs on the
+blocked lab-frame observables kernel (ops/pallas_observables) at
+17 <= L <= 23. This probe, on one real chip:
+
+1. cross-engine parity: kernel route vs the presampled XLA route
+   (DTC_TPU_ENERGY_ENGINE=xla) on the SAME workload and key — both
+   engines draw one uniform stream, so agreement is at the bf16x3 dot
+   level, not sampling noise;
+2. rates: kernel vs XLA traj-cyc/s at T=50 (the >= 10x claim);
+3. value anchors on the REFERENCE disorder (hs_L20.csv row 0, g=0.97,
+   the instance behind energy-data_L20-iqm): E(0) = sum h + sum phi
+   exactly (vacuum is a Z-eigenstate with <X_q> = 0), compared to the
+   closed form AND to the IQM hardware's shipped t=0 scale E = -67.01
+   (energy_data_vacuum_g0.97_L20_inst1_...csv:2 — hardware value,
+   loose band);
+4. the full reference nprobs sweep (0, 0.001, 0.01, 0.1 —
+   autocorr-delta-a-single-qiskit-fast-energy.py:212) end-to-end through
+   run_energy with wall-clock.
+
+Records parity_results.json "energy_l20".
+Usage: python benchmarks/energy_l20_anchor.py [T] [NTRAJ]
+"""
+
+import json
+import os as _os
+import sys as _sys
+import time
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from dtc_tpu.experiments import energy as energy_mod
+from dtc_tpu.io.disorder import get_disorder
+from dtc_tpu.utils.config import SimConfig
+
+REF = "/root/reference"
+T = int(_sys.argv[1]) if len(_sys.argv) > 1 else 50
+NTRAJ = int(_sys.argv[2]) if len(_sys.argv) > 2 else 32
+rec = {"T": T, "n_traj": NTRAJ, "backend": jax.default_backend()}
+
+
+def timed(fn, groups=3):
+    t0 = time.time()
+    out = fn()
+    print(f"  [warm {time.time() - t0:.0f} s]", flush=True)
+    dts = []
+    for _ in range(groups):
+        t0 = time.time()
+        out = fn()
+        dts.append(time.time() - t0)
+    return out, float(np.median(dts))
+
+
+cfg = SimConfig(L=20, g=0.97, inst=1, tf=T, noise_prob=0.1, use_noise=1,
+                n_trajectories=NTRAJ, seed=13)
+hs, phis = get_disorder(cfg, REF)
+
+# ---- 1+2: cross-engine parity + rates on the same key/chunking.
+# n_trajectories small enough that BOTH routes take it in one chunk
+# (trajectory keys are salted per chunk — docs/PERFORMANCE.md round-4).
+pcfg = cfg.replace(n_trajectories=4, tf=min(T, 20))
+print(f"L=20 T={pcfg.tf} n_traj=4 p=0.1: kernel route...", flush=True)
+(_ek, _zk), dt_pk = timed(
+    lambda: energy_mod._energy_single_noise(pcfg, hs, phis, 0.1), groups=2)
+_os.environ["DTC_TPU_ENERGY_ENGINE"] = "xla"
+print("  xla route...", flush=True)
+(_ex, _zx), dt_px = timed(
+    lambda: energy_mod._energy_single_noise(pcfg, hs, phis, 0.1), groups=2)
+del _os.environ["DTC_TPU_ENERGY_ENGINE"]
+dev_e = float(np.max(np.abs(_ek - _ex)))
+dev_z = float(np.max(np.abs(_zk - _zx)))
+print(f"  parity: max|dE|={dev_e:.2e} (|E|~{np.max(np.abs(_ex)):.0f}) "
+      f"max|dZ|={dev_z:.2e}", flush=True)
+assert dev_e < 2e-2 and dev_z < 5e-4, (dev_e, dev_z)
+rec.update(parity_T=pcfg.tf, parity_max_dE=dev_e, parity_max_dZ=dev_z)
+
+# full-size kernel rate + XLA rate (XLA measured at the parity shape)
+print(f"kernel rate at T={T} n_traj={NTRAJ}...", flush=True)
+(_e, _z), dt_k = timed(
+    lambda: energy_mod._energy_single_noise(cfg, hs, phis, 0.1), groups=3)
+rate_k = T * NTRAJ / dt_k
+rate_x = pcfg.tf * 4 / dt_px
+print(f"  kernel: {rate_k:8.1f} traj-cyc/s   xla: {rate_x:8.1f}   "
+      f"speedup {rate_k / rate_x:.1f}x", flush=True)
+rec.update(kernel_traj_cyc_s=round(rate_k, 1),
+           xla_traj_cyc_s=round(rate_x, 1),
+           speedup=round(rate_k / rate_x, 1))
+
+# ---- 3: value anchors on the reference instance
+e_exact0 = float(np.sum(hs[0, :20]) + np.sum(phis[0, :19]))
+e_meas0 = float(_e[0, 0])
+z0 = np.asarray(_z[0, 0])
+print(f"E(0): measured {e_meas0:.4f} vs exact sum(h)+sum(phi) "
+      f"{e_exact0:.4f}; Z_q(0) in [{z0.min():.6f}, {z0.max():.6f}]",
+      flush=True)
+assert abs(e_meas0 - e_exact0) < 5e-3, (e_meas0, e_exact0)
+assert np.all(np.abs(z0 - 1.0) < 1e-4), z0
+rec.update(e0_measured=round(e_meas0, 4), e0_exact=round(e_exact0, 4),
+           iqm_hardware_e0=-67.0108)
+
+# ---- 4: the reference nprobs sweep end-to-end through run_energy
+print("run_energy nprobs=(0, 0.001, 0.01, 0.1)...", flush=True)
+t0 = time.time()
+res = energy_mod.run_energy(cfg, hs, phis, write=False)
+dt_sweep = time.time() - t0
+e_p0 = np.asarray(res["energy_p_0"])
+print(f"  sweep wall-clock {dt_sweep:.1f} s; E(0)/L per p: "
+      + " ".join(f"{np.asarray(res[k])[0]:.3f}" for k in res
+                 if str(k).startswith("energy_p_")), flush=True)
+assert abs(e_p0[0] * 20 - e_exact0) < 5e-3
+rec.update(nprobs_sweep_s=round(dt_sweep, 1),
+           e0_per_l=round(float(e_p0[0]), 4))
+
+path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                     "parity_results.json")
+blob = json.load(open(path)) if _os.path.exists(path) else {}
+blob["energy_l20"] = rec
+text = json.dumps(blob, indent=1)  # serialize FIRST: a failed encode
+# must not truncate previously recorded anchors
+with open(path, "w") as _f:
+    _f.write(text)
+print(f"recorded -> {path} energy_l20", flush=True)

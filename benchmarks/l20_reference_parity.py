@@ -34,11 +34,15 @@ from dtc_tpu.utils.config import SimConfig
 
 REF = "/root/reference"
 NTRAJ = int(_sys.argv[1]) if len(_sys.argv) > 1 else 2048
+# optional pol filter (e.g. `... 8192 yx` re-runs one leg at higher
+# trajectory count and merges it into the recorded entry)
+POLS = tuple(_sys.argv[2].split(",")) if len(_sys.argv) > 2 else (
+    "x", "y", "xy", "yx")
 SIGMA_SHOT = 1.0 / np.sqrt(1024)
 
 results = {"n_traj": NTRAJ}
 ok = True
-for pol in ("x", "y", "xy", "yx"):
+for pol in POLS:
     ref = csvio.read_columns(_os.path.join(
         REF, "autocorr_data_L20_polarization",
         "autocorr_data_vacuum_g0.97_L20_inst1_randomphi1_delta0.0_"
@@ -85,7 +89,16 @@ for pol in ("x", "y", "xy", "yx"):
 path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                      "parity_results.json")
 blob = json.load(open(path)) if _os.path.exists(path) else {}
-blob["l20_reference"] = results
+if len(POLS) < 4 and isinstance(blob.get("l20_reference"), dict):
+    # partial re-run: merge the re-measured legs into the recorded entry,
+    # keeping the other pols' rows; note the per-leg trajectory count
+    merged = dict(blob["l20_reference"])
+    for pol in POLS:
+        results[pol]["n_traj"] = NTRAJ
+        merged[pol] = results[pol]
+    blob["l20_reference"] = merged
+else:
+    blob["l20_reference"] = results
 text = json.dumps(blob, indent=1)  # serialize FIRST: a failed
 # encode must not truncate previously recorded anchors
 with open(path, "w") as _f:

@@ -182,8 +182,24 @@ def evolve_observables(
     autocorr-delta-a-single-qiskit-fast-energy.py:168-172).
     ``estimator_noise_factor`` optionally contracts the X part by (1-p) to
     mirror BackendEstimatorV2's noisy basis-rotation u2 gates.
+
+    Noise codes are PRESAMPLED in one PRNG call outside the scan (the
+    in-scan per-cycle threefry pattern measures ~1.5 s of pure deopt at
+    L=20/T=50 — docs/PERFORMANCE.md loop-invariance table) and drawn from
+    the SAME uniform stream as the lab-frame kernels
+    (ops.pallas_resident_general / ops.pallas_observables: uniform(key,
+    (T*K, L)) row-major), so engines compare trajectory-for-trajectory.
+    The eager Pauli application stays: <X_q> is measured every cycle, and
+    an off-diagonal observable cannot ride a deferred XOR frame with
+    pending phase corrections.
     """
-    keys = jax.random.split(key, T)
+    from dtc_tpu.core.sigma_evolve import _codes_from_uniform
+
+    if p > 0.0:
+        u = jax.random.uniform(key, (T, K, L), dtype=jnp.float32)
+        codes = _codes_from_uniform(u, p)
+    else:
+        codes = jnp.zeros((T, K, L), jnp.int32)
 
     def measure(state):
         probs = jnp.abs(state) ** 2
@@ -197,10 +213,16 @@ def evolve_observables(
         return e, zs
 
     def body(carry, inp):
-        ang, k_t = inp
+        ang, codes_t = inp
         out = measure(carry)
-        carry = forward_cycle(carry, ang, diag_mask, L=L, K=K, p=p, key=k_t, dtype=psi0.dtype)
-        return carry, out
+        state = carry
+        for k in range(K):
+            uk = slot_unitary(ang[k, 0], ang[k, 1], psi0.dtype)
+            state = apply_uniform_1q_layer(state, uk, L)
+            if p > 0.0:
+                xm, zm, ny = pauli_string_masks(codes_t[k])
+                state = apply_pauli_string(state, xm, zm, ny)
+        return state * diag_mask, out
 
-    _, (energy, zs) = jax.lax.scan(body, psi0, (angles, keys))
+    _, (energy, zs) = jax.lax.scan(body, psi0, (angles, codes))
     return energy, zs

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -31,15 +32,23 @@ def _guard_gather_path(cfg):
             f"would fall to the dense gather path, which crashes the TPU "
             f"worker above L={_GATHER_MAX_L}. Supported: x-polarization "
             f"(kernel/sigma engines) up to L=30; general polarizations up "
-            f"to L=29 via the lab-frame kernels (q < L, tf*K <= 1024, "
+            f"to L=29 via the lab-frame kernels (q < L, forward tf*K <= "
+            f"1024 / echo 2*tf*K <= 1024 — the echo rows carry a (pre, "
+            f"post) pair per step, halving the SMEM step budget; "
             f"DTC_TPU_DEVICE_ENGINE=auto|kernel) — this request missed "
             f"those constraints.")
 
 
-def _device_general_hi_run(cfg, sched, p1, p2, af, echo):
-    """(1,1)-mesh per-shard general builder with device rows — the
+@functools.lru_cache(maxsize=8)
+def _device_general_hi_fn(echo, *, L, T, K, q, initial_state, af,
+                          p1_bytes, p2_bytes, epk):
+    """Cached (1,1)-mesh per-shard general builder with device rows — the
     single-chip device-noise route for general polarizations past the
-    gather cliff, 24 <= L <= 29 (parallel/sharded.py `device=`)."""
+    gather cliff, 24 <= L <= 29 (parallel/sharded.py `device=`). Cached
+    like engine._singlechip_general_fn: rebuilding per sweep call would
+    retrace the shard_map scan (fresh jax.jit identity) and re-trigger the
+    hi general kernels' minutes-long Mosaic compiles on every repeated
+    sweep in one process; arrays enter the key as raw bytes."""
     from dtc_tpu.parallel.mesh import make_mesh
     from dtc_tpu.parallel.sharded import (
         make_sharded_autocorr_forward_general,
@@ -50,9 +59,19 @@ def _device_general_hi_run(cfg, sched, p1, p2, af, echo):
     maker = (make_sharded_echo_general if echo
              else make_sharded_autocorr_forward_general)
     return maker(
-        mesh, L=cfg.L, T=cfg.tf, K=sched.K, p=0.0, q=cfg.probe_qubit,
-        initial_state=cfg.initial_state, ancilla_factor=af,
-        device=(np.asarray(p1), np.asarray(p2), 2))
+        mesh, L=L, T=T, K=K, p=0.0, q=q,
+        initial_state=initial_state, ancilla_factor=af,
+        device=(np.frombuffer(p1_bytes, dtype=np.float64),
+                np.frombuffer(p2_bytes, dtype=np.float64), epk))
+
+
+def _device_general_hi_run(cfg, sched, p1, p2, af, echo):
+    return _device_general_hi_fn(
+        echo, L=cfg.L, T=cfg.tf, K=sched.K, q=cfg.probe_qubit,
+        initial_state=cfg.initial_state, af=float(af),
+        p1_bytes=np.ascontiguousarray(p1, dtype=np.float64).tobytes(),
+        p2_bytes=np.ascontiguousarray(p2, dtype=np.float64).tobytes(),
+        epk=2)
 
 
 def _device_general_hi_forward(cfg, sched, p1, p2, af, hs, phis, key):
