@@ -220,7 +220,14 @@ def _tail_phase_angles(zm_t, sig_t, hs, phis, aidx, *, L, local_bits):
     z_{local_bits-1} leg is the local TOP bit, applied by the caller as a
     2-half broadcast). Mirrors the compact-row angle formula of the
     resident kernels (cz = h*(sig-0.5) - pi/2*n, cb = phi*(flip-0.5),
-    c0 = pi/2*sum(n)) restricted to bits >= local_bits."""
+    c0 = pi/2*sum(n)) restricted to bits >= local_bits.
+
+    ``hs``/``phis`` may be static (L,)/(L-1,) vectors OR per-trajectory
+    (n, L)/(n, L-1) rows — the device-noise route feeds the event-
+    commutation sign-adjusted diagonal rows of _device_general_rows per
+    cycle (the frame-conjugation flips here multiply ON TOP of those
+    signs: moving bond events through the diagonal sublayers and
+    deferring X applications are independent transformations)."""
     half_pi = float(np.pi / 2)
     qs = jnp.arange(L, dtype=jnp.uint32)
     zb = ((sig_t[:, None] >> qs) & 1).astype(jnp.float32)   # (n, L)
@@ -231,18 +238,18 @@ def _tail_phase_angles(zm_t, sig_t, hs, phis, aidx, *, L, local_bits):
     for qq in range(local_bits, L):
         gb = qq - local_bits
         z = (1 - 2 * ((aidx >> gb) & 1)).astype(jnp.float32)
-        czq = hf[qq] * (zb[:, qq] - 0.5) - half_pi * nb[:, qq]
+        czq = hf[..., qq] * (zb[:, qq] - 0.5) - half_pi * nb[:, qq]
         th_sc = th_sc + czq * z + half_pi * nb[:, qq]
     for b in range(local_bits, L - 1):
         gb, gb1 = b - local_bits, b + 1 - local_bits
         zz = ((1 - 2 * ((aidx >> gb) & 1))
               * (1 - 2 * ((aidx >> gb1) & 1))).astype(jnp.float32)
         flip = jnp.abs(zb[:, b] - zb[:, b + 1])
-        th_sc = th_sc + pf[b] * (flip - 0.5) * zz
+        th_sc = th_sc + pf[..., b] * (flip - 0.5) * zz
     b = local_bits - 1
     flip = jnp.abs(zb[:, b] - zb[:, b + 1])
     z_s0 = (1 - 2 * (aidx & 1)).astype(jnp.float32)
-    th_bnd = pf[b] * (flip - 0.5) * z_s0
+    th_bnd = pf[..., b] * (flip - 0.5) * z_s0
     return th_sc, th_bnd
 
 
@@ -756,13 +763,21 @@ def make_sharded_autocorr_forward_general(
     _device_general_rows: composed per-slot Pauli masks + bond-parity
     sign-flipped final-slot phi rows — the same commutation algebra as
     device_general_kernel_forward_batch, so the kernels run unchanged).
-    Requires a (1,1)-degenerate amp mesh (n_amp == 1: device events are
-    built in the lab frame across all L qubits, with no global XOR-frame
-    deferral) and p == 0. This is the single-chip device-noise route for
-    general polarizations at 24 <= L <= 29 — previously a hard error past
-    the dense-gather cliff (reference device mode
-    autocorr-delta-a-single-qiskit-fast.py:77-79 crossed with its general
-    drives …-circular-polarization.py:110-142).
+    Requires p == 0. n_amp >= 2 works (round 5; previously a hard
+    n_amp == 1 restriction): the composed event masks' SHARD-BIT parts
+    ride the exact global bookkeeping of the depolarizing branch — X
+    parts deferred into the XOR frame (sig_b conjugating the global slot
+    kicks), Z parts through the zm_prev column fold and the cycle-end
+    global diagonal — while the device commutation's bond-sign flips
+    reach the global/boundary bonds through per-cycle phi diagonal rows
+    fed to _tail_phase_angles (the frame-conjugation flips multiply on
+    top). Trajectory-exact vs the dense original-order oracle at
+    n_amp=2 in interpret mode (tests/test_sharded_kernel.py). This is
+    the device-noise route for general polarizations past the
+    dense-gather cliff, single-chip (1,1) at 24 <= L <= 29 and
+    amplitude-sharded to L = 29 + log2(n_amp) (reference device mode
+    autocorr-delta-a-single-qiskit-fast.py:77-79 crossed with its
+    general drives …-circular-polarization.py:110-142).
     """
     from dtc_tpu.core.sigma_evolve import _codes_from_uniform, _masks_from_codes
     from dtc_tpu.ops.pallas_cycle import general_cycle_forward_apply
@@ -801,9 +816,6 @@ def make_sharded_autocorr_forward_general(
     S = T * K
     gmask = jnp.uint32(((1 << L) - 1) & ~(M - 1))
     if device is not None:
-        if n_amp != 1:
-            raise ValueError("device rows need n_amp == 1 (lab-frame "
-                             "events across all L qubits)")
         if p != 0.0:
             raise ValueError("device mode replaces depolarizing noise; "
                              "pass p=0")
@@ -834,17 +846,29 @@ def make_sharded_autocorr_forward_general(
             if device is not None:
                 # device-noise rows: composed per-slot masks + sign-flipped
                 # final-slot phi rows (same presample as the oracle in
-                # core.device_evolve — trajectory-exact validation)
+                # core.device_evolve — trajectory-exact validation). The
+                # masks' shard-bit parts take the SAME deferral bookkeeping
+                # as the depolarizing branch below; the sign-adjusted phi
+                # row additionally rides to the global diagonal per cycle.
                 zm, xm, phi_rows = _device_general_rows(
                     key, phis.astype(jnp.float32), dev_p1, dev_p2,
-                    dev_epk, T, K, L)
-                zmb = _bits_row(zm, local_bits).reshape(T, K, local_bits)
-                xmb = _bits_row(xm, local_bits).reshape(T, K, local_bits)
+                    dev_epk, T, K, L)              # (S,), (S,), (S, L-1)
+                csum = jax.lax.associative_scan(jnp.bitwise_xor, xm)
+                sig_b = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.uint32), csum[:-1]])
+                zm_prev = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.uint32), zm[:-1]])
+                zmb = _bits_row(zm & jnp.uint32(M - 1), local_bits
+                                ).reshape(T, K, local_bits)
+                xmb = _bits_row(xm & jnp.uint32(M - 1), local_bits
+                                ).reshape(T, K, local_bits)
+                phi_tk = phi_rows.reshape(T, K, L - 1)
                 tiles = jnp.concatenate(
-                    [zmb, xmb, hrow, phi_rows.reshape(T, K, L - 1), flags],
+                    [zmb, xmb, hrow, phi_tk[..., : local_bits - 1], flags],
                     axis=-1)
-                zk = jnp.zeros((T, K), jnp.uint32)
-                return tiles, zk, zk, zk[:, 0], zk[:, 0]
+                return (tiles, sig_b.reshape(T, K), zm_prev.reshape(T, K),
+                        zm.reshape(T, K)[:, K - 1],
+                        csum.reshape(T, K)[:, K - 1], phi_tk[:, K - 1])
             # same uniform draw as general_forward_batch / sigma engine
             if p > 0.0:
                 u = jax.random.uniform(key, (S, L), dtype=jnp.float32)
@@ -863,10 +887,18 @@ def make_sharded_autocorr_forward_general(
             return (tiles, sig_b.reshape(T, K), zm_prev.reshape(T, K),
                     zm.reshape(T, K)[:, K - 1], csum.reshape(T, K)[:, K - 1])
 
-        tiles, sig_b, zm_prev, zm_fin, csum_fin = jax.vmap(sample)(keys)
+        outs = jax.vmap(sample)(keys)
+        if device is not None:
+            tiles, sig_b, zm_prev, zm_fin, csum_fin, phi_fin = outs
+        else:
+            (tiles, sig_b, zm_prev, zm_fin, csum_fin), phi_fin = outs, None
 
         def body(st, inp):
-            ang, tiles_t, sigb_t, zmp_t, zmf_t, csf_t = inp
+            if device is not None:
+                ang, tiles_t, sigb_t, zmp_t, zmf_t, csf_t, phf_t = inp
+            else:
+                ang, tiles_t, sigb_t, zmp_t, zmf_t, csf_t = inp
+                phf_t = phis
             if use_hi:
                 st, a_part = general_hi_cycle_forward_apply(
                     st, tiles_t, L=local_bits, K=K, q=q,
@@ -881,13 +913,15 @@ def make_sharded_autocorr_forward_general(
                         st, ang[k, 0], ang[k, 1], sigb_t[:, k], zmp_t[:, k],
                         local_bits=local_bits, n_amp=n_amp)
                 st = _global_diag(st, zmf_t & gmask, csf_t & gmask, hs,
-                                  phis, L=L, local_bits=local_bits)
+                                  phf_t, L=L, local_bits=local_bits)
             return st, jax.lax.psum(a_part, "amp")
 
         xs = (angles[: T - 1], jnp.swapaxes(tiles, 0, 1)[: T - 1],
               jnp.swapaxes(sig_b, 0, 1)[: T - 1],
               jnp.swapaxes(zm_prev, 0, 1)[: T - 1],
               zm_fin.T[: T - 1], csum_fin.T[: T - 1])
+        if device is not None:
+            xs = xs + (jnp.swapaxes(phi_fin, 0, 1)[: T - 1],)
         _, a_frames = jax.lax.scan(body, state0, xs)  # (T-1, n)
 
         a_traj = af * s0 * a_frames.T                 # (n, T-1); no sigma
@@ -982,10 +1016,12 @@ def make_sharded_echo_general(
     mlow = jnp.uint32(M - 1)
     if device is not None:
         # device-noise rows (see make_sharded_autocorr_forward_general):
-        # (1,1)-degenerate amp mesh only, lab-frame events on all L qubits
-        if n_amp != 1:
-            raise ValueError("device rows need n_amp == 1 (lab-frame "
-                             "events across all L qubits)")
+        # n_amp >= 2 rides the depolarizing branch's global bookkeeping —
+        # composed masks' shard-bit X parts into the XOR frame, Z parts
+        # through zm_prev/zm_fin — while the rows' baked commutation signs
+        # reach the global/boundary diagonal as per-step h/phi rows (the
+        # frame flips compose by XOR on top: conj_sig(conj_m(D)) =
+        # conj_{sig^m}(D), so baked rows + full-frame flips are exact)
         if p != 0.0:
             raise ValueError("device mode replaces depolarizing noise; "
                              "pass p=0")
@@ -1051,16 +1087,34 @@ def make_sharded_echo_general(
                         key, t_value, hs.astype(jnp.float32),
                         phis.astype(jnp.float32), dev_p1, dev_p2,
                         dev_epk, T, K, L))
+                csum = jax.lax.associative_scan(
+                    jnp.bitwise_xor, xk.reshape(-1))
+                sig_b = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.uint32), csum[:-1]]
+                ).reshape(T2, K)
+                zm_prev = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.uint32),
+                     zk.reshape(-1)[:-1]]).reshape(T2, K)
+                # turnaround rule as the depolarizing branch: the last
+                # forward step's final event Z was consumed by that step's
+                # global diagonal (zm_fin), so the first inverse step
+                # defers zero
+                zm_prev = zm_prev.at[:, 0].set(
+                    jnp.where(step == t_value, jnp.uint32(0),
+                              zm_prev[:, 0]))
                 zmb = _bits_row(zk & mlow, local_bits)
                 xmb = _bits_row(xk & mlow, local_bits)
                 hrow_fd = jnp.zeros((T2, K, local_bits), jnp.float32
-                                    ).at[:, K - 1].set(post_h)
+                                    ).at[:, K - 1].set(
+                                        post_h[:, :local_bits])
                 prow_fd = jnp.zeros((T2, K, local_bits - 1), jnp.float32
-                                    ).at[:, K - 1].set(post_phi)
+                                    ).at[:, K - 1].set(
+                                        post_phi[:, : local_bits - 1])
                 hrow_id = jnp.zeros((T2, K, local_bits), jnp.float32
-                                    ).at[:, 0].set(pre_h)
+                                    ).at[:, 0].set(pre_h[:, :local_bits])
                 prow_id = jnp.zeros((T2, K, local_bits - 1), jnp.float32
-                                    ).at[:, 0].set(pre_phi)
+                                    ).at[:, 0].set(
+                                        pre_phi[:, : local_bits - 1])
                 rows_f = jnp.concatenate(
                     [zmb, xmb, hrow_fd, prow_fd, flags_f], axis=-1)
                 pre = jnp.concatenate(
@@ -1068,8 +1122,9 @@ def make_sharded_echo_general(
                 post = jnp.concatenate(
                     [zmb, zl, 0.0 * hrow_fd, zp, zfl], axis=-1)
                 rows_i = jnp.stack([pre, post], axis=2)
-                zkz = jnp.zeros((T2, K), jnp.uint32)
-                return (rows_f, rows_i, zkz, zkz, zkz[:, 0], zkz[:, 0])
+                return (rows_f, rows_i, sig_b, zm_prev, zk[:, K - 1],
+                        csum.reshape(T2, K)[:, K - 1],
+                        pre_h, pre_phi, post_h, post_phi)
             # identical uniform draw to make_sharded_echo so the engines
             # agree trajectory-for-trajectory with the same keys
             if p > 0.0:
@@ -1102,11 +1157,15 @@ def make_sharded_echo_general(
             return (rows_f, rows_i, sig_b, zm_prev,
                     zm[:, K - 1], csum.reshape(T2, K)[:, K - 1])
 
-        (rows_f, rows_i, sig_b, zm_prev, zm_fin,
-         csum_fin) = jax.vmap(sample)(keys)
+        outs = jax.vmap(sample)(keys)
+        if device is not None:
+            (rows_f, rows_i, sig_b, zm_prev, zm_fin, csum_fin,
+             pre_h, pre_phi, post_h, post_phi) = outs
+        else:
+            (rows_f, rows_i, sig_b, zm_prev, zm_fin, csum_fin) = outs
 
         def br_fwd(op):
-            st, ang_t, rf, ri, sigb, zmp, zmf, csf = op
+            st, ang_t, rf, ri, sigb, zmp, zmf, csf = op[:8]
             if use_hi:
                 # slots=2: co-allocated with the inverse kernel in the
                 # echo switch (see make_sharded_echo_kernel)
@@ -1122,16 +1181,33 @@ def make_sharded_echo_general(
                     st = _global_general_slot_kick(
                         st, ang_t[k, 0], ang_t[k, 1], sigb[:, k],
                         zmp[:, k], local_bits=local_bits, n_amp=n_amp)
-                st = _global_diag(st, zmf & gmask, csf & gmask, hs, phis,
-                                  L=L, local_bits=local_bits)
+                if device is not None:
+                    # forward postdiag with the commutation-sign-baked
+                    # rows (turnaround conjugation included); frame flips
+                    # compose by XOR on top
+                    _ph, _pp = op[10], op[11]
+                    st = _global_diag(st, zmf & gmask, csf & gmask, _ph,
+                                      _pp, L=L, local_bits=local_bits)
+                else:
+                    st = _global_diag(st, zmf & gmask, csf & gmask, hs,
+                                      phis, L=L, local_bits=local_bits)
             return st
 
         def br_inv(op):
-            st, ang_t, rf, ri, sigb, zmp, zmf, csf = op
+            st, ang_t, rf, ri, sigb, zmp, zmf, csf = op[:8]
             if k_bits:
-                st = _global_diag_inv(
-                    st, zmp[:, 0] & gmask, sigb[:, 0] & gmask, hs, phis,
-                    L=L, local_bits=local_bits)
+                if device is not None:
+                    # the D0^dag negation + crossing conjugations are
+                    # BAKED into the pre rows, so the inverse prediag is
+                    # the plain (non-negating) _global_diag over them
+                    _ph, _pp = op[8], op[9]
+                    st = _global_diag(
+                        st, zmp[:, 0] & gmask, sigb[:, 0] & gmask, _ph,
+                        _pp, L=L, local_bits=local_bits)
+                else:
+                    st = _global_diag_inv(
+                        st, zmp[:, 0] & gmask, sigb[:, 0] & gmask, hs,
+                        phis, L=L, local_bits=local_bits)
                 for j in range(K):
                     zw = (jnp.zeros_like(zmp[:, 0]) if j == 0
                           else zmp[:, j])
@@ -1155,10 +1231,16 @@ def make_sharded_echo_general(
                                 op)
             return st, None
 
-        xs = (step, (ang_step, jnp.swapaxes(rows_f, 0, 1),
-                     jnp.swapaxes(rows_i, 0, 1),
-                     jnp.swapaxes(sig_b, 0, 1), jnp.swapaxes(zm_prev, 0, 1),
-                     zm_fin.T, csum_fin.T))
+        ops = (ang_step, jnp.swapaxes(rows_f, 0, 1),
+               jnp.swapaxes(rows_i, 0, 1),
+               jnp.swapaxes(sig_b, 0, 1), jnp.swapaxes(zm_prev, 0, 1),
+               zm_fin.T, csum_fin.T)
+        if device is not None:
+            ops = ops + (jnp.swapaxes(pre_h, 0, 1),
+                         jnp.swapaxes(pre_phi, 0, 1),
+                         jnp.swapaxes(post_h, 0, 1),
+                         jnp.swapaxes(post_phi, 0, 1))
+        xs = (step, ops)
         st, _ = jax.lax.scan(body, state0, xs)
 
         part = jnp.sum((st[:, 0] ** 2 + st[:, 1] ** 2) * zq, axis=(1, 2))

@@ -473,6 +473,92 @@ def test_device_rows_sharded_general_forward_matches_oracle(pol, K):
     assert np.max(np.abs(a_k - a_o)) < 1e-4, (pol, a_k, a_o)
 
 
+def test_device_rows_sharded_general_forward_amp2_matches_oracle():
+    """Device rows on a REAL amplitude-sharded mesh (n_amp=2 — round 5;
+    previously a hard n_amp==1 restriction): the composed event masks'
+    shard-bit X parts ride the depolarizing branch's XOR-frame deferral,
+    Z parts the zm_prev/zm_fin bookkeeping, and the commutation-signed
+    phi rows reach the global/boundary diagonal per cycle
+    (_tail_phase_angles per-trajectory rows — conj_sig(conj_m(D)) =
+    conj_{sig^m}(D), so baked rows + full-frame flips compose exactly).
+    Trajectory-exact vs the dense original-order oracle."""
+    from dtc_tpu.core.device_evolve import device_general_forward_oracle
+    from dtc_tpu.parallel.sharded import (
+        make_sharded_autocorr_forward_general,
+    )
+
+    L, T, q = 18, 3, 9
+    hs, phis = generate_disorder(L, 1, seed=9)
+    hsj = jnp.asarray(hs[0])
+    phj = jnp.asarray(phis[0])
+    p1 = jnp.linspace(0.1, 0.4, L)
+    p2 = jnp.linspace(0.15, 0.45, L - 1)
+    keys = jax.random.split(jax.random.PRNGKey(5), 2)
+    mesh = make_mesh(n_amp=2, n_traj=1)
+    sched = build_kick_schedule("y", 0.97, T)
+    fn = make_sharded_autocorr_forward_general(
+        mesh, L=L, T=T, K=1, p=0.0, q=q, ancilla_factor=0.9,
+        interpret=True, device=(p1, p2, 2))
+    a_k = np.asarray(fn(sched.angles, hsj, phj, keys))
+    a_o = np.asarray(device_general_forward_oracle(
+        hsj, phj, p1, p2, sched.angles, keys, L=L, T=T, K=1, q=q,
+        ancilla_factor=0.9)).mean(axis=0)
+    assert np.max(np.abs(a_k - a_o)) < 1e-4, (a_k, a_o)
+
+
+@pytest.mark.slow
+def test_device_rows_sharded_general_amp2_k2_and_echo():
+    """n_amp=2 device rows, the K=2 slot structure (circular) forward AND
+    the echo's (pre, post) commutation mapping — inverse prediag rows with
+    baked D0^dag negation run through the plain (non-negating)
+    _global_diag at the step's pre-event frame — vs the dense oracles;
+    zero-rate echo invariant rides along."""
+    from dtc_tpu.core.device_evolve import (
+        device_general_echo_oracle,
+        device_general_forward_oracle,
+    )
+    from dtc_tpu.parallel.sharded import (
+        make_sharded_autocorr_forward_general,
+        make_sharded_echo_general,
+    )
+
+    L, T, q = 18, 3, 9
+    hs, phis = generate_disorder(L, 1, seed=9)
+    hsj = jnp.asarray(hs[0])
+    phj = jnp.asarray(phis[0])
+    p1 = jnp.linspace(0.1, 0.35, L)
+    p2 = jnp.linspace(0.15, 0.4, L - 1)
+    mesh = make_mesh(n_amp=2, n_traj=1)
+    keys2 = jax.random.split(jax.random.PRNGKey(5), 2)
+    sched_c = build_kick_schedule("circular_left", 0.97, T)
+    fn = make_sharded_autocorr_forward_general(
+        mesh, L=L, T=T, K=2, p=0.0, q=q, ancilla_factor=0.9,
+        interpret=True, device=(p1, p2, 2))
+    a_k = np.asarray(fn(sched_c.angles, hsj, phj, keys2))
+    a_o = np.asarray(device_general_forward_oracle(
+        hsj, phj, p1, p2, sched_c.angles, keys2, L=L, T=T, K=2, q=q,
+        ancilla_factor=0.9)).mean(axis=0)
+    assert np.max(np.abs(a_k - a_o)) < 1e-4, (a_k, a_o)
+
+    keys = jax.random.split(jax.random.PRNGKey(5), 1)
+    sched = build_kick_schedule("y", 0.97, T)
+    efn = make_sharded_echo_general(
+        mesh, L=L, T=T, K=1, p=0.0, q=q, ancilla_factor=0.9,
+        interpret=True, device=(p1, p2, 2))
+    for t in (1, 3):
+        a_k = float(efn(sched.angles, hsj, phj, keys, jnp.asarray(t)))
+        a_o = float(np.mean([np.asarray(device_general_echo_oracle(
+            hsj, phj, p1, p2, sched.angles, k, t, L=L, T=T, K=1, q=q,
+            ancilla_factor=0.9)) for k in keys]))
+        assert abs(a_k - a_o) < 1e-4, (t, a_k, a_o)
+    fn0 = make_sharded_echo_general(
+        mesh, L=L, T=T, K=2, p=0.0, q=q, ancilla_factor=1.0,
+        interpret=True, device=(np.zeros(L), np.zeros(L - 1), 2))
+    a0 = float(fn0(build_kick_schedule("xy", 0.97, T).angles, hsj, phj,
+                   keys, jnp.asarray(2)))
+    assert abs(a0 - 1.0) < 1e-4, a0
+
+
 @pytest.mark.parametrize("pol,K", [("y", 1), ("circular_left", 2)])
 def test_device_rows_sharded_general_echo_matches_oracle(pol, K):
     """Device-noise ECHO through the (1,1)-mesh per-shard general
