@@ -46,7 +46,93 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dtc_tpu.ops.pallas_resident import _C, _HALF_PI, _cmul, _dot_f32
 from dtc_tpu.ops.pallas_streamed import _kara_right
-from dtc_tpu.ops.pallas_streamed_hi import _hi_geometry
+from dtc_tpu.ops.pallas_streamed_hi import _PlanePair, _hi_geometry
+
+
+def hi_dma_helpers(split, st_refs, aslab, bslab, g, MS, CS, NSA, NSB,
+                   sems):
+    """loadA/storeA/loadB/storeB builders over the per-trajectory state.
+
+    split=False: ONE fused (n, 2, R2, 128, _C) HBM array (sem lanes:
+    A loads [0,NSA), A stores [NSA,2NSA), B loads/stores after).
+    split=True: TWO per-plane (n, R2, 128, _C) arrays — the streamed-hi
+    `_PlanePair` layout that bounds every DMA window offset by one
+    plane's size, lifting the 2^32 offset wrap that rejects L_loc = 30
+    fused states (docs/PERFORMANCE.md round-4); each helper drives the
+    re and im copies on paired sem lanes (2x the fused count).
+    """
+    if not split:
+        (st_hbm,) = st_refs
+
+        def loadA(slot, i):
+            return pltpu.make_async_copy(
+                st_hbm.at[g, :, i], aslab.at[slot], sems.at[slot])
+
+        def storeA(slot, i):
+            return pltpu.make_async_copy(
+                aslab.at[slot], st_hbm.at[g, :, i], sems.at[NSA + slot])
+
+        def loadB(slot, jm, jc):
+            return pltpu.make_async_copy(
+                st_hbm.at[g, :, :, pl.ds(jm * MS, MS), pl.ds(jc * CS, CS)],
+                bslab.at[slot], sems.at[2 * NSA + slot])
+
+        def storeB(slot, jm, jc):
+            return pltpu.make_async_copy(
+                bslab.at[slot],
+                st_hbm.at[g, :, :, pl.ds(jm * MS, MS), pl.ds(jc * CS, CS)],
+                sems.at[2 * NSA + NSB + slot])
+
+        return loadA, storeA, loadB, storeB
+
+    st_re, st_im = st_refs
+
+    def loadA(slot, i):
+        return _PlanePair(
+            pltpu.make_async_copy(st_re.at[g, i], aslab.at[slot, 0],
+                                  sems.at[2 * slot]),
+            pltpu.make_async_copy(st_im.at[g, i], aslab.at[slot, 1],
+                                  sems.at[2 * slot + 1]))
+
+    def storeA(slot, i):
+        return _PlanePair(
+            pltpu.make_async_copy(aslab.at[slot, 0], st_re.at[g, i],
+                                  sems.at[2 * (NSA + slot)]),
+            pltpu.make_async_copy(aslab.at[slot, 1], st_im.at[g, i],
+                                  sems.at[2 * (NSA + slot) + 1]))
+
+    def loadB(slot, jm, jc):
+        win = (pl.ds(jm * MS, MS), pl.ds(jc * CS, CS))
+        return _PlanePair(
+            pltpu.make_async_copy(st_re.at[g, :, win[0], win[1]],
+                                  bslab.at[slot, 0],
+                                  sems.at[2 * (2 * NSA + slot)]),
+            pltpu.make_async_copy(st_im.at[g, :, win[0], win[1]],
+                                  bslab.at[slot, 1],
+                                  sems.at[2 * (2 * NSA + slot) + 1]))
+
+    def storeB(slot, jm, jc):
+        win = (pl.ds(jm * MS, MS), pl.ds(jc * CS, CS))
+        return _PlanePair(
+            pltpu.make_async_copy(bslab.at[slot, 0],
+                                  st_re.at[g, :, win[0], win[1]],
+                                  sems.at[2 * (2 * NSA + NSB + slot)]),
+            pltpu.make_async_copy(bslab.at[slot, 1],
+                                  st_im.at[g, :, win[0], win[1]],
+                                  sems.at[2 * (2 * NSA + NSB + slot) + 1]))
+
+    return loadA, storeA, loadB, storeB
+
+
+def hi_state_specs(split, n_in_before, n_out_before, NSA, NSB):
+    """(extra in_specs, extra out_specs, aliases, sem count) for the state
+    operand(s): one fused ANY pair, or two per-plane ANY pairs (split)."""
+    n_state = 2 if split else 1
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_state
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_state
+    aliases = {n_in_before + k: n_out_before + k for k in range(n_state)}
+    n_sems = (4 if split else 2) * (NSA + NSB)
+    return in_specs, out_specs, aliases, n_sems
 
 
 def _row_readers(par_ref, L):
@@ -82,11 +168,13 @@ def _row_readers(par_ref, L):
 
 
 def _make_hi_cycle_kernel(L: int, q: int, MS: int, CS: int, width: int,
-                          NSA: int, NSB: int):  # noqa: C901
+                          NSA: int, NSB: int,
+                          split: bool = False):  # noqa: C901
     """One grid step = one trajectory's shard, ONE post-fold cycle with the
     fused A(t) partial sum (body = one iteration of
     ops/pallas_streamed_hi._make_hi_kernel's cycle loop, state via the
-    per-trajectory ANY-aliased HBM pair)."""
+    per-trajectory ANY-aliased HBM pair — split per-plane pair at
+    L_loc = 30, see hi_dma_helpers)."""
     R2 = 1 << (L - 21)
     NMC = 128 // MS
     NCC = _C // CS
@@ -94,9 +182,16 @@ def _make_hi_cycle_kernel(L: int, q: int, MS: int, CS: int, width: int,
     DA = NSA - 1
     DB = NSB - 1
 
-    def kernel(u7r_ref, u7i_ref, u21r_ref, u21i_ref, par_ref, st_in_ref,
-               a_out_ref, st_hbm, aslab, bslab, acc, sems):
-        del st_in_ref
+    def kernel(u7r_ref, u7i_ref, u21r_ref, u21i_ref, par_ref, *rest):
+        if split:
+            (sre_in, sim_in, a_out_ref, st_re, st_im, aslab, bslab, acc,
+             sems) = rest
+            del sre_in, sim_in
+            st_refs = (st_re, st_im)
+        else:
+            (st_in_ref, a_out_ref, st_hbm, aslab, bslab, acc, sems) = rest
+            del st_in_ref
+            st_refs = (st_hbm,)
         g = pl.program_id(0)
 
         l7o = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -116,24 +211,8 @@ def _make_hi_cycle_kernel(L: int, q: int, MS: int, CS: int, width: int,
                for k in range(L - 21)]
         csl = jax.lax.broadcasted_iota(jnp.int32, (1, 1, CS), 2)
 
-        def loadA(slot, i):
-            return pltpu.make_async_copy(
-                st_hbm.at[g, :, i], aslab.at[slot], sems.at[slot])
-
-        def storeA(slot, i):
-            return pltpu.make_async_copy(
-                aslab.at[slot], st_hbm.at[g, :, i], sems.at[NSA + slot])
-
-        def loadB(slot, jm, jc):
-            return pltpu.make_async_copy(
-                st_hbm.at[g, :, :, pl.ds(jm * MS, MS), pl.ds(jc * CS, CS)],
-                bslab.at[slot], sems.at[2 * NSA + slot])
-
-        def storeB(slot, jm, jc):
-            return pltpu.make_async_copy(
-                bslab.at[slot],
-                st_hbm.at[g, :, :, pl.ds(jm * MS, MS), pl.ds(jc * CS, CS)],
-                sems.at[2 * NSA + NSB + slot])
+        loadA, storeA, loadB, storeB = hi_dma_helpers(
+            split, st_refs, aslab, bslab, g, MS, CS, NSA, NSB, sems)
 
         cz, cb, angle7, angle_c, c0 = _row_readers(par_ref, L)
 
@@ -265,7 +344,8 @@ def _make_hi_cycle_kernel(L: int, q: int, MS: int, CS: int, width: int,
 
 
 def _make_hi_inverse_cycle_kernel(L: int, MS: int, CS: int, width: int,
-                                  NSA: int, NSB: int):  # noqa: C901
+                                  NSA: int, NSB: int,
+                                  split: bool = False):  # noqa: C901
     """PRE-fold cycle body on the r2-blocked layout: K.D with the SAME
     un-negated angles as the forward kernel's D.K — run inside the caller's
     once-conjugated frame (imaginary plane negated at the echo turnaround),
@@ -283,9 +363,15 @@ def _make_hi_inverse_cycle_kernel(L: int, MS: int, CS: int, width: int,
     DA = NSA - 1
     DB = NSB - 1
 
-    def kernel(u7r_ref, u7i_ref, u21r_ref, u21i_ref, par_ref, st_in_ref,
-               st_hbm, aslab, bslab, sems):
-        del st_in_ref
+    def kernel(u7r_ref, u7i_ref, u21r_ref, u21i_ref, par_ref, *rest):
+        if split:
+            sre_in, sim_in, st_re, st_im, aslab, bslab, sems = rest
+            del sre_in, sim_in
+            st_refs = (st_re, st_im)
+        else:
+            st_in_ref, st_hbm, aslab, bslab, sems = rest
+            del st_in_ref
+            st_refs = (st_hbm,)
         g = pl.program_id(0)
 
         l7o = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -304,24 +390,8 @@ def _make_hi_inverse_cycle_kernel(L: int, MS: int, CS: int, width: int,
         zr2c = [(1 - 2 * ((r2c >> k) & 1)).astype(jnp.float32)
                 for k in range(L - 21)]
 
-        def loadA(slot, i):
-            return pltpu.make_async_copy(
-                st_hbm.at[g, :, i], aslab.at[slot], sems.at[slot])
-
-        def storeA(slot, i):
-            return pltpu.make_async_copy(
-                aslab.at[slot], st_hbm.at[g, :, i], sems.at[NSA + slot])
-
-        def loadB(slot, jm, jc):
-            return pltpu.make_async_copy(
-                st_hbm.at[g, :, :, pl.ds(jm * MS, MS), pl.ds(jc * CS, CS)],
-                bslab.at[slot], sems.at[2 * NSA + slot])
-
-        def storeB(slot, jm, jc):
-            return pltpu.make_async_copy(
-                bslab.at[slot],
-                st_hbm.at[g, :, :, pl.ds(jm * MS, MS), pl.ds(jc * CS, CS)],
-                sems.at[2 * NSA + NSB + slot])
+        loadA, storeA, loadB, storeB = hi_dma_helpers(
+            split, st_refs, aslab, bslab, g, MS, CS, NSA, NSB, sems)
 
         cz, cb, angle7, angle_c, c0 = _row_readers(par_ref, L)
 
@@ -434,21 +504,33 @@ def _make_hi_inverse_cycle_kernel(L: int, MS: int, CS: int, width: int,
 
 # DMA window offsets wrap at 2^32 bytes (measured: the fused L=30
 # streamed-hi state returned all zeros; its plane-1 base sits at exactly
-# 2^32, while L=29 — just under — is healthy). Per-shard states are
+# 2^32, while L=29 — just under — is healthy). Fused per-shard states are
 # (n, 2, R2, 128, _C) single arrays, so (a) per-CALL batches are chunked
-# to keep every window offset under 2^32 and (b) L_loc = 30 (one
-# trajectory's plane 1 already AT 2^32) is rejected outright — it needs
-# the split-plane layout ops/pallas_streamed_hi now uses.
+# to keep every window offset under 2^32 and (b) a fused L_loc = 30 state
+# (one trajectory's plane 1 already AT 2^32) is rejected — it takes the
+# SPLIT per-plane layout instead (state as a (re, im) pair of
+# (n, R2, 128, _C) arrays, the ops/pallas_streamed_hi fix), which bounds
+# every window offset by one plane's size and restores L_loc = 30 at one
+# trajectory per call.
 _DMA_OFFSET_LIMIT = 1 << 32
 
 
-def _traj_chunk(L):
-    per_traj = 1 << (L + 3)  # 2 planes x 2^L f32
-    return _DMA_OFFSET_LIMIT // per_traj
+def _traj_chunk(L, split=False):
+    # per-ARRAY bytes per trajectory: one plane (split) vs both (fused).
+    # At L=30 split this is exactly 2^32 -> one trajectory per call, whose
+    # highest window offset (R2-1)*2^23 stays under the wrap; the fused
+    # layout at L=30 yields 0 (no valid batch — rejected by the wrappers).
+    per_traj = 1 << (L + (2 if split else 3))
+    return (_DMA_OFFSET_LIMIT // per_traj) if not split \
+        else max(1, _DMA_OFFSET_LIMIT // per_traj)
 
 
 def _hi_shapes(L, state, slots=None, width=None, default_slots=4):
     """Shared shape/geometry resolver for the per-shard hi kernels.
+
+    ``state`` is either the fused (n, 2, TOP, _C)/(n, 2, R2, 128, _C)
+    array or the SPLIT (re, im) pair of (n, TOP, _C)/(n, R2, 128, _C)
+    per-plane arrays (L_loc = 30 and forced cross-checks).
 
     The general lab-frame module (ops/pallas_cycle_hi_general) reuses it
     with its own compact-row ``width`` and ``default_slots=2`` (its
@@ -456,11 +538,21 @@ def _hi_shapes(L, state, slots=None, width=None, default_slots=4):
     4-slot pass-B ring measured 568K past the 122M scoped-VMEM cap at
     L_loc=24), so the DMA-wrap chunking rule lives in ONE place."""
     R2 = 1 << (L - 21)
-    n_traj = state.shape[0]
     M = 1 << L
-    if state.shape[1:] not in ((2, M // _C, _C), (2, R2, 128, _C)):
-        raise ValueError(f"state shape {state.shape} is not a (n, 2, TOP, "
-                         f"{_C}) or (n, 2, {R2}, 128, {_C}) L={L} shard")
+    split = isinstance(state, (tuple, list))
+    if split:
+        for pl_ in state:
+            if pl_.shape[1:] not in ((M // _C, _C), (R2, 128, _C)):
+                raise ValueError(
+                    f"split plane shape {pl_.shape} is not a (n, TOP, "
+                    f"{_C}) or (n, {R2}, 128, {_C}) L={L} plane")
+        n_traj = state[0].shape[0]
+    else:
+        n_traj = state.shape[0]
+        if state.shape[1:] not in ((2, M // _C, _C), (2, R2, 128, _C)):
+            raise ValueError(
+                f"state shape {state.shape} is not a (n, 2, TOP, "
+                f"{_C}) or (n, 2, {R2}, 128, {_C}) L={L} shard")
     MS, CS = _hi_geometry(L)
     if width is None:
         width = 128 if 5 * L - 2 <= 128 else 256
@@ -473,48 +565,61 @@ def _hi_shapes(L, state, slots=None, width=None, default_slots=4):
 def hi_cycle_forward_apply(state, params, u7r, u7i, u21r, u21i, *, L, q,
                            interpret=False, slots=None):
     """Apply ONE factored Floquet cycle to a batch of shard-local states on
-    the r2-blocked layout (22 <= L_loc <= 29; 30 is rejected by the
-    2^32 DMA-offset wrap bound, _traj_chunk).
+    the r2-blocked layout (22 <= L_loc <= 30; L_loc = 30 requires the
+    SPLIT state — a fused state there crosses the 2^32 DMA-offset wrap).
 
     state: (n_traj, 2, TOP, 16384) or (n_traj, 2, R2, 128, 16384) f32
-    planar (TOP = 2**(L-14) = 128*R2; flat input is reshaped — free);
+    planar (TOP = 2**(L-14) = 128*R2; flat input is reshaped — free), OR
+    a SPLIT (re, im) pair of (n_traj, TOP, 16384)/(n_traj, R2, 128,
+    16384) per-plane arrays (returned as the same pair);
     params: (n_traj, width) f32 compact cycle rows
     (pack_cycle_params_compact at L = L_loc, width = 256 for L_loc >= 27);
     u7r/u7i: (1, 128, 128), u21r/u21i: (1, R2, R2) planar RX kron factors
     (ops/pallas_streamed._rx_kron).
 
-    Returns (state' (n_traj, 2, R2, 128, 16384), a_partial (n_traj,)): the
-    evolved states and the shard-local sum(z_q * |psi|^2) measured after
-    the cycle (psum over 'amp' and the sigma sign are the caller's job —
-    exact because z_q on any shard-local bit commutes with the caller's
-    remaining global ops of the same cycle).
+    Returns (state', a_partial (n_traj,)): the evolved states (same
+    layout as the input) and the shard-local sum(z_q * |psi|^2) measured
+    after the cycle (psum over 'amp' and the sigma sign are the caller's
+    job — exact because z_q on any shard-local bit commutes with the
+    caller's remaining global ops of the same cycle).
     """
-    if not (22 <= L <= 29):
+    split = isinstance(state, (tuple, list))
+    if not (22 <= L <= (30 if split else 29)):
         raise ValueError(
-            "hi cycle kernel supports 22 <= L_loc <= 29 (L_loc = 30 "
-            "single-trajectory states cross the 2^32 DMA-offset window; "
-            "use more shards or the XLA sharded engine)")
+            "hi cycle kernel supports 22 <= L_loc <= 29 fused / 30 split "
+            "(a fused L_loc = 30 state crosses the 2^32 DMA-offset "
+            "window — pass the (re, im) per-plane pair)")
     if not (0 <= q < L):
         raise ValueError("hi cycle kernel requires shard-local probe q < L")
     R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state, slots)
-    state = state.reshape(n_traj, 2, R2, 128, _C)
+    if split:
+        state = tuple(s.reshape(n_traj, R2, 128, _C) for s in state)
+    else:
+        state = state.reshape(n_traj, 2, R2, 128, _C)
     params = params.reshape(n_traj, 1, width)
-    nc = _traj_chunk(L)
+    nc = _traj_chunk(L, split)
     if n_traj > nc:
         # window offsets past 2^32 wrap: split the batch
+        index = ((lambda st, i: tuple(s[i:i + nc] for s in st)) if split
+                 else (lambda st, i: st[i:i + nc]))
         outs = [hi_cycle_forward_apply(
-            state[i:i + nc], params[i:i + nc], u7r, u7i, u21r, u21i, L=L,
+            index(state, i), params[i:i + nc], u7r, u7i, u21r, u21i, L=L,
             q=q, interpret=interpret, slots=slots)
             for i in range(0, n_traj, nc)]
+        if split:
+            return (tuple(jnp.concatenate([o[0][k] for o in outs])
+                          for k in range(2)),
+                    jnp.concatenate([o[1] for o in outs]))
         return (jnp.concatenate([o[0] for o in outs]),
                 jnp.concatenate([o[1] for o in outs]))
 
-    a_raw, state = pl.pallas_call(
-        _make_hi_cycle_kernel(L, q, MS, CS, width, NSA, NSB),
-        out_shape=[
-            jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct(state.shape, jnp.float32),
-        ],
+    st_in, st_out, aliases, n_sems = hi_state_specs(split, 5, 1, NSA, NSB)
+    out = pl.pallas_call(
+        _make_hi_cycle_kernel(L, q, MS, CS, width, NSA, NSB, split),
+        out_shape=(
+            [jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32)]
+            + [jax.ShapeDtypeStruct(s.shape, jnp.float32)
+               for s in (state if split else (state,))]),
         grid=(n_traj,),
         in_specs=[
             pl.BlockSpec((1, 128, 128), lambda i: (0, 0, 0),
@@ -527,24 +632,25 @@ def hi_cycle_forward_apply(state, params, u7r, u7i, u21r, u21i, *, L, q,
                          memory_space=pltpu.VMEM),  # u21i
             pl.BlockSpec((1, 1, width), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),  # cycle row
-            pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
-        ],
+        ] + st_in,
         out_specs=[
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
-        ],
-        input_output_aliases={5: 1},
+        ] + st_out,
+        input_output_aliases=aliases,
         scratch_shapes=[
             pltpu.VMEM((NSA, 2, 128, _C), jnp.float32),     # pass-A slabs
             pltpu.VMEM((NSB, 2, R2, MS, CS), jnp.float32),  # pass-B slabs
             pltpu.SMEM((1,), jnp.float32),                  # A(t) partial
-            pltpu.SemaphoreType.DMA((2 * NSA + 2 * NSB,)),
+            pltpu.SemaphoreType.DMA((n_sems,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=122 * 1024 * 1024),
         interpret=interpret,
-    )(u7r, u7i, u21r, u21i, params, state)
+    )(u7r, u7i, u21r, u21i, params,
+      *(state if split else (state,)))
+    a_raw = out[0]
+    state = tuple(out[1:]) if split else out[1]
     return state, a_raw[:, 0, 0]
 
 
@@ -553,25 +659,38 @@ def hi_cycle_inverse_apply(state, params, u7r, u7i, u21r, u21i, *, L,
     """Apply ONE conjugated-frame inverse Floquet cycle (K.D pre-fold — see
     _make_hi_inverse_cycle_kernel) to a batch of shard-local states on the
     r2-blocked layout. Same operands as hi_cycle_forward_apply with the
-    SAME un-negated angles; the caller negates the imaginary plane once at
-    the echo turnaround. Returns the evolved states."""
-    if not (22 <= L <= 29):
+    SAME un-negated angles (split (re, im) pair accepted at L_loc <= 30);
+    the caller negates the imaginary plane once at the echo turnaround.
+    Returns the evolved states (input layout)."""
+    split = isinstance(state, (tuple, list))
+    if not (22 <= L <= (30 if split else 29)):
         raise ValueError(
-            "hi cycle kernel supports 22 <= L_loc <= 29 (see "
-            "hi_cycle_forward_apply)")
+            "hi cycle kernel supports 22 <= L_loc <= 29 fused / 30 split "
+            "(see hi_cycle_forward_apply)")
     R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state, slots)
-    state = state.reshape(n_traj, 2, R2, 128, _C)
+    if split:
+        state = tuple(s.reshape(n_traj, R2, 128, _C) for s in state)
+    else:
+        state = state.reshape(n_traj, 2, R2, 128, _C)
     params = params.reshape(n_traj, 1, width)
-    nc = _traj_chunk(L)
+    nc = _traj_chunk(L, split)
     if n_traj > nc:
-        return jnp.concatenate([hi_cycle_inverse_apply(
-            state[i:i + nc], params[i:i + nc], u7r, u7i, u21r, u21i, L=L,
+        index = ((lambda st, i: tuple(s[i:i + nc] for s in st)) if split
+                 else (lambda st, i: st[i:i + nc]))
+        outs = [hi_cycle_inverse_apply(
+            index(state, i), params[i:i + nc], u7r, u7i, u21r, u21i, L=L,
             interpret=interpret, slots=slots)
-            for i in range(0, n_traj, nc)])
+            for i in range(0, n_traj, nc)]
+        if split:
+            return tuple(jnp.concatenate([o[k] for o in outs])
+                         for k in range(2))
+        return jnp.concatenate(outs)
 
-    (state,) = pl.pallas_call(
-        _make_hi_inverse_cycle_kernel(L, MS, CS, width, NSA, NSB),
-        out_shape=[jax.ShapeDtypeStruct(state.shape, jnp.float32)],
+    st_in, st_out, aliases, n_sems = hi_state_specs(split, 5, 0, NSA, NSB)
+    out = pl.pallas_call(
+        _make_hi_inverse_cycle_kernel(L, MS, CS, width, NSA, NSB, split),
+        out_shape=[jax.ShapeDtypeStruct(s.shape, jnp.float32)
+                   for s in (state if split else (state,))],
         grid=(n_traj,),
         in_specs=[
             pl.BlockSpec((1, 128, 128), lambda i: (0, 0, 0),
@@ -584,17 +703,17 @@ def hi_cycle_inverse_apply(state, params, u7r, u7i, u21r, u21i, *, L,
                          memory_space=pltpu.VMEM),  # u21i
             pl.BlockSpec((1, 1, width), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),  # cycle row
-            pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
-        ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        input_output_aliases={5: 0},
+        ] + st_in,
+        out_specs=st_out,
+        input_output_aliases=aliases,
         scratch_shapes=[
             pltpu.VMEM((NSA, 2, 128, _C), jnp.float32),     # pass-A slabs
             pltpu.VMEM((NSB, 2, R2, MS, CS), jnp.float32),  # pass-B slabs
-            pltpu.SemaphoreType.DMA((2 * NSA + 2 * NSB,)),
+            pltpu.SemaphoreType.DMA((n_sems,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=122 * 1024 * 1024),
         interpret=interpret,
-    )(u7r, u7i, u21r, u21i, params, state)
-    return state
+    )(u7r, u7i, u21r, u21i, params,
+      *(state if split else (state,)))
+    return tuple(out) if split else out[0]

@@ -64,11 +64,13 @@ def _angle_c(tiles_ref, L, ti, zt):
 
 
 def _make_general_hi_cycle_kernel(L: int, K: int, q: int, MS: int, CS: int,
-                                  width: int, NSA: int,
-                                  NSB: int):  # noqa: C901
+                                  width: int, NSA: int, NSB: int,
+                                  split: bool = False):  # noqa: C901
     """One grid step = one trajectory's shard, ONE lab-frame cycle = K
     statically-unrolled slot steps, each slot two DMA sweeps (post-fold);
-    the final slot's pass B carries the fused A(t) partial sum."""
+    the final slot's pass B carries the fused A(t) partial sum. ``split``
+    takes the per-plane (re, im) HBM pair (L_loc = 30 — see
+    ops/pallas_cycle_hi.hi_dma_helpers)."""
     R2 = 1 << (L - 21)
     NMC = 128 // MS
     NCC = _C // CS
@@ -77,9 +79,16 @@ def _make_general_hi_cycle_kernel(L: int, K: int, q: int, MS: int, CS: int,
     DB = NSB - 1
     FO = 4 * L - 1
 
-    def kernel(tiles_ref, st_in_ref, a_out_ref, st_hbm, aslab, bslab, acc,
-               sems):
-        del st_in_ref
+    def kernel(tiles_ref, *rest):
+        if split:
+            (sre_in, sim_in, a_out_ref, st_re, st_im, aslab, bslab, acc,
+             sems) = rest
+            del sre_in, sim_in
+            st_refs = (st_re, st_im)
+        else:
+            (st_in_ref, a_out_ref, st_hbm, aslab, bslab, acc, sems) = rest
+            del st_in_ref
+            st_refs = (st_hbm,)
         g = pl.program_id(0)
 
         l7o = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -99,24 +108,8 @@ def _make_general_hi_cycle_kernel(L: int, K: int, q: int, MS: int, CS: int,
                for k in range(L - 21)]
         csl = jax.lax.broadcasted_iota(jnp.int32, (1, 1, CS), 2)
 
-        def loadA(slot, i):
-            return pltpu.make_async_copy(
-                st_hbm.at[g, :, i], aslab.at[slot], sems.at[slot])
-
-        def storeA(slot, i):
-            return pltpu.make_async_copy(
-                aslab.at[slot], st_hbm.at[g, :, i], sems.at[NSA + slot])
-
-        def loadB(slot, jm, jc):
-            return pltpu.make_async_copy(
-                st_hbm.at[g, :, :, pl.ds(jm * MS, MS), pl.ds(jc * CS, CS)],
-                bslab.at[slot], sems.at[2 * NSA + slot])
-
-        def storeB(slot, jm, jc):
-            return pltpu.make_async_copy(
-                bslab.at[slot],
-                st_hbm.at[g, :, :, pl.ds(jm * MS, MS), pl.ds(jc * CS, CS)],
-                sems.at[2 * NSA + NSB + slot])
+        loadA, storeA, loadB, storeB = hi_dma_helpers(
+            split, st_refs, aslab, bslab, g, MS, CS, NSA, NSB, sems)
 
         czc, cbc, angle7, _, build_group = _tile_helpers(tiles_ref, L)
 
@@ -256,8 +249,9 @@ def _make_general_hi_cycle_kernel(L: int, K: int, q: int, MS: int, CS: int,
 
 
 def _make_general_hi_inverse_cycle_kernel(L: int, K: int, MS: int, CS: int,
-                                          width: int, NSA: int,
-                                          NSB: int):  # noqa: C901
+                                          width: int, NSA: int, NSB: int,
+                                          split: bool = False
+                                          ):  # noqa: C901
     """Daggered lab-frame cycle on the r2-blocked layout: K slot steps,
     each taking a (pre, post) compact-row pair (the caller builds them
     exactly like ops/pallas_cycle.general_cycle_inverse_apply's — daggered
@@ -276,8 +270,15 @@ def _make_general_hi_inverse_cycle_kernel(L: int, K: int, MS: int, CS: int,
     DB = NSB - 1
     FO = 4 * L - 1
 
-    def kernel(tiles_ref, st_in_ref, st_hbm, aslab, bslab, sems):
-        del st_in_ref
+    def kernel(tiles_ref, *rest):
+        if split:
+            sre_in, sim_in, st_re, st_im, aslab, bslab, sems = rest
+            del sre_in, sim_in
+            st_refs = (st_re, st_im)
+        else:
+            st_in_ref, st_hbm, aslab, bslab, sems = rest
+            del st_in_ref
+            st_refs = (st_hbm,)
         g = pl.program_id(0)
 
         l7o = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -300,24 +301,8 @@ def _make_general_hi_inverse_cycle_kernel(L: int, K: int, MS: int, CS: int,
         zr2c = [(1 - 2 * ((r2c >> k) & 1)).astype(jnp.float32)
                 for k in range(L - 21)]
 
-        def loadA(slot, i):
-            return pltpu.make_async_copy(
-                st_hbm.at[g, :, i], aslab.at[slot], sems.at[slot])
-
-        def storeA(slot, i):
-            return pltpu.make_async_copy(
-                aslab.at[slot], st_hbm.at[g, :, i], sems.at[NSA + slot])
-
-        def loadB(slot, jm, jc):
-            return pltpu.make_async_copy(
-                st_hbm.at[g, :, :, pl.ds(jm * MS, MS), pl.ds(jc * CS, CS)],
-                bslab.at[slot], sems.at[2 * NSA + slot])
-
-        def storeB(slot, jm, jc):
-            return pltpu.make_async_copy(
-                bslab.at[slot],
-                st_hbm.at[g, :, :, pl.ds(jm * MS, MS), pl.ds(jc * CS, CS)],
-                sems.at[2 * NSA + NSB + slot])
+        loadA, storeA, loadB, storeB = hi_dma_helpers(
+            split, st_refs, aslab, bslab, g, MS, CS, NSA, NSB, sems)
 
         czc, cbc, angle7, _, build_group = _tile_helpers(tiles_ref, L)
 
@@ -452,17 +437,18 @@ def _make_general_hi_inverse_cycle_kernel(L: int, K: int, MS: int, CS: int,
 def general_hi_width(L: int) -> int:
     """Compact general row width at L_loc = L (4L+9 lanes must fit).
 
-    The 256 branch is currently unreachable: it would first engage at
-    L_loc = 30 (4*30+9 = 129), which _traj_chunk rejects (the 2^32
-    DMA-offset wrap). Kept so the row packing doesn't silently truncate
-    if the wrap bound is ever lifted."""
+    The 256 branch engages at L_loc = 30 (4*30+9 = 129), reachable since
+    round 5 through the SPLIT per-plane state layout."""
     return 128 if 4 * L + 9 <= 128 else 256
 
 
-# the 2^32 DMA-offset wrap chunking rule and shape resolver are shared
-# with the x-kernel module so the safety bound lives in ONE place
+# the 2^32 DMA-offset wrap chunking rule, DMA helper factory and shape
+# resolver are shared with the x-kernel module so the safety bound lives
+# in ONE place
 from dtc_tpu.ops.pallas_cycle_hi import (  # noqa: E402
     _traj_chunk,
+    hi_dma_helpers,
+    hi_state_specs,
 )
 from dtc_tpu.ops.pallas_cycle_hi import _hi_shapes as _hi_shapes_shared
 
@@ -487,57 +473,71 @@ def general_hi_cycle_forward_apply(state, tiles, *, L, K, q, slots=None,
     layout: n | x-mask | h | phi | flags+u8, h/phi rows zeroed on
     non-final slots; width = general_hi_width(L)).
 
-    Returns (state' (n_traj, 2, R2, 128, 16384), a_partial (n_traj,)):
-    the evolved states and the shard-local sum(z_q |psi|^2) measured after
-    the final slot (psum over 'amp' is the caller's job; no sigma sign —
-    local bits are lab-frame)."""
-    if not (22 <= L <= 29):
+    Returns (state', a_partial (n_traj,)): the evolved states (input
+    layout — fused array or split (re, im) pair, the L_loc = 30 form) and
+    the shard-local sum(z_q |psi|^2) measured after the final slot (psum
+    over 'amp' is the caller's job; no sigma sign — local bits are
+    lab-frame)."""
+    split = isinstance(state, (tuple, list))
+    if not (22 <= L <= (30 if split else 29)):
         raise ValueError(
-            "general hi cycle kernel supports 22 <= L_loc <= 29 (L_loc = "
-            "30 states cross the 2^32 DMA-offset window)")
+            "general hi cycle kernel supports 22 <= L_loc <= 29 fused / "
+            "30 split (a fused L_loc = 30 state crosses the 2^32 "
+            "DMA-offset window — pass the (re, im) per-plane pair)")
     if not (0 <= q < L):
         raise ValueError(
             "general hi cycle kernel requires shard-local probe q < L")
     R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state, slots)
-    state = state.reshape(n_traj, 2, R2, 128, _C)
+    if split:
+        state = tuple(s.reshape(n_traj, R2, 128, _C) for s in state)
+    else:
+        state = state.reshape(n_traj, 2, R2, 128, _C)
     tiles = tiles.reshape(n_traj, K, width)
-    nc = _traj_chunk(L)
+    nc = _traj_chunk(L, split)
     if n_traj > nc:
+        index = ((lambda st, i: tuple(s[i:i + nc] for s in st)) if split
+                 else (lambda st, i: st[i:i + nc]))
         outs = [general_hi_cycle_forward_apply(
-            state[i:i + nc], tiles[i:i + nc], L=L, K=K, q=q,
+            index(state, i), tiles[i:i + nc], L=L, K=K, q=q,
             slots=slots, interpret=interpret)
             for i in range(0, n_traj, nc)]
+        if split:
+            return (tuple(jnp.concatenate([o[0][k] for o in outs])
+                          for k in range(2)),
+                    jnp.concatenate([o[1] for o in outs]))
         return (jnp.concatenate([o[0] for o in outs]),
                 jnp.concatenate([o[1] for o in outs]))
 
-    a_raw, state = pl.pallas_call(
-        _make_general_hi_cycle_kernel(L, K, q, MS, CS, width, NSA, NSB),
-        out_shape=[
-            jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct(state.shape, jnp.float32),
-        ],
+    st_in, st_out, aliases, n_sems = hi_state_specs(split, 1, 1, NSA, NSB)
+    out = pl.pallas_call(
+        _make_general_hi_cycle_kernel(L, K, q, MS, CS, width, NSA, NSB,
+                                      split),
+        out_shape=(
+            [jax.ShapeDtypeStruct((n_traj, 8, 128), jnp.float32)]
+            + [jax.ShapeDtypeStruct(s.shape, jnp.float32)
+               for s in (state if split else (state,))]),
         grid=(n_traj,),
         in_specs=[
             pl.BlockSpec((1, K, width), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),  # cycle tiles
-            pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
-        ],
+        ] + st_in,
         out_specs=[
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
-        ],
-        input_output_aliases={1: 1},
+        ] + st_out,
+        input_output_aliases=aliases,
         scratch_shapes=[
             pltpu.VMEM((NSA, 2, 128, _C), jnp.float32),     # pass-A slabs
             pltpu.VMEM((NSB, 2, R2, MS, CS), jnp.float32),  # pass-B slabs
             pltpu.SMEM((1,), jnp.float32),                  # A(t) partial
-            pltpu.SemaphoreType.DMA((2 * NSA + 2 * NSB,)),
+            pltpu.SemaphoreType.DMA((n_sems,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=122 * 1024 * 1024),
         interpret=interpret,
-    )(tiles, state)
+    )(tiles, *(state if split else (state,)))
+    a_raw = out[0]
+    state = tuple(out[1:]) if split else out[1]
     return state, a_raw[:, 0, 0]
 
 
@@ -548,41 +548,53 @@ def general_hi_cycle_inverse_apply(state, tiles, *, L, K, interpret=False,
 
     tiles: (n_traj, K, 2, width) per-slot (pre, post) compact general echo
     rows (layout of pallas_resident_general.general_echo_batch.tiles_one's
-    inverse steps, width = general_hi_width(L)). Returns state'
-    (n_traj, 2, R2, 128, 16384)."""
-    if not (22 <= L <= 29):
+    inverse steps, width = general_hi_width(L)). Returns state' in the
+    input layout (fused array, or the split (re, im) pair at
+    L_loc = 30)."""
+    split = isinstance(state, (tuple, list))
+    if not (22 <= L <= (30 if split else 29)):
         raise ValueError(
-            "general hi cycle kernel supports 22 <= L_loc <= 29 (see "
-            "general_hi_cycle_forward_apply)")
+            "general hi cycle kernel supports 22 <= L_loc <= 29 fused / "
+            "30 split (see general_hi_cycle_forward_apply)")
     R2, n_traj, MS, CS, width, NSA, NSB = _hi_shapes(L, state, slots)
-    state = state.reshape(n_traj, 2, R2, 128, _C)
+    if split:
+        state = tuple(s.reshape(n_traj, R2, 128, _C) for s in state)
+    else:
+        state = state.reshape(n_traj, 2, R2, 128, _C)
     tiles = tiles.reshape(n_traj, 2 * K, width)
-    nc = _traj_chunk(L)
+    nc = _traj_chunk(L, split)
     if n_traj > nc:
-        return jnp.concatenate([general_hi_cycle_inverse_apply(
-            state[i:i + nc], tiles[i:i + nc], L=L, K=K,
+        index = ((lambda st, i: tuple(s[i:i + nc] for s in st)) if split
+                 else (lambda st, i: st[i:i + nc]))
+        outs = [general_hi_cycle_inverse_apply(
+            index(state, i), tiles[i:i + nc], L=L, K=K,
             interpret=interpret, slots=slots)
-            for i in range(0, n_traj, nc)])
+            for i in range(0, n_traj, nc)]
+        if split:
+            return tuple(jnp.concatenate([o[k] for o in outs])
+                         for k in range(2))
+        return jnp.concatenate(outs)
 
-    (state,) = pl.pallas_call(
+    st_in, st_out, aliases, n_sems = hi_state_specs(split, 1, 0, NSA, NSB)
+    out = pl.pallas_call(
         _make_general_hi_inverse_cycle_kernel(L, K, MS, CS, width, NSA,
-                                              NSB),
-        out_shape=[jax.ShapeDtypeStruct(state.shape, jnp.float32)],
+                                              NSB, split),
+        out_shape=[jax.ShapeDtypeStruct(s.shape, jnp.float32)
+                   for s in (state if split else (state,))],
         grid=(n_traj,),
         in_specs=[
             pl.BlockSpec((1, 2 * K, width), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),  # (pre, post) rows
-            pl.BlockSpec(memory_space=pl.ANY),      # state (aliased)
-        ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        input_output_aliases={1: 0},
+        ] + st_in,
+        out_specs=st_out,
+        input_output_aliases=aliases,
         scratch_shapes=[
             pltpu.VMEM((NSA, 2, 128, _C), jnp.float32),     # pass-A slabs
             pltpu.VMEM((NSB, 2, R2, MS, CS), jnp.float32),  # pass-B slabs
-            pltpu.SemaphoreType.DMA((2 * NSA + 2 * NSB,)),
+            pltpu.SemaphoreType.DMA((n_sems,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=122 * 1024 * 1024),
         interpret=interpret,
-    )(tiles, state)
-    return state
+    )(tiles, *(state if split else (state,)))
+    return tuple(out) if split else out[0]

@@ -331,6 +331,28 @@ def _global_cycle_head(st, zm_t, sig_t, hs, phis, theta, *, L, local_bits,
     return _global_shard_kicks(st, theta, n_amp)
 
 
+def _hi_split_min_lb() -> int:
+    """Shard-local size at which the per-shard hi kernels switch to the
+    SPLIT per-plane (re, im) state pair (the 2^32 DMA-offset wrap bound:
+    a fused L_loc = 30 state puts plane 1's base at exactly 2^32 —
+    docs/PERFORMANCE.md round-4). Default 30; DTC_TPU_SHARDED_HI_SPLIT_
+    MIN_LB lowers it for interpret cross-checks at feasible sizes.
+    Kernel-rate sharding therefore reaches L = 30 + log2(n_amp)."""
+    return int(os.environ.get("DTC_TPU_SHARDED_HI_SPLIT_MIN_LB", "30"))
+
+
+def _on_fused(st, split_state, fn):
+    """Run an (n, 2, TOP, C)-shaped global-op callable over a split
+    (re, im) carry by stacking/unstacking around it. The stack copies
+    only exist at L >= 31 multi-chip (k_bits > 0 with split carries) —
+    compile-validation territory on this hardware; the (1,1)-mesh
+    L_loc = 30 route has no global ops at all."""
+    if not split_state:
+        return fn(st)
+    stf = fn(jnp.stack(st, axis=1))
+    return (stf[:, 0], stf[:, 1])
+
+
 def _check_constant_x(fn):
     """Wrap a cycle-kernel sharded fn so a CONCRETE schedule that violates
     the constant-x contract raises instead of silently reading angles[0,0,0]
@@ -388,9 +410,9 @@ def make_sharded_autocorr_forward_kernel(
     n_traj_dev = mesh.shape["traj"]
     k_bits = int(np.log2(n_amp))
     local_bits = L - k_bits
-    if not (17 <= local_bits <= 29):
+    if not (17 <= local_bits <= 30):
         raise ValueError(
-            f"cycle-kernel sharding needs 17 <= L - log2(n_amp) <= 29 "
+            f"cycle-kernel sharding needs 17 <= L - log2(n_amp) <= 30 "
             f"(got L={L}, n_amp={n_amp}: local_bits={local_bits})")
     if not (0 <= q < local_bits):
         raise ValueError(
@@ -398,6 +420,7 @@ def make_sharded_autocorr_forward_kernel(
             f"q < L - log2(n_amp) = {local_bits} (got q={q})")
     use_hi = local_bits >= max(
         22, int(os.environ.get("DTC_TPU_SHARDED_HI_MIN_LB", "24")))
+    split_state = use_hi and local_bits >= _hi_split_min_lb()
     width = 128 if 5 * local_bits - 2 <= 128 else 256
     M = 1 << local_bits
     TOP = M // _C
@@ -418,9 +441,13 @@ def make_sharded_autocorr_forward_kernel(
         gidx = (jnp.arange(M, dtype=jnp.uint32) + offset).reshape(TOP, _C)
         plane0 = (gidx == jnp.uint32(init_idx)).astype(jnp.float32)
         n = keys.shape[0]
-        state0 = jnp.broadcast_to(
-            jnp.stack([plane0, jnp.zeros_like(plane0)])[None],
-            (n, 2, TOP, _C))
+        if split_state:
+            state0 = (jnp.broadcast_to(plane0[None], (n, TOP, _C)),
+                      jnp.zeros((n, TOP, _C), jnp.float32))
+        else:
+            state0 = jnp.broadcast_to(
+                jnp.stack([plane0, jnp.zeros_like(plane0)])[None],
+                (n, 2, TOP, _C))
         h_loc = hs[:local_bits]
         ph_loc = phis[: local_bits - 1]
 
@@ -447,15 +474,18 @@ def make_sharded_autocorr_forward_kernel(
                 st, a_part = hi_cycle_forward_apply(
                     st, row_t, u7r, u7i, utr, uti, L=local_bits, q=q,
                     interpret=interpret)
-                st = st.reshape(n, 2, TOP, _C)
+                if split_state:
+                    st = tuple(s.reshape(n, TOP, _C) for s in st)
+                else:
+                    st = st.reshape(n, 2, TOP, _C)
             else:
                 st, a_part = cycle_forward_apply(
                     st, row_t, u7r, u7i, utr, uti, L=local_bits, q=q,
                     interpret=interpret)
             if k_bits:
-                st = _global_cycle_tail(st, zm_t, sig_t, hs, phis, theta,
-                                        L=L, local_bits=local_bits,
-                                        n_amp=n_amp)
+                st = _on_fused(st, split_state, lambda stf: _global_cycle_tail(
+                    stf, zm_t, sig_t, hs, phis, theta, L=L,
+                    local_bits=local_bits, n_amp=n_amp))
             return st, jax.lax.psum(a_part, "amp")
 
         # only T-1 cycles are needed for A(0..T-1) — A(0) is analytic
@@ -534,9 +564,9 @@ def make_sharded_echo_kernel(
     n_traj_dev = mesh.shape["traj"]
     k_bits = int(np.log2(n_amp))
     local_bits = L - k_bits
-    if not (17 <= local_bits <= 29):
+    if not (17 <= local_bits <= 30):
         raise ValueError(
-            f"cycle-kernel sharding needs 17 <= L - log2(n_amp) <= 29 "
+            f"cycle-kernel sharding needs 17 <= L - log2(n_amp) <= 30 "
             f"(got L={L}, n_amp={n_amp}: local_bits={local_bits})")
     if not (0 <= q < local_bits):
         raise ValueError(
@@ -544,6 +574,7 @@ def make_sharded_echo_kernel(
             f"q < L - log2(n_amp) = {local_bits} (got q={q})")
     use_hi = local_bits >= max(
         22, int(os.environ.get("DTC_TPU_SHARDED_HI_MIN_LB", "24")))
+    split_state = use_hi and local_bits >= _hi_split_min_lb()
     width = 128 if 5 * local_bits - 2 <= 128 else 256
     M = 1 << local_bits
     TOP = M // _C
@@ -572,9 +603,13 @@ def make_sharded_echo_kernel(
         zq = z_sign_mask(q, L, offset=offset, size=M).astype(
             jnp.float32).reshape(TOP, _C)
         n = keys.shape[0]
-        state0 = jnp.broadcast_to(
-            jnp.stack([plane0, jnp.zeros_like(plane0)])[None],
-            (n, 2, TOP, _C))
+        if split_state:
+            state0 = (jnp.broadcast_to(plane0[None], (n, TOP, _C)),
+                      jnp.zeros((n, TOP, _C), jnp.float32))
+        else:
+            state0 = jnp.broadcast_to(
+                jnp.stack([plane0, jnp.zeros_like(plane0)])[None],
+                (n, 2, TOP, _C))
         h_loc = hs[:local_bits]
         ph_loc = phis[: local_bits - 1]
         step = jnp.arange(T2)
@@ -614,29 +649,35 @@ def make_sharded_echo_kernel(
                 st, _ = hi_cycle_forward_apply(
                     st, row_f, u7r, u7i, utr, uti, L=local_bits, q=q,
                     interpret=interpret, slots=2)
-                st = st.reshape(n, 2, TOP, _C)
+                if split_state:
+                    st = tuple(s.reshape(n, TOP, _C) for s in st)
+                else:
+                    st = st.reshape(n, 2, TOP, _C)
             else:
                 st, _ = cycle_forward_apply(
                     st, row_f, u7r, u7i, utr, uti, L=local_bits, q=q,
                     interpret=interpret)
             if k_bits:
-                st = _global_cycle_tail(st, zm_k, csum_k, hs, phis, theta,
-                                        L=L, local_bits=local_bits,
-                                        n_amp=n_amp)
+                st = _on_fused(st, split_state, lambda stf: _global_cycle_tail(
+                    stf, zm_k, csum_k, hs, phis, theta, L=L,
+                    local_bits=local_bits, n_amp=n_amp))
             return st
 
         def br_inv(op, first):
             st, row_f, row_i, zm_k, zmp_k, sigb_k, csum_k = op
             if first:
-                st = st * conj_vec  # the single turnaround conjugation
+                # the single turnaround conjugation
+                st = (st[0], -st[1]) if split_state else st * conj_vec
             if k_bits:
-                st = _global_cycle_head(st, zmp_k, sigb_k, hs, phis, theta,
-                                        L=L, local_bits=local_bits,
-                                        n_amp=n_amp)
+                st = _on_fused(st, split_state, lambda stf: _global_cycle_head(
+                    stf, zmp_k, sigb_k, hs, phis, theta, L=L,
+                    local_bits=local_bits, n_amp=n_amp))
             if use_hi:
                 st = hi_cycle_inverse_apply(
                     st, row_i, u7r, u7i, utr, uti, L=local_bits,
                     interpret=interpret, slots=2)
+                if split_state:
+                    return tuple(s.reshape(n, TOP, _C) for s in st)
                 return st.reshape(n, 2, TOP, _C)
             return cycle_inverse_apply(st, row_i, u7r, u7i, utr, uti,
                                        L=local_bits, interpret=interpret)
@@ -663,7 +704,8 @@ def make_sharded_echo_kernel(
         sigma_fin = csum[:, -1]
         sq = (1 - 2 * ((sigma_fin >> q) & jnp.uint32(1)).astype(jnp.int32)
               ).astype(jnp.float32)
-        part = jnp.sum((st[:, 0] ** 2 + st[:, 1] ** 2) * zq, axis=(1, 2))
+        st_re, st_im = st if split_state else (st[:, 0], st[:, 1])
+        part = jnp.sum((st_re ** 2 + st_im ** 2) * zq, axis=(1, 2))
         e_traj = af * s0 * sq * jax.lax.psum(part, "amp")
         total = jax.lax.psum(jnp.sum(e_traj), "traj")
         return total / (n * n_traj_dev)
@@ -796,16 +838,17 @@ def make_sharded_autocorr_forward_general(
     n_traj_dev = mesh.shape["traj"]
     k_bits = int(np.log2(n_amp))
     local_bits = L - k_bits
-    if not (17 <= local_bits <= 29):
+    if not (17 <= local_bits <= 30):
         raise ValueError(
             f"general cycle-kernel sharding needs 17 <= L - log2(n_amp) "
-            f"<= 29 (got L={L}, n_amp={n_amp}: local_bits={local_bits})")
+            f"<= 30 (got L={L}, n_amp={n_amp}: local_bits={local_bits})")
     if not (0 <= q < local_bits):
         raise ValueError(
             "cycle-kernel sharding requires a shard-local probe qubit "
             f"q < L - log2(n_amp) = {local_bits} (got q={q})")
     use_hi = local_bits >= max(
         22, int(os.environ.get("DTC_TPU_SHARDED_HI_MIN_LB", "24")))
+    split_state = use_hi and local_bits >= _hi_split_min_lb()
     width = general_hi_width(local_bits) if use_hi else 128
     M = 1 << local_bits
     TOP = M // _C
@@ -838,9 +881,13 @@ def make_sharded_autocorr_forward_general(
         gidx = (jnp.arange(M, dtype=jnp.uint32) + offset).reshape(TOP, _C)
         plane0 = (gidx == jnp.uint32(init_idx)).astype(jnp.float32)
         n = keys.shape[0]
-        state0 = jnp.broadcast_to(
-            jnp.stack([plane0, jnp.zeros_like(plane0)])[None],
-            (n, 2, TOP, _C))
+        if split_state:
+            state0 = (jnp.broadcast_to(plane0[None], (n, TOP, _C)),
+                      jnp.zeros((n, TOP, _C), jnp.float32))
+        else:
+            state0 = jnp.broadcast_to(
+                jnp.stack([plane0, jnp.zeros_like(plane0)])[None],
+                (n, 2, TOP, _C))
 
         def sample(key):
             if device is not None:
@@ -903,17 +950,25 @@ def make_sharded_autocorr_forward_general(
                 st, a_part = general_hi_cycle_forward_apply(
                     st, tiles_t, L=local_bits, K=K, q=q,
                     interpret=interpret)
-                st = st.reshape(n, 2, TOP, _C)
+                if split_state:
+                    st = tuple(s.reshape(n, TOP, _C) for s in st)
+                else:
+                    st = st.reshape(n, 2, TOP, _C)
             else:
                 st, a_part = general_cycle_forward_apply(
                     st, tiles_t, L=local_bits, K=K, q=q, interpret=interpret)
             if k_bits:
-                for k in range(K):
-                    st = _global_general_slot_kick(
-                        st, ang[k, 0], ang[k, 1], sigb_t[:, k], zmp_t[:, k],
-                        local_bits=local_bits, n_amp=n_amp)
-                st = _global_diag(st, zmf_t & gmask, csf_t & gmask, hs,
-                                  phf_t, L=L, local_bits=local_bits)
+                def _tail(stf):
+                    for k in range(K):
+                        stf = _global_general_slot_kick(
+                            stf, ang[k, 0], ang[k, 1], sigb_t[:, k],
+                            zmp_t[:, k], local_bits=local_bits,
+                            n_amp=n_amp)
+                    return _global_diag(stf, zmf_t & gmask, csf_t & gmask,
+                                        hs, phf_t, L=L,
+                                        local_bits=local_bits)
+
+                st = _on_fused(st, split_state, _tail)
             return st, jax.lax.psum(a_part, "amp")
 
         xs = (angles[: T - 1], jnp.swapaxes(tiles, 0, 1)[: T - 1],
@@ -994,16 +1049,17 @@ def make_sharded_echo_general(
     n_traj_dev = mesh.shape["traj"]
     k_bits = int(np.log2(n_amp))
     local_bits = L - k_bits
-    if not (17 <= local_bits <= 29):
+    if not (17 <= local_bits <= 30):
         raise ValueError(
             f"general cycle-kernel sharding needs 17 <= L - log2(n_amp) "
-            f"<= 29 (got L={L}, n_amp={n_amp}: local_bits={local_bits})")
+            f"<= 30 (got L={L}, n_amp={n_amp}: local_bits={local_bits})")
     if not (0 <= q < local_bits):
         raise ValueError(
             "cycle-kernel sharding requires a shard-local probe qubit "
             f"q < L - log2(n_amp) = {local_bits} (got q={q})")
     use_hi = local_bits >= max(
         22, int(os.environ.get("DTC_TPU_SHARDED_HI_MIN_LB", "24")))
+    split_state = use_hi and local_bits >= _hi_split_min_lb()
     width = general_hi_width(local_bits) if use_hi else 128
     M = 1 << local_bits
     TOP = M // _C
@@ -1071,9 +1127,13 @@ def make_sharded_echo_general(
         zq = z_sign_mask(q, L, offset=offset, size=M).astype(
             jnp.float32).reshape(TOP, _C)
         n = keys.shape[0]
-        state0 = jnp.broadcast_to(
-            jnp.stack([plane0, jnp.zeros_like(plane0)])[None],
-            (n, 2, TOP, _C))
+        if split_state:
+            state0 = (jnp.broadcast_to(plane0[None], (n, TOP, _C)),
+                      jnp.zeros((n, TOP, _C), jnp.float32))
+        else:
+            state0 = jnp.broadcast_to(
+                jnp.stack([plane0, jnp.zeros_like(plane0)])[None],
+                (n, 2, TOP, _C))
 
         def sample(key):
             if device is not None:
@@ -1172,52 +1232,64 @@ def make_sharded_echo_general(
                 st, _ = general_hi_cycle_forward_apply(
                     st, rf, L=local_bits, K=K, q=q, interpret=interpret,
                     slots=2)
-                st = st.reshape(n, 2, TOP, _C)
+                if split_state:
+                    st = tuple(s.reshape(n, TOP, _C) for s in st)
+                else:
+                    st = st.reshape(n, 2, TOP, _C)
             else:
                 st, _ = general_cycle_forward_apply(
                     st, rf, L=local_bits, K=K, q=q, interpret=interpret)
             if k_bits:
-                for k in range(K):
-                    st = _global_general_slot_kick(
-                        st, ang_t[k, 0], ang_t[k, 1], sigb[:, k],
-                        zmp[:, k], local_bits=local_bits, n_amp=n_amp)
-                if device is not None:
-                    # forward postdiag with the commutation-sign-baked
-                    # rows (turnaround conjugation included); frame flips
-                    # compose by XOR on top
-                    _ph, _pp = op[10], op[11]
-                    st = _global_diag(st, zmf & gmask, csf & gmask, _ph,
-                                      _pp, L=L, local_bits=local_bits)
-                else:
-                    st = _global_diag(st, zmf & gmask, csf & gmask, hs,
-                                      phis, L=L, local_bits=local_bits)
+                def _tail(stf):
+                    for k in range(K):
+                        stf = _global_general_slot_kick(
+                            stf, ang_t[k, 0], ang_t[k, 1], sigb[:, k],
+                            zmp[:, k], local_bits=local_bits, n_amp=n_amp)
+                    if device is not None:
+                        # forward postdiag with the commutation-sign-baked
+                        # rows (turnaround conjugation included); frame
+                        # flips compose by XOR on top
+                        return _global_diag(
+                            stf, zmf & gmask, csf & gmask, op[10], op[11],
+                            L=L, local_bits=local_bits)
+                    return _global_diag(stf, zmf & gmask, csf & gmask, hs,
+                                        phis, L=L, local_bits=local_bits)
+
+                st = _on_fused(st, split_state, _tail)
             return st
 
         def br_inv(op):
             st, ang_t, rf, ri, sigb, zmp, zmf, csf = op[:8]
             if k_bits:
-                if device is not None:
-                    # the D0^dag negation + crossing conjugations are
-                    # BAKED into the pre rows, so the inverse prediag is
-                    # the plain (non-negating) _global_diag over them
-                    _ph, _pp = op[8], op[9]
-                    st = _global_diag(
-                        st, zmp[:, 0] & gmask, sigb[:, 0] & gmask, _ph,
-                        _pp, L=L, local_bits=local_bits)
-                else:
-                    st = _global_diag_inv(
-                        st, zmp[:, 0] & gmask, sigb[:, 0] & gmask, hs,
-                        phis, L=L, local_bits=local_bits)
-                for j in range(K):
-                    zw = (jnp.zeros_like(zmp[:, 0]) if j == 0
-                          else zmp[:, j])
-                    st = _global_general_slot_kick(
-                        st, ang_t[j, 0], ang_t[j, 1], sigb[:, j], zw,
-                        local_bits=local_bits, n_amp=n_amp, dagger=True)
+                def _head(stf):
+                    if device is not None:
+                        # the D0^dag negation + crossing conjugations are
+                        # BAKED into the pre rows, so the inverse prediag
+                        # is the plain (non-negating) _global_diag over
+                        # them
+                        stf = _global_diag(
+                            stf, zmp[:, 0] & gmask, sigb[:, 0] & gmask,
+                            op[8], op[9], L=L, local_bits=local_bits)
+                    else:
+                        stf = _global_diag_inv(
+                            stf, zmp[:, 0] & gmask, sigb[:, 0] & gmask,
+                            hs, phis, L=L, local_bits=local_bits)
+                    for j in range(K):
+                        zw = (jnp.zeros_like(zmp[:, 0]) if j == 0
+                              else zmp[:, j])
+                        stf = _global_general_slot_kick(
+                            stf, ang_t[j, 0], ang_t[j, 1], sigb[:, j], zw,
+                            local_bits=local_bits, n_amp=n_amp,
+                            dagger=True)
+                    return stf
+
+                st = _on_fused(st, split_state, _head)
             if use_hi:
                 st = general_hi_cycle_inverse_apply(
                     st, ri, L=local_bits, K=K, interpret=interpret,
                     slots=2)
+                if split_state:
+                    return tuple(s.reshape(n, TOP, _C) for s in st)
                 return st.reshape(n, 2, TOP, _C)
             return general_cycle_inverse_apply(
                 st, ri, L=local_bits, K=K, interpret=interpret)
@@ -1243,7 +1315,8 @@ def make_sharded_echo_general(
         xs = (step, ops)
         st, _ = jax.lax.scan(body, state0, xs)
 
-        part = jnp.sum((st[:, 0] ** 2 + st[:, 1] ** 2) * zq, axis=(1, 2))
+        st_re, st_im = st if split_state else (st[:, 0], st[:, 1])
+        part = jnp.sum((st_re ** 2 + st_im ** 2) * zq, axis=(1, 2))
         # q is lab-frame local: no sigma measurement sign
         e_traj = af * s0 * jax.lax.psum(part, "amp")
         total = jax.lax.psum(jnp.sum(e_traj), "traj")

@@ -396,6 +396,56 @@ def test_hi_cycle_kernel_sharded_parity(monkeypatch):
     assert abs(a - b) < 1e-4, (a, b)
 
 
+def test_hi_cycle_kernel_split_state_parity(monkeypatch):
+    """SPLIT per-plane hi state carries (the L_loc = 30 layout — a fused
+    state there puts plane 1's base at the 2^32 DMA-offset wrap,
+    docs/PERFORMANCE.md round-4) forced at the interpret-feasible
+    L_loc=22 via DTC_TPU_SHARDED_HI_SPLIT_MIN_LB: the x forward + echo
+    builders run the per-shard hi kernels through the per-plane (re, im)
+    DMA pair (ops/pallas_cycle_hi.hi_dma_helpers), the scan carries the
+    pair, and the XLA global ops stack/unstack around it — vs the XLA
+    sharded engine with identical presampled noise. The general
+    (lab-frame) builders' split path rides the same scaffolding (y
+    forward leg). Restores kernel-rate sharding to
+    L = 30 + log2(n_amp)."""
+    from dtc_tpu.parallel.sharded import (
+        make_sharded_autocorr_forward_general,
+    )
+
+    monkeypatch.setenv("DTC_TPU_SHARDED_HI_MIN_LB", "22")
+    monkeypatch.setenv("DTC_TPU_SHARDED_HI_SPLIT_MIN_LB", "22")
+    L, n_amp, n_traj, T, p = 23, 2, 1, 2, 0.6
+    q = 16  # composite (r2, m) row probe sign
+    hs, phis = generate_disorder(L, 1, seed=5)
+    hs = jnp.asarray(hs[0])
+    phis = jnp.asarray(phis[0])
+    sched = build_kick_schedule("x", 0.97, T)
+    mesh = make_mesh(n_amp=n_amp, n_traj=n_traj)
+    keys = jax.random.split(jax.random.PRNGKey(11), 2 * n_traj)
+
+    f_x = make_sharded_autocorr_forward(mesh, L=L, T=T, K=1, p=p, q=q)
+    f_k = make_sharded_autocorr_forward_kernel(mesh, L=L, T=T, p=p, q=q,
+                                               interpret=True)
+    a_x = np.asarray(f_x(sched.angles, hs, phis, keys))
+    a_k = np.asarray(f_k(sched.angles, hs, phis, keys))
+    assert np.max(np.abs(a_k - a_x)) < 1e-4, (a_k, a_x)
+
+    e_x = make_sharded_echo(mesh, L=L, T=T, K=1, p=p, q=q)
+    e_k = make_sharded_echo_kernel(mesh, L=L, T=T, p=p, q=q, interpret=True)
+    a = float(e_x(sched.angles, hs, phis, keys, jnp.asarray(T)))
+    b = float(e_k(sched.angles, hs, phis, keys, jnp.asarray(T)))
+    assert abs(a - b) < 1e-4, (a, b)
+
+    sched_y = build_kick_schedule("y", 0.97, T)
+    f_yx = make_sharded_autocorr_forward(mesh, L=L, T=T, K=1, p=p, q=q,
+                                         has_y=True)
+    f_g = make_sharded_autocorr_forward_general(mesh, L=L, T=T, K=1, p=p,
+                                                q=q, interpret=True)
+    a_yx = np.asarray(f_yx(sched_y.angles, hs, phis, keys))
+    a_g = np.asarray(f_g(sched_y.angles, hs, phis, keys))
+    assert np.max(np.abs(a_g - a_yx)) < 1e-4, (a_g, a_yx)
+
+
 @pytest.mark.parametrize("pol,K", [("y", 1), ("circular_left", 2)])
 def test_general_hi_cycle_kernel_sharded_parity(monkeypatch, pol, K):
     """Sharded GENERAL (lab-frame) forward + echo through the r2-blocked
