@@ -60,24 +60,46 @@ cfg = SimConfig(L=20, g=0.97, inst=1, tf=T, noise_prob=0.1, use_noise=1,
                 n_trajectories=NTRAJ, seed=13)
 hs, phis = get_disorder(cfg, REF)
 
-# ---- 1+2: cross-engine parity + rates on the same key/chunking.
-# n_trajectories small enough that BOTH routes take it in one chunk
-# (trajectory keys are salted per chunk — docs/PERFORMANCE.md round-4).
+# ---- 1+2: kernel parity vs the EXACT CPU engine + rates. The arbiter is
+# the in-process CPU run of the presampled XLA engine (oracle-validated,
+# tests/test_experiments.py) — NOT the TPU XLA route: this backend
+# mis-evaluates the eager route's noisy transverse terms at 17<=L<=23
+# (round-5 finding, energy._guard_energy_xla: measured |dE| 3.5 at
+# L=20/T=20/p=0.1 with every <Z_q> at 4e-6; the kernel sits at ~2e-3 vs
+# CPU on the same workload). Both runs take the trajectories in one
+# chunk (trajectory keys are salted per chunk, docs/PERFORMANCE.md).
 pcfg = cfg.replace(n_trajectories=4, tf=min(T, 20))
 print(f"L=20 T={pcfg.tf} n_traj=4 p=0.1: kernel route...", flush=True)
 (_ek, _zk), dt_pk = timed(
     lambda: energy_mod._energy_single_noise(pcfg, hs, phis, 0.1), groups=2)
+print("  exact CPU reference...", flush=True)
+with jax.default_device(jax.devices("cpu")[0]):
+    _os.environ["DTC_TPU_ENERGY_ENGINE"] = "xla"
+    # note: kernel_ok checks jax.default_backend(), which still reports
+    # tpu inside the context — force the xla engine explicitly
+    _ec, _zc = energy_mod._energy_single_noise(pcfg, hs, phis, 0.1)
+    del _os.environ["DTC_TPU_ENERGY_ENGINE"]
+dev_e = float(np.max(np.abs(_ek - _ec)))
+dev_z = float(np.max(np.abs(_zk - _zc)))
+print(f"  kernel vs exact CPU: max|dE|={dev_e:.2e} "
+      f"(|E|~{np.max(np.abs(_ec)):.0f}) max|dZ|={dev_z:.2e}", flush=True)
+assert dev_e < 2e-2 and dev_z < 5e-4, (dev_e, dev_z)
+rec.update(parity_T=pcfg.tf, parity_max_dE=dev_e, parity_max_dZ=dev_z,
+           parity_reference="exact CPU engine (in-process cpu backend)")
+
+# TPU XLA route: RATE comparison only (its noisy X terms are known-bad
+# at this L on this backend — recorded, not asserted)
 _os.environ["DTC_TPU_ENERGY_ENGINE"] = "xla"
-print("  xla route...", flush=True)
+print("  tpu-xla route (rate only; known-bad X terms at 17<=L<=23)...",
+      flush=True)
 (_ex, _zx), dt_px = timed(
     lambda: energy_mod._energy_single_noise(pcfg, hs, phis, 0.1), groups=2)
 del _os.environ["DTC_TPU_ENERGY_ENGINE"]
-dev_e = float(np.max(np.abs(_ek - _ex)))
-dev_z = float(np.max(np.abs(_zk - _zx)))
-print(f"  parity: max|dE|={dev_e:.2e} (|E|~{np.max(np.abs(_ex)):.0f}) "
-      f"max|dZ|={dev_z:.2e}", flush=True)
-assert dev_e < 2e-2 and dev_z < 5e-4, (dev_e, dev_z)
-rec.update(parity_T=pcfg.tf, parity_max_dE=dev_e, parity_max_dZ=dev_z)
+dev_ex = float(np.max(np.abs(_ex - _ec)))
+dev_zx = float(np.max(np.abs(_zx - _zc)))
+print(f"  tpu-xla vs exact CPU: max|dE|={dev_ex:.2e} max|dZ|={dev_zx:.2e} "
+      f"(documents the backend X-term corruption)", flush=True)
+rec.update(tpu_xla_max_dE_vs_cpu=dev_ex, tpu_xla_max_dZ_vs_cpu=dev_zx)
 
 # full-size kernel rate + XLA rate (XLA measured at the parity shape)
 print(f"kernel rate at T={T} n_traj={NTRAJ}...", flush=True)

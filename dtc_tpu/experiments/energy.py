@@ -88,12 +88,23 @@ def _energy_kernel_ok(cfg, sched, engine) -> bool:
             and jax.default_backend() != "cpu")
 
 
-def _guard_energy_xla(cfg):
+def _guard_energy_xla(cfg, engine="auto"):
     """The eager-noise XLA observables program at L >= 24 OOMs or crashes
     the TPU worker like the sigma echo programs do (docs/PERFORMANCE.md
     sigma-OOM notes: ~20 x 512 MB remat temps at L=27) — fail loudly
     before any compute instead (the autocorr engines' _guard_gather_path
-    discipline, VERDICT r4 weak #3)."""
+    discipline, VERDICT r4 weak #3).
+
+    Separately, at 17 <= L <= 23 this backend MIS-EVALUATES the eager
+    route's noisy transverse terms: measured max|dE| = 3.5 vs the exact
+    CPU engine at L=20/T=20/p=0.1 while every <Z_q> stays at 4e-6 —
+    identical trajectories, correct probabilities, corrupted phases; the
+    observables KERNEL on the same workload sits at 2.4e-3 vs CPU
+    (benchmarks/energy_l20_anchor.py, round-5 PERFORMANCE.md notes). The
+    L <= 16 route is clean (1e-5 at L=8/12/16). Auto dispatch therefore
+    refuses the XLA fallback at 17 <= L <= 23 on TPU; an explicit
+    DTC_TPU_ENERGY_ENGINE=xla still runs it (rate probes), owning the
+    known-bad X terms."""
     if cfg.L >= 24 and jax.default_backend() != "cpu":
         raise ValueError(
             f"energy/per-qubit-Z sweep at L={cfg.L} would build the "
@@ -101,6 +112,17 @@ def _guard_energy_xla(cfg):
             f"TPU worker at L >= 24. Supported: L <= 23 (the blocked "
             f"observables kernel covers 17 <= L <= 23 at tf*K <= 1024, "
             f"DTC_TPU_ENERGY_ENGINE=auto|kernel).")
+    if (engine == "auto" and 17 <= cfg.L <= 23
+            and jax.default_backend() != "cpu"):
+        raise ValueError(
+            f"energy sweep at L={cfg.L} missed the observables kernel's "
+            f"bounds (tf*K <= 1024) and would fall to the eager XLA "
+            f"route, whose noisy transverse terms this TPU backend "
+            f"mis-evaluates at 17 <= L <= 23 (measured |dE| ~ 3.5 vs the "
+            f"exact CPU engine at L=20 with exact <Z_q> — see "
+            f"_guard_energy_xla). Shorten the schedule, or set "
+            f"DTC_TPU_ENERGY_ENGINE=xla to accept the known-bad X "
+            f"terms.")
 
 
 def _energy_single_noise(cfg, hs, phis, p, component="full"):
@@ -132,7 +154,7 @@ def _energy_single_noise(cfg, hs, phis, p, component="full"):
             "energy kernel engine requires a TPU backend, 17 <= L <= 23 "
             "and tf*K <= 1024")
     if not kernel_ok:
-        _guard_energy_xla(cfg)
+        _guard_energy_xla(cfg, engine)
 
     n_traj = cfg.n_trajectories if noise.p > 0 else 1
     chunk = traj_chunks(n_traj, cfg.L, extra_factor=cfg.inst)

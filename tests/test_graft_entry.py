@@ -12,6 +12,7 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -27,6 +28,7 @@ def test_entry_compiles_and_runs():
     assert np.all(np.abs(out) <= 1.0 + 1e-5)
 
 
+@pytest.mark.slow  # the subprocess-bootstrap variant below is the driver's actual path
 def test_dryrun_multichip_in_process():
     # conftest forces 8 virtual CPU devices, so this exercises the direct path
     __graft_entry__.dryrun_multichip(8)

@@ -139,3 +139,11 @@ def test_energy_engine_env_dispatch(monkeypatch):
     hs24, phis24 = generate_disorder(24, 1, seed=1)
     with pytest.raises(ValueError, match="eager-noise"):
         energy_mod._energy_single_noise(cfg24, hs24, phis24, 0.05)
+
+    # 17 <= L <= 23 missing the kernel bounds must NOT silently fall to
+    # the TPU XLA route (this backend mis-evaluates its noisy X terms at
+    # these sizes — round-5 measured finding, _guard_energy_xla); an
+    # explicit xla override is the documented escape hatch
+    cfg20_long = cfg20.replace(tf=2048)
+    with pytest.raises(ValueError, match="mis-evaluates"):
+        energy_mod._energy_single_noise(cfg20_long, hs20, phis20, 0.05)

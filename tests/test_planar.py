@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dtc_tpu.core.planar_evolve import planar_forward_batch
 from dtc_tpu.io.disorder import generate_disorder
@@ -38,6 +39,7 @@ def test_planar_neel_noiseless():
         np.testing.assert_allclose(vals[0, t], want, atol=2e-6)
 
 
+@pytest.mark.slow  # planar is a non-default engine (DTC_TPU_ENGINE=planar); mean-parity stays quick
 def test_planar_noisy_matches_oracle():
     hs, phis, vals = _run(3, 4, 0.1, 4000)
     mean = vals.mean(axis=0)

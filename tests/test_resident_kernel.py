@@ -310,6 +310,7 @@ def test_blocked_echo_matches_sigma_interpret():
     np.testing.assert_allclose(b0, 1.0, atol=1e-4)
 
 
+@pytest.mark.slow  # nb>1 is env-opt-in (DTC_TPU_BLOCKED_NB)
 def test_blocked_kernel_nb2_matches_sigma_interpret(monkeypatch):
     """The nb=2 interleaved-trajectory blocked forward body (the headline
     throughput lever, DTC_TPU_BLOCKED_NB): trajectory-exact vs the sigma
@@ -342,6 +343,7 @@ def test_blocked_kernel_nb2_matches_sigma_interpret(monkeypatch):
     assert np.max(np.abs(b3 - s[:, :3])) < 1e-4
 
 
+@pytest.mark.slow  # nb>1 is env-opt-in (DTC_TPU_BLOCKED_NB)
 def test_blocked_echo_nb2_matches_sigma_interpret(monkeypatch):
     """nb=2 echo: SAME-t pair grouping (t-major regroup in the wrapper)
     keeps trip counts equal within a grid step; values must match the
