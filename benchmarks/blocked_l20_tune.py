@@ -113,15 +113,26 @@ elif MODE == "pack":
     # the default + bt32 configs with the packed kernel; compare against
     # blocked_l20_tune's unpacked readings
     CONFIGS = [(16, 2048, 1), (32, 2048, 1)]
+elif MODE == "cmul":
+    # Karatsuba (3 dots + full-plane input add) vs schoolbook (4 dots, no
+    # input add) complex multiplies at the bench shape — the kernel is
+    # not MXU-FLOP-bound, so the extra bf16 passes may hide under the
+    # freed VPU work (DTC_TPU_BLOCKED_CMUL, forward kernel only)
+    CONFIGS = [(32, 2048, 1), (32, 2048, 1, {"DTC_TPU_BLOCKED_CMUL":
+                                             "schoolbook"})]
 
 results = {}
 best = (None, -1.0)
-for bt, cs, nb in CONFIGS:
+for cfg_t in CONFIGS:
+    bt, cs, nb = cfg_t[:3]
+    extra = cfg_t[3] if len(cfg_t) > 3 else {}
     env = dict(_os.environ, DTC_TPU_BLOCKED_BT=str(bt),
-               DTC_TPU_BLOCKED_CS=str(cs), DTC_TPU_BLOCKED_NB=str(nb))
+               DTC_TPU_BLOCKED_CS=str(cs), DTC_TPU_BLOCKED_NB=str(nb),
+               **extra)
     if (bt, cs) == (16, 2048) and nb in (1, 2):
         env["DTC_TPU_TUNE_ECHO"] = "1"  # echo decision pair only
-    tag = f"bt{bt}_cs{cs}_nb{nb}"
+    tag = f"bt{bt}_cs{cs}_nb{nb}" + "".join(
+        f"_{v}" for v in extra.values())
     print(f"--- {tag}", flush=True)
     r = subprocess.run([_sys.executable, "-c", CHILD % {"root": ROOT}],
                        env=env, capture_output=True, text=True, timeout=2400)
@@ -144,7 +155,8 @@ path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
 blob = json.load(open(path)) if _os.path.exists(path) else {}
 key = {"combo": "blocked_l20_tune_combo",
        "round2": "blocked_l20_tune_round2",
-       "pack": "blocked_l20_tune_pack"}.get(MODE, "blocked_l20_tune")
+       "pack": "blocked_l20_tune_pack",
+       "cmul": "blocked_l20_tune_cmul"}.get(MODE, "blocked_l20_tune")
 blob[key] = {"shape": "L20_T50_p0.05_ntraj32",
              "configs": results, "best": best[0],
              "best_cycles_s": best[1]}

@@ -115,6 +115,19 @@ def p2_pack_factor(TOP: int, cs: int) -> int:
     return max(1, min(128 // TOP, 2 * n_cs))
 
 
+def _schoolbook_cmul() -> bool:
+    """DTC_TPU_BLOCKED_CMUL=schoolbook swaps the FORWARD kernel's complex
+    multiplies from Karatsuba (3 dots + a full-plane input add + two
+    output subtracts) to the 4-dot schoolbook form (no input add, one
+    output add) — a bounded probe of the MXU-vs-VPU balance: the blocked
+    body is not MXU-FLOP-bound (docs/PERFORMANCE.md open-ceiling notes),
+    so trading 3 extra bf16 passes per dot-group for two fewer full-plane
+    VPU ops could go either way. Measured via blocked_l20_tune.py cmul
+    mode; values differ only by dot-order rounding."""
+    return _os.environ.get("DTC_TPU_BLOCKED_CMUL",
+                           "karatsuba") == "schoolbook"
+
+
 def _make_blocked_kernel(L: int, T: int, q: int, b0: int,
                          time_dep: bool, bt: int, cs: int,
                          nb: int = 1, P: int = 1):  # noqa: C901
@@ -137,6 +150,7 @@ def _make_blocked_kernel(L: int, T: int, q: int, b0: int,
     n_bt = TOP // bt
     n_cs = (_C // 2) // cs
     B = range(nb)
+    schoolbook = _schoolbook_cmul()
 
     def kernel(u7r_ref, u7i_ref, utr_ref, uti_ref, par_ref,
                a_out_ref, st_ref):
@@ -201,6 +215,9 @@ def _make_blocked_kernel(L: int, T: int, q: int, b0: int,
                 return br, bi, br + bi
 
             def kara_right(mr, mi, br, bi, bs):
+                if schoolbook:
+                    return (_dot_f32(mr, br) - _dot_f32(mi, bi),
+                            _dot_f32(mr, bi) + _dot_f32(mi, br))
                 p1 = _dot_f32(mr, br)
                 p2 = _dot_f32(mi, bi)
                 p3 = _dot_f32(mr + mi, bs)
@@ -273,11 +290,15 @@ def _make_blocked_kernel(L: int, T: int, q: int, b0: int,
                             btr, bti, bts = bts_b[b]
                             hr = st_ref[b, 0, :, pl.ds(off, cs)]
                             hi_ = st_ref[b, 1, :, pl.ds(off, cs)]
-                            q1 = _dot_f32(btr, hr)
-                            q2 = _dot_f32(bti, hi_)
-                            q3 = _dot_f32(bts, hr + hi_)
-                            kr = q1 - q2
-                            ki = q3 - q1 - q2
+                            if schoolbook:
+                                kr = _dot_f32(btr, hr) - _dot_f32(bti, hi_)
+                                ki = _dot_f32(btr, hi_) + _dot_f32(bti, hr)
+                            else:
+                                q1 = _dot_f32(btr, hr)
+                                q2 = _dot_f32(bti, hi_)
+                                q3 = _dot_f32(bts, hr + hi_)
+                                kr = q1 - q2
+                                ki = q3 - q1 - q2
                             st_ref[b, 0, :, pl.ds(off, cs)] = kr
                             st_ref[b, 1, :, pl.ds(off, cs)] = ki
                             out.append(
