@@ -20,8 +20,9 @@ from dtc_tpu.utils.validation import guard
 # above ~L=24 (docs/PERFORMANCE.md round-3 notes) — it is the LAST-RESORT
 # device-noise path for general (non-x / K>1) polarizations (the kernel
 # routes cover 14 <= L <= 23 and the (1,1)-mesh per-shard route 24 <= L
-# <= 29), so requests that would land on it above the cliff must fail
-# loudly instead of killing the worker mid-sweep.
+# <= 30, split per-plane state at 30), so requests that would land on it
+# above the cliff must fail loudly instead of killing the worker
+# mid-sweep.
 _GATHER_MAX_L = 24
 
 
@@ -32,7 +33,7 @@ def _guard_gather_path(cfg):
             f"would fall to the dense gather path, which crashes the TPU "
             f"worker above L={_GATHER_MAX_L}. Supported: x-polarization "
             f"(kernel/sigma engines) up to L=30; general polarizations up "
-            f"to L=29 via the lab-frame kernels (q < L, forward tf*K <= "
+            f"to L=30 via the lab-frame kernels (q < L, forward tf*K <= "
             f"1024 / echo 2*tf*K <= 1024 — the echo rows carry a (pre, "
             f"post) pair per step, halving the SMEM step budget; "
             f"DTC_TPU_DEVICE_ENGINE=auto|kernel) — this request missed "
@@ -44,7 +45,8 @@ def _device_general_hi_fn(echo, *, L, T, K, q, initial_state, af,
                           p1_bytes, p2_bytes, epk):
     """Cached (1,1)-mesh per-shard general builder with device rows — the
     single-chip device-noise route for general polarizations past the
-    gather cliff, 24 <= L <= 29 (parallel/sharded.py `device=`). Cached
+    gather cliff, 24 <= L <= 30 (split per-plane state at 30;
+    parallel/sharded.py `device=`). Cached
     like engine._singlechip_general_fn: rebuilding per sweep call would
     retrace the shard_map scan (fresh jax.jit identity) and re-trigger the
     hi general kernels' minutes-long Mosaic compiles on every repeated
@@ -187,7 +189,7 @@ def device_forward_sweep(cfg, sched, params, key) -> np.ndarray:
                   initial_state=cfg.initial_state, ancilla_factor=af)
         run = lambda h, ph, keys: device_general_kernel_forward_batch(
             h, ph, p1, p2, sched.angles, keys, **kw)
-    elif (engine in ("auto", "kernel") and 24 <= cfg.L <= 29
+    elif (engine in ("auto", "kernel") and 24 <= cfg.L <= 30
           and cfg.probe_qubit < cfg.L and cfg.tf * sched.K <= 1024
           and jax.default_backend() != "cpu"):
         # general polarizations PAST the gather cliff: (1,1)-mesh per-shard
@@ -324,7 +326,7 @@ def device_echo_sweep(cfg, sched, params, key, *, t_chunk: int = 4) -> np.ndarra
             done += c
         return out / n_traj
 
-    if (engine in ("auto", "kernel") and 24 <= cfg.L <= 29
+    if (engine in ("auto", "kernel") and 24 <= cfg.L <= 30
             and cfg.probe_qubit < cfg.L and 2 * cfg.tf * sched.K <= 1024
             and jax.default_backend() != "cpu"):
         # general-polarization device ECHO past the gather cliff (see the

@@ -565,10 +565,11 @@ def test_device_general_pol_gather_cliff_guard(monkeypatch):
     """Requests that would land on the dense gather engine above ~L=24
     (where it crashes the TPU worker, docs/PERFORMANCE.md) must raise a
     clear ValueError BEFORE any compute, forward and echo alike. General
-    polarizations are kernel-covered to L=29 ((1,1)-mesh per-shard device
-    rows past 23), so the cliff now sits at L=30; x-polarization at the
-    same L still dispatches (kernel/sigma engines cover it to L=30), and
-    CPU runs (where the gather path is safe) are not blocked."""
+    polarizations are kernel-covered to L=30 ((1,1)-mesh per-shard device
+    rows past 23, split per-plane state at 30 — round 5), so the cliff
+    now sits at L=31; x-polarization bounds at L=30 (kernel/sigma
+    engines), and CPU runs (where the gather path is safe) are not
+    blocked."""
     import pytest as _pytest
 
     from dtc_tpu.experiments import device_sweeps
@@ -580,7 +581,7 @@ def test_device_general_pol_gather_cliff_guard(monkeypatch):
     from dtc_tpu.io.disorder import generate_disorder
     from dtc_tpu.utils.config import SimConfig
 
-    L = 30
+    L = 31
     cfg = SimConfig(L=L, tf=2, g=0.9, use_fakebackend=1, n_trajectories=2,
                     polarization="y")
     hs, phis = generate_disorder(L, 1, seed=1)

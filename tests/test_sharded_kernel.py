@@ -609,6 +609,39 @@ def test_device_rows_sharded_general_amp2_k2_and_echo():
     assert abs(a0 - 1.0) < 1e-4, a0
 
 
+@pytest.mark.slow
+def test_device_rows_split_state_matches_oracle(monkeypatch):
+    """Device rows COMPOSED with the split per-plane hi state (the
+    L=30 single-chip device-noise route, round 5) — forced at the
+    interpret-feasible L_loc=23 via the split/hi env thresholds,
+    (1,1) mesh, vs the dense original-order oracle on the same
+    presample."""
+    from dtc_tpu.core.device_evolve import device_general_forward_oracle
+    from dtc_tpu.parallel.sharded import (
+        make_sharded_autocorr_forward_general,
+    )
+
+    monkeypatch.setenv("DTC_TPU_SHARDED_HI_MIN_LB", "22")
+    monkeypatch.setenv("DTC_TPU_SHARDED_HI_SPLIT_MIN_LB", "22")
+    L, T, q = 23, 2, 9
+    hs, phis = generate_disorder(L, 1, seed=9)
+    hsj = jnp.asarray(hs[0])
+    phj = jnp.asarray(phis[0])
+    p1 = jnp.linspace(0.1, 0.4, L)
+    p2 = jnp.linspace(0.15, 0.45, L - 1)
+    keys = jax.random.split(jax.random.PRNGKey(5), 1)
+    mesh = make_mesh(n_amp=1, n_traj=1)
+    sched = build_kick_schedule("y", 0.97, T)
+    fn = make_sharded_autocorr_forward_general(
+        mesh, L=L, T=T, K=1, p=0.0, q=q, ancilla_factor=0.9,
+        interpret=True, device=(p1, p2, 2))
+    a_k = np.asarray(fn(sched.angles, hsj, phj, keys))
+    a_o = np.asarray(device_general_forward_oracle(
+        hsj, phj, p1, p2, sched.angles, keys, L=L, T=T, K=1, q=q,
+        ancilla_factor=0.9)).mean(axis=0)
+    assert np.max(np.abs(a_k - a_o)) < 1e-4, (a_k, a_o)
+
+
 @pytest.mark.parametrize("pol,K", [("y", 1), ("circular_left", 2)])
 def test_device_rows_sharded_general_echo_matches_oracle(pol, K):
     """Device-noise ECHO through the (1,1)-mesh per-shard general
