@@ -191,6 +191,28 @@ def run_energy_sharded(cfg, hs=None, phis=None, *, n_amp=None, mesh=None,
     """
     from dtc_tpu.models.hamiltonian import hamiltonian_terms
 
+    if jax.default_backend() != "cpu":
+        # the sharded observables path is the same eager-noise program
+        # class whose transverse terms this backend mis-evaluates at
+        # 17 <= L <= 23 (measured — energy._guard_energy_xla); the
+        # single-chip kernel route covers exactly those sizes, so refuse
+        # there and warn above (L >= 24 is unvalidatable on one chip)
+        if 17 <= cfg.L <= 23:
+            raise ValueError(
+                "run_energy_sharded at 17 <= L <= 23 on this TPU backend: "
+                "the eager observables program's noisy transverse terms "
+                "are mis-evaluated at these sizes (see "
+                "experiments.energy._guard_energy_xla) — use "
+                "experiments.energy.run_energy (observables kernel) "
+                "instead.")
+        import warnings
+
+        warnings.warn(
+            "run_energy_sharded rides the eager XLA observables program; "
+            "this TPU backend mis-evaluated its noisy transverse terms at "
+            "17 <= L <= 23 (energy._guard_energy_xla) and larger sizes "
+            "are unvalidated against that failure mode — cross-check "
+            "X-dependent results where possible.", stacklevel=2)
     if hs is None or phis is None:
         hs, phis = get_disorder(cfg, disorder_dir)
     if mesh is None:

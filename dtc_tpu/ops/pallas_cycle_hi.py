@@ -1,6 +1,6 @@
 """Per-cycle HBM-streamed Floquet kernel on the r2-blocked layout — the
 per-shard engine for amplitude-sharded runs whose SHARD does not fit VMEM
-(22 <= L_loc <= 29; the VMEM-resident per-shard kernel, ops/pallas_cycle,
+(22 <= L_loc <= 30, split per-plane state at 30; the VMEM-resident per-shard kernel, ops/pallas_cycle,
 bounds at L_loc = 23 because the whole shard lives in a VMEM scratch).
 
 One pallas_call = ONE sigma-frame factored Floquet cycle on the shard-local

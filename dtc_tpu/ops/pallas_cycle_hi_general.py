@@ -1,7 +1,7 @@
 """Per-cycle HBM-streamed GENERAL (lab-frame) Floquet kernel on the
 r2-blocked layout — the per-shard engine for amplitude-sharded runs of
 EVERY polarization family (y/xy/yx/circular/xy_cycle + per-cycle-g
-schedules) whose shard does not fit VMEM (22 <= L_loc <= 29; the
+schedules) whose shard does not fit VMEM (22 <= L_loc <= 30, split per-plane state at 30; the
 VMEM-resident general per-shard kernel, ops/pallas_cycle.
 general_cycle_forward_apply, bounds at L_loc = 23).
 
@@ -465,7 +465,7 @@ def general_hi_cycle_forward_apply(state, tiles, *, L, K, q, slots=None,
                                    interpret=False):
     """Apply ONE lab-frame Floquet cycle (K kick slots with their noise
     events and the folded local diagonal) to a batch of shard-local states
-    on the r2-blocked layout (22 <= L_loc <= 29).
+    on the r2-blocked layout (22 <= L_loc <= 30, split pair at 30).
 
     state: (n_traj, 2, TOP, 16384) or (n_traj, 2, R2, 128, 16384) f32
     planar (flat input is reshaped — free); tiles: (n_traj, K, width)
@@ -544,7 +544,7 @@ def general_hi_cycle_forward_apply(state, tiles, *, L, K, q, slots=None,
 def general_hi_cycle_inverse_apply(state, tiles, *, L, K, interpret=False,
                                    slots=None):
     """Apply ONE lab-frame DAGGERED Floquet cycle to a batch of shard-local
-    states on the r2-blocked layout (22 <= L_loc <= 29).
+    states on the r2-blocked layout (22 <= L_loc <= 30, split pair at 30).
 
     tiles: (n_traj, K, 2, width) per-slot (pre, post) compact general echo
     rows (layout of pallas_resident_general.general_echo_batch.tiles_one's
