@@ -66,6 +66,42 @@ def test_obs_kernel_trajectory_exact(pol, p):
 
 
 @pytest.mark.slow
+def test_obs_kernel_multi_block_measure(monkeypatch):
+    """n_bt >= 2 measure path (DTC_TPU_BLOCKED_BT=8 at L=18 forces two
+    TOP blocks per plane): the per-block marginal accumulation, top-bit
+    sign contraction and the low/mid/top X passes must compose across
+    blocks exactly — the class the L=20 bench shape runs (bt=32, n_bt=2)
+    that the L=17 single-block case cannot exercise."""
+    monkeypatch.setenv("DTC_TPU_BLOCKED_BT", "8")
+    L18, T18 = 18, 3
+    hs, phis = generate_disorder(L18, 1, seed=13)
+    terms = hamiltonian_terms(L18, 0.97, hs[0], phis[0], "full")
+    hsj = jnp.asarray(hs[:, :L18])
+    phj = jnp.asarray(phis[:, : L18 - 1])
+    th = jnp.asarray(terms.hs)
+    tph = jnp.asarray(terms.phis)
+    xc = float(terms.x_coeff)
+    keys = jax.random.split(jax.random.PRNGKey(3), 1)
+    sched = build_kick_schedule("y", 0.97, T18)
+    e_d, x_s, zs = observables_forward_batch(
+        hsj, phj, th[None], tph[None], sched.angles, keys[None],
+        L=L18, T=T18, K=1, p=0.25, interpret=True)
+    e_k = np.asarray(e_d + xc * x_s)[0]
+
+    from dtc_tpu.core.statevector import initial_statevector
+    psi0 = initial_statevector(L18, "vacuum", dtype=jnp.complex64)
+    diag = zz_z_phase_mask(hsj[0], phj[0], L18, dtype=jnp.complex64)
+    diag_e = zz_z_diag_energy(th, tph, L18, dtype=jnp.float32)
+    e_ref, zs_ref = jax.vmap(
+        lambda k: evolve_observables(psi0, sched.angles, diag, diag_e,
+                                     jnp.asarray(xc), k,
+                                     L=L18, T=T18, K=1, p=0.25)
+    )(keys)
+    assert np.max(np.abs(e_k - np.asarray(e_ref))) < 5e-3, (e_k, e_ref)
+    assert np.max(np.abs(np.asarray(zs)[0] - np.asarray(zs_ref))) < 1e-4
+
+
+@pytest.mark.slow
 def test_obs_kernel_k2_and_components():
     """K=2 slot structure (xy drive) + component Hamiltonians: z_zz
     (with_x=False skips the adjacency dots) and x_only (pure transverse)
