@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from dtc_tpu.models.drives import slot_unitary, slot_unitary_inverse
-from dtc_tpu.ops.diag import z_sign_mask, zz_z_diag_energy, zz_z_phase_mask
+from dtc_tpu.ops.diag import z_sign_mask, zz_z_phase_mask
 from dtc_tpu.ops.gates import expect_x, expect_z
 from dtc_tpu.ops.kick import apply_uniform_1q_layer
 from dtc_tpu.ops.paulis import (

@@ -47,7 +47,6 @@ from jax.experimental.pallas import tpu as pltpu
 from dtc_tpu.ops.pallas_resident import _C, _HALF_PI, _cmul, _dot_f32
 from dtc_tpu.ops.pallas_resident_general import _LANE_U8, _tile_helpers
 from dtc_tpu.ops.pallas_streamed import _kara_right
-from dtc_tpu.ops.pallas_streamed_hi import _hi_geometry
 
 
 def _angle_c(tiles_ref, L, ti, zt):
