@@ -130,6 +130,32 @@ def test_obs_kernel_k2_and_components():
         assert np.max(np.abs(np.asarray(zs)[0] - np.asarray(zs_ref))) < 1e-4
 
 
+@pytest.mark.slow
+def test_obs_kernel_instance_vmap_exact():
+    """The builder vmaps per_instance over the disorder-instance axis
+    (pallas under vmap prepends a grid dimension — the 'batches in the
+    grid' rule); a 2-instance batch must be bit-identical to two
+    separate calls. Verified bit-exact on real Mosaic at L=20 too
+    (round-5 session log)."""
+    hs, phis = generate_disorder(L, 2, seed=11)
+    t0 = hamiltonian_terms(L, 0.97, hs[0], phis[0], "full")
+    t1 = hamiltonian_terms(L, 0.97, hs[1], phis[1], "full")
+    th = jnp.stack([jnp.asarray(t0.hs), jnp.asarray(t1.hs)])
+    tph = jnp.stack([jnp.asarray(t0.phis), jnp.asarray(t1.phis)])
+    keys = jax.random.split(jax.random.PRNGKey(3), 2).reshape(2, 1, 2)
+    sched = build_kick_schedule("x", 0.97, 2)
+    kw = dict(L=L, T=2, K=1, p=0.3, interpret=True)
+    e2, _, z2 = observables_forward_batch(
+        jnp.asarray(hs), jnp.asarray(phis), th, tph, sched.angles, keys,
+        **kw)
+    for i in range(2):
+        e1, _, z1 = observables_forward_batch(
+            jnp.asarray(hs[i:i + 1]), jnp.asarray(phis[i:i + 1]),
+            th[i:i + 1], tph[i:i + 1], sched.angles, keys[i:i + 1], **kw)
+        assert np.array_equal(np.asarray(e2)[i], np.asarray(e1)[0])
+        assert np.array_equal(np.asarray(z2)[i], np.asarray(z1)[0])
+
+
 def test_energy_engine_env_dispatch(monkeypatch):
     """DTC_TPU_ENERGY_ENGINE contract: bogus raises, kernel on CPU raises
     (never a silent deopt); the auto route at 17<=L<=23 on a (stubbed) TPU
