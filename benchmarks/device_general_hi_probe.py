@@ -19,7 +19,8 @@ Evidence layers:
 Reference device mode: autocorr-delta-a-single-qiskit-fast.py:77-79
 crossed with its general drives (…-circular-polarization.py:110-142).
 
-Usage: python benchmarks/device_general_hi_probe.py
+Usage: python benchmarks/device_general_hi_probe.py [pol]
+(pol != y records under device_general_hi_{pol})
 """
 
 import os as _os
@@ -44,7 +45,8 @@ from dtc_tpu.parallel.sharded import (
     make_sharded_echo_general,
 )
 
-POL, AF = "y", 0.9
+POL = _sys.argv[1] if len(_sys.argv) > 1 else "y"
+AF = 0.9
 rec = {"pol": POL}
 mesh = make_mesh(n_amp=1, n_traj=1)
 
@@ -160,6 +162,10 @@ print(f"  L=24 device echo(t=5): {2 * t_e * NT / dte:8.1f} steps/s "
 path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                      "parity_results.json")
 db = json.load(open(path))
-db["device_general_hi"] = rec
-json.dump(db, open(path, "w"), indent=1)
-print("recorded device_general_hi ->", path, flush=True)
+key = "device_general_hi" if POL == "y" else f"device_general_hi_{POL}"
+db[key] = rec
+text = json.dumps(db, indent=1)  # serialize FIRST: a failed encode must
+# not truncate previously recorded anchors
+with open(path, "w") as _f:
+    _f.write(text)
+print(f"recorded {key} ->", path, flush=True)
